@@ -1,0 +1,59 @@
+"""Parquet table catalog for the driver's synthetic testdata (TESTDATA.md).
+
+Parquet scans give the engine predicate pushdown + column pruning for free —
+`.explain` on any query here should show PushedFilters / ReadSchema narrowing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimensions small enough to broadcast at any realistic scale factor.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Must hold on externally created sessions too (the driver passes its own
+    # SparkSession to entry()): events.ts is TIMESTAMP(NANOS) parquet, which
+    # Spark only reads via this runtime-settable legacy conf, and the engine's
+    # timestamp arithmetic assumes a UTC session.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanoseconds.
+    # Truncate to microseconds (exactly what DuckDB does on read) and restore
+    # TimestampType so downstream code sees one timestamp representation.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    schema = dict(zip(df.schema.names, df.schema.fields))
+    if name == "events" and isinstance(schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() can address them."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
