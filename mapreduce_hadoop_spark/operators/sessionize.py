@@ -1,0 +1,344 @@
+"""Exercise 2 Job 1, trip sessionization (SURVEY.md §2.2, operator O15).
+
+The reference's core kernel (``src/AirportTripsRevenue.java:275-407``): a
+state machine over each taxi's time-ordered positions. Transitions:
+
+- E->M opens a trip at the current point.
+- M->M with gap <= 210 s extends it (accumulate distance, move the endpoint,
+  OR-in the airport flag) — unless the implied speed exceeds 180 km/h, in
+  which case the *point is dropped* and the previous point stays "previous"
+  (order-dependent: ``:317-335``).
+- M->M with gap > 210 s closes the trip at the previous point and opens a
+  new one at the current point.
+- M->E closes the trip at the previous point.
+
+A closed trip is emitted only when cumulated distance >= 0.1 km and it
+touched the airport radius; revenue = 3.5 + 1.71 * distance.
+
+Two implementations, per SURVEY.md §7 step 4:
+
+1. ``sessionize_window`` (engine default, SQL-expressible, one shuffle):
+   lag() over (partition by taxi order by t) marks trip starts, a running
+   sum turns starts into session ids, groupBy aggregates each session.
+   Scales to any data size — it is pure window + hash aggregation, fully
+   whole-stage-codegen'd. It does NOT replicate the order-dependent
+   speed-drop (a dropped point's successor distance would need the
+   *pre-drop* previous point); on data without speed violations it is
+   bit-identical to the parity path (cross-checked in tests).
+
+2. ``sessionize_parity`` (exact reference semantics): per-taxi
+   ``applyInPandas`` replay of the state machine, Arrow-batched, parallel
+   across taxis. Intentional divergence from the reference, documented:
+   state is isolated per taxi (the reference leaks reducer state across
+   keys, ``:279-285``), which is the behavior the reference *intended*
+   (its partitioner routes whole taxis to one reducer precisely so state
+   never has to cross taxis).
+
+Both paths leave trailing open trips unemitted, exactly like the reference
+(a trip still open at end-of-input is never written).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_hadoop_spark import constants as C
+from mapreduce_hadoop_spark.functions.geo import (
+    is_airport_position,
+    spherical_earth_distance,
+)
+from mapreduce_hadoop_spark.operators import gps
+
+TRIP_SCHEMA = (
+    "taxi bigint, session_id bigint, start_t double, start_lat double, "
+    "start_lon double, stop_t double, stop_lat double, stop_lon double, "
+    "n_points bigint, dist_km double, is_airport boolean, revenue double, "
+    "trip_date string"
+)
+
+
+def sessionize_window(
+    pos: DataFrame,
+    gap_s: float = C.MAX_SEGMENT_DELTA_TIME_S,
+    airport_lat: float = C.SFO_LAT,
+    airport_lon: float = C.SFO_LONG,
+    airport_radius_km: float = C.SFO_MAX_DISTANCE_KM,
+) -> DataFrame:
+    """Window-function sessionization over (taxi, t, lat, lon, status, event_date).
+
+    Emits ALL reconstructed trips (one row per maximal gap-bounded run of M
+    positions) with distance/airport/revenue columns; callers filter. The
+    whole computation is one shuffle: both window expressions share the
+    (taxi | t, event_id) spec, so Catalyst collapses them into a single
+    Window operator over one sort.
+    """
+    w = Window.partitionBy("taxi").orderBy("t", "event_id")
+    lagged = pos.select(
+        "*",
+        F.lag("status").over(w).alias("prev_status"),
+        F.lag("t").over(w).alias("prev_t"),
+        F.lag("lat").over(w).alias("prev_lat"),
+        F.lag("lon").over(w).alias("prev_lon"),
+    )
+    is_m = F.col("status") == "M"
+    cont = (
+        (F.col("prev_status") == "M")
+        & ((F.col("t") - F.col("prev_t")) <= F.lit(gap_s))
+    )
+    lagged = lagged.select(
+        "*",
+        (is_m & ~F.coalesce(cont, F.lit(False))).cast("int").alias("is_start"),
+        F.when(
+            is_m & cont,
+            spherical_earth_distance("prev_lat", "prev_lon", "lat", "lon"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("seg_km"),
+        is_airport_position(
+            "lat", "lon", airport_lat, airport_lon, airport_radius_km
+        )
+        .cast("int")
+        .alias("at_airport"),
+    )
+    m = lagged.select(
+        "*", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id")
+    ).filter(is_m)
+    trips = m.groupBy("taxi", "session_id").agg(
+        F.min("t").alias("start_t"),
+        F.min_by("lat", "t").alias("start_lat"),
+        F.min_by("lon", "t").alias("start_lon"),
+        F.max("t").alias("stop_t"),
+        F.max_by("lat", "t").alias("stop_lat"),
+        F.max_by("lon", "t").alias("stop_lon"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("seg_km"), 6).alias("dist_km"),
+        (F.max("at_airport") == 1).alias("is_airport"),
+        F.min_by("event_date", "t").alias("trip_date"),
+    )
+    return trips.select(
+        "taxi",
+        "session_id",
+        "start_t",
+        "start_lat",
+        "start_lon",
+        "stop_t",
+        "stop_lat",
+        "stop_lon",
+        "n_points",
+        "dist_km",
+        "is_airport",
+        F.round(F.lit(C.START_FEE) + F.lit(C.KM_FEE) * F.col("dist_km"), 6).alias("revenue"),
+        F.date_format("trip_date", "yyyy-MM-dd").alias("trip_date"),
+    )
+
+
+def trips_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Demo radius (2 km) instead of the reference 1 km so airport trips are a
+    # meaningful fraction of the derived stream; the operator itself defaults
+    # to the reference constants.
+    return sessionize_window(
+        gps.positions(spark, sf_dir), airport_radius_km=gps.DEMO_AIRPORT_RADIUS_KM
+    )
+
+
+def airport_trips_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15+O17: emitted airport trips (dist >= 0.1 km, touched the radius)."""
+    trips = trips_window_query(spark, sf_dir)
+    return trips.filter(
+        (F.col("dist_km") >= F.lit(C.MIN_TRIP_DISTANCE_KM)) & F.col("is_airport")
+    )
+
+
+# --- DuckDB oracles -------------------------------------------------------
+
+_SEG_KM = gps.distance_sql("prev_lat", "prev_lon", "lat", "lon")
+_AIRPORT_KM = gps.distance_sql("lat", "lon", "37.62131", "-122.37896")
+
+TRIPS_WINDOW_ORACLE = f"""
+WITH pos AS ({gps.POSITIONS_SQL}),
+lagged AS (
+    SELECT *,
+        lag(status) OVER w AS prev_status,
+        lag(t)      OVER w AS prev_t,
+        lag(lat)    OVER w AS prev_lat,
+        lag(lon)    OVER w AS prev_lon
+    FROM pos
+    WINDOW w AS (PARTITION BY taxi ORDER BY t, event_id)
+),
+flagged AS (
+    SELECT *,
+        CASE WHEN status = 'M' AND NOT coalesce(
+                 prev_status = 'M' AND (t - prev_t) <= 210.0, FALSE)
+             THEN 1 ELSE 0 END AS is_start,
+        CASE WHEN status = 'M' AND prev_status = 'M' AND (t - prev_t) <= 210.0
+             THEN {_SEG_KM} ELSE 0.0 END AS seg_km,
+        CASE WHEN {_AIRPORT_KM} <= 2.0 THEN 1 ELSE 0 END AS at_airport
+    FROM lagged
+),
+m AS (
+    SELECT *,
+        sum(is_start) OVER (PARTITION BY taxi ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged WHERE status = 'M'
+)
+SELECT
+    taxi,
+    session_id,
+    min(t)              AS start_t,
+    min_by(lat, t)      AS start_lat,
+    min_by(lon, t)      AS start_lon,
+    max(t)              AS stop_t,
+    max_by(lat, t)      AS stop_lat,
+    max_by(lon, t)      AS stop_lon,
+    count(*)            AS n_points,
+    round(sum(seg_km), 6)                    AS dist_km,
+    max(at_airport) = 1                      AS is_airport,
+    round(3.5 + 1.71 * round(sum(seg_km), 6), 6) AS revenue,
+    strftime(min_by(event_date, t), '%Y-%m-%d') AS trip_date
+FROM m
+GROUP BY taxi, session_id
+"""
+
+AIRPORT_TRIPS_ORACLE = f"""
+WITH t AS ({TRIPS_WINDOW_ORACLE})
+SELECT * FROM t WHERE dist_km >= 0.1 AND is_airport
+"""
+
+
+# --- parity path: exact state-machine replay ------------------------------
+
+def _replay_taxi(
+    pdf: pd.DataFrame,
+    gap_s: float = C.MAX_SEGMENT_DELTA_TIME_S,
+    max_speed_kmh: float = C.MAX_SEGMENT_SPEED_KMH,
+    min_trip_km: float = C.MIN_TRIP_DISTANCE_KM,
+    airport_lat: float = C.SFO_LAT,
+    airport_lon: float = C.SFO_LONG,
+    airport_radius_km: float = C.SFO_MAX_DISTANCE_KM,
+) -> pd.DataFrame:
+    """Replay the reference reducer for one taxi (already a single group).
+
+    Faithful transcription of ``AirportTripsRevenue.java:275-407`` with
+    per-taxi state isolation; see module docstring for the documented
+    divergence. Emits only airport trips with dist >= MIN_TRIP_DISTANCE_KM.
+    """
+    pdf = pdf.sort_values(["t", "event_id"])
+    d2r = C.DEGREES_TO_RADIANS
+
+    def dist(lat1, lon1, lat2, lon2):
+        dlat = (lat1 - lat2) * d2r
+        dlon = (lon1 - lon2) * d2r
+        mean = (lat1 + lat2) * d2r / 2
+        return C.EARTH_RADIUS_KM * math.sqrt(dlat**2 + (math.cos(mean) * dlon) ** 2)
+
+    def near_airport(lat, lon):
+        return dist(lat, lon, airport_lat, airport_lon) <= airport_radius_km
+
+    out = []
+    prev_status, prev_lat, prev_lon, prev_t = "E", 0.0, 0.0, 0.0
+    trip = None  # dict: start_t, start_lat, start_lon, stop_t, stop_lat, stop_lon, airport, dist, date
+
+    def close_trip(stop_t, stop_lat, stop_lon):
+        if trip is not None and trip["dist"] >= min_trip_km and trip["airport"]:
+            out.append(
+                (
+                    taxi,
+                    trip["start_t"],
+                    trip["start_lat"],
+                    trip["start_lon"],
+                    stop_t,
+                    stop_lat,
+                    stop_lon,
+                    round(trip["dist"], 6),
+                    round(C.START_FEE + C.KM_FEE * round(trip["dist"], 6), 6),
+                    str(trip["date"])[:10],
+                )
+            )
+
+    taxi = int(pdf["taxi"].iloc[0])
+    cols = ["t", "lat", "lon", "status", "event_date"]
+    for t, lat, lon, status, event_date in pdf[cols].itertuples(index=False, name=None):
+        delta = t - prev_t
+        if prev_status == "E" and status == "M":
+            trip = {
+                "start_t": t,
+                "start_lat": lat,
+                "start_lon": lon,
+                "airport": near_airport(lat, lon),
+                "dist": 0.0,
+                "date": event_date,
+            }
+        elif prev_status == "M" and status == "M":
+            if delta <= gap_s:
+                seg = dist(prev_lat, prev_lon, lat, lon)
+                speed = seg / (delta / 3600.0) if delta > 0 else float("inf")
+                if speed > max_speed_kmh:
+                    # Order-dependent drop: the point is skipped and the
+                    # previous point stays "previous" (reference `return`
+                    # before the previous-position update, :331-334).
+                    continue
+                trip["airport"] = trip["airport"] or near_airport(lat, lon)
+                trip["dist"] += seg
+            else:
+                close_trip(prev_t, prev_lat, prev_lon)
+                trip = {
+                    "start_t": t,
+                    "start_lat": lat,
+                    "start_lon": lon,
+                    "airport": near_airport(lat, lon),
+                    "dist": 0.0,
+                    "date": event_date,
+                }
+        elif prev_status == "M" and status == "E":
+            close_trip(prev_t, prev_lat, prev_lon)
+            trip = None
+        prev_status, prev_lat, prev_lon, prev_t = status, lat, lon, t
+    # A trip still open at end of input is never emitted (reference behavior).
+    return pd.DataFrame(
+        out,
+        columns=[
+            "taxi",
+            "start_t",
+            "start_lat",
+            "start_lon",
+            "stop_t",
+            "stop_lat",
+            "stop_lon",
+            "dist_km",
+            "revenue",
+            "trip_date",
+        ],
+    )
+
+
+PARITY_SCHEMA = (
+    "taxi bigint, start_t double, start_lat double, start_lon double, "
+    "stop_t double, stop_lat double, stop_lon double, dist_km double, "
+    "revenue double, trip_date string"
+)
+
+
+def sessionize_parity(pos: DataFrame, **kwargs) -> DataFrame:
+    """Exact-reference-semantics sessionization via per-taxi applyInPandas.
+
+    Arrow-batched grouped-map: one Python invocation per taxi, parallel
+    across taxis; per-invocation work is bounded by one taxi's history
+    (the reference's partitioner made the identical locality choice,
+    ``AirportTripsRevenue.java:236-252``). ``kwargs`` override the reference
+    thresholds (gap_s, max_speed_kmh, min_trip_km, airport_*).
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _replay_taxi(pdf, **kwargs)
+
+    return pos.groupBy("taxi").applyInPandas(fn, schema=PARITY_SCHEMA)
+
+
+def airport_trips_parity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_parity(
+        gps.positions(spark, sf_dir), airport_radius_km=gps.DEMO_AIRPORT_RADIUS_KM
+    )

@@ -45,7 +45,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     schema = dict(zip(df.schema.names, df.schema.fields))
     if name == "events" and isinstance(schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # Integer division: nanos exceed 2^53, so a double round-trip would
+        # lose sub-microsecond bits that DuckDB keeps.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
