@@ -1,0 +1,62 @@
+"""Portable text expressions: tokens, shingles, and their SQL twins.
+
+Used by the text-analysis and dedup operators. Every construct here has a
+DuckDB-equivalent emitted by the matching ``*_sql`` helper so oracle queries
+evaluate the identical computation.
+
+The tokenizer is a plain single-space split (the `documents` corpus is
+space-separated lowercase words); shingles are k-token n-grams joined by a
+space, deduplicated. These compile to JVM array expressions
+(split/sequence/transform/slice) — no UDFs, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword sets for the language-ID heuristic + quality scoring. Small,
+# fixed, and embedded in both dialects.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split({expr}, ' ')"
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles as an array<string> (empty when < k tokens)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    # Sorted-set canonical form: DuckDB's list_distinct does not preserve
+    # first-occurrence order, so both dialects sort for a stable encoding.
+    return F.when(n >= F.lit(k), F.array_sort(F.array_distinct(sh))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_sort(list_distinct([array_to_string(({toks})[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len({toks}) - {k - 2})])) "
+        f"ELSE [] END"
+    )
+
+
+def occurrence_count(toks: Column, words: list[str]) -> Column:
+    """Number of tokens (with repeats) that appear in ``words``."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def occurrence_count_sql(toks_expr: str, words: list[str]) -> str:
+    lit_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks_expr}, t -> t IN ({lit_list})))"

@@ -1,0 +1,387 @@
+"""Deduplication operators for training-data pipelines (north-star extension).
+
+Four families over `documents`, each SQL-expressible for the DuckDB oracle:
+
+- ``exact_dedup``: hash-groupBy on text, keep the minimum doc_id. The
+  driver corpus has no exact dups, so a deterministic duplicated view
+  (every 10th doc re-inserted under doc_id+1_000_000) feeds the query.
+- ``minhash_lsh``: 3-token shingles -> 32 universal-hash minima -> 16 bands
+  x 2 rows -> banded bucket join for candidates -> exact-Jaccard verify.
+  The classic MinHash-LSH pipeline: candidate generation is equality joins
+  on band signatures (shuffle on the band key, never all-pairs).
+- ``simhash``: 32-bit simhash from shingle hashes; candidate pairs via
+  4 x 8-bit block join (pigeonhole: hamming <= 3 guarantees a shared
+  block), emitted with hamming <= 6.
+- ``ngram_jaccard``: exact Jaccard over the shingle inverted index —
+  pairs co-counted by shared shingle, with a document-frequency cap on
+  shingles to bound bucket fan-out at scale.
+
+Scale notes (100 TB): every family is shuffle-on-key (shingle, band
+signature, hash block) — none is O(n^2) in documents. Hot keys are bounded
+by the DF cap (ngram) or band width (LSH). All hashing is the portable
+md5-based 60-bit hash (functions/hashing.py); swap ``portable=False`` for
+xxhash64 when oracle parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hadoop_spark.functions import text as T
+from mapreduce_hadoop_spark.functions.hashing import (
+    MINHASH_PRIME as P,
+    md5_long,
+    md5_long_sql,
+    minhash_params,
+)
+from mapreduce_hadoop_spark.sources.tables import load_table
+
+NUM_PERMS = 32
+BANDS = 16
+ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = 4
+HAMMING_MAX = 6
+NGRAM_DF_CAP = 200  # shingles in more docs than this don't generate pairs
+
+_PERMS = minhash_params(NUM_PERMS)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+DOCS_WITH_DUPS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+        )
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dup_doc_id, keep_doc_id) for every doc whose text also appears under
+    a smaller doc_id. Hash-groupBy: one shuffle on the 60-bit text hash."""
+    docs = docs_with_dups(spark, sf_dir).select(
+        "doc_id", md5_long(F.col("text")).alias("h")
+    )
+    keep = docs.groupBy("h").agg(F.min("doc_id").alias("keep_doc_id"))
+    return (
+        docs.join(keep, "h")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select(F.col("doc_id").alias("dup_doc_id"), "keep_doc_id")
+    )
+
+
+EXACT_DEDUP_ORACLE = f"""
+WITH d AS ({DOCS_WITH_DUPS_SQL}),
+h AS (SELECT doc_id, {md5_long_sql("text")} AS h FROM d),
+keep AS (SELECT h, min(doc_id) AS keep_doc_id FROM h GROUP BY h)
+SELECT doc_id AS dup_doc_id, keep_doc_id
+FROM h JOIN keep USING (h)
+WHERE doc_id <> keep_doc_id
+"""
+
+
+# --- shared shingle views --------------------------------------------------
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<string>) — sorted distinct 3-token shingles."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.shingles("text").alias("sh")
+    )
+
+
+_SH = T.shingles_sql("text")
+DOC_SHINGLES_SQL = f"SELECT doc_id, {_SH} AS sh FROM documents"
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) — min of (a*h + b) mod p over shingle hashes."""
+    exploded = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    h = (md5_long(F.col("shingle")) % F.lit(P)).alias("h")
+    exploded = exploded.select("doc_id", h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERMS)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sigs_sql() -> str:
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    return f"""
+sh AS ({DOC_SHINGLES_SQL}),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+hs AS (SELECT doc_id, ({md5_long_sql("shingle")}) % {P} AS h FROM ex),
+sigs AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id)
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: LSH banding for candidates, exact Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= 0.5, doc_a < doc_b.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{b * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _doc_shingles(spark, sf_dir)
+    cand = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return (
+        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+    )
+
+
+def _minhash_lsh_oracle() -> str:
+    band_rows = ", ".join(
+        "({b}, mh{i0} || '_' || mh{i1})".format(
+            b=b, i0=b * ROWS_PER_BAND, i1=b * ROWS_PER_BAND + 1
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH {_minhash_sigs_sql()},
+bands AS (
+    SELECT doc_id, bk.* FROM sigs,
+    LATERAL (VALUES {band_rows}) AS bk(band, sig)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sh2 AS ({DOC_SHINGLES_SQL})
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand
+JOIN sh2 sa ON sa.doc_id = doc_a
+JOIN sh2 sb ON sb.doc_id = doc_b
+WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+MINHASH_LSH_ORACLE = _minhash_lsh_oracle()
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 32-bit simhash over shingle hashes."""
+    exploded = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", md5_long(F.col("shingle")).alias("h"))
+    )
+    sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_bit = exploded.groupBy("doc_id").agg(*sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return per_bit.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _simhash_sigs_sql() -> str:
+    sums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+sh AS ({DOC_SHINGLES_SQL}),
+ex AS (SELECT doc_id, {md5_long_sql("s")} AS h FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+per_bit AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM per_bit)
+"""
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= 6, found via
+    4 x 8-bit block join (complete for hamming <= 3 by pigeonhole)."""
+    sigs = simhash_signatures(spark, sf_dir)
+    block_size = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * block_size)
+                        .bitwiseAND(F.lit((1 << block_size) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.blk", "bk.val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= F.lit(HAMMING_MAX))
+    )
+
+
+def _simhash_oracle() -> str:
+    block_size = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << block_size) - 1
+    block_rows = ", ".join(
+        f"({i}, (simhash >> {i * block_size}) & {mask})" for i in range(SIMHASH_BLOCKS)
+    )
+    return f"""
+WITH {_simhash_sigs_sql()},
+blocks AS (
+    SELECT doc_id, simhash, bk.* FROM sigs,
+    LATERAL (VALUES {block_rows}) AS bk(blk, val)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+SIMHASH_ORACLE = _simhash_oracle()
+
+
+# --- exact n-gram Jaccard via inverted index -------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 pairs via the shingle inverted index.
+
+    Pairs are generated only through shared shingles (shuffle on shingle),
+    with a document-frequency cap to bound hot-shingle fan-out: at scale the
+    cap turns a quadratic blowup on boilerplate shingles into a bounded
+    join, at the cost of missing pairs whose entire overlap is boilerplate.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    df_ok = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= F.lit(NGRAM_DF_CAP))
+        .select("shingle")
+    )
+    ex = ex.join(df_ok, "shingle")
+    a, b = ex.alias("a"), ex.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.round(
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        6,
+    )
+    return co.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS ({DOC_SHINGLES_SQL}),
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+df_ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}),
+exf AS (SELECT ex.* FROM ex JOIN df_ok USING (shingle)),
+co AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+           count(*) AS common
+    FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (na + nb - common), 6) AS jaccard
+FROM co
+WHERE round(common::DOUBLE / (na + nb - common), 6) >= {JACCARD_THRESHOLD}
+"""

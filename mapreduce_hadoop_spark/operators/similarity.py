@@ -1,0 +1,173 @@
+"""Similarity search over the `embeddings` table (north-star extension).
+
+- ``topk_bruteforce``: exact top-k cosine neighbors for a small query set.
+  The query set is broadcast; the corpus is scanned once (k_q x n candidate
+  rows, never n^2). This is the exact baseline any ANN variant is judged
+  against.
+- ``near_dup_cosine``: exact all-pairs cosine >= threshold. O(n^2) by
+  definition — the correctness baseline, only for modest n.
+- ``topk_lsh``: sign-hyperplane bucketed ANN — vectors are bucketed by the
+  sign pattern of their first 8 dimensions (a fixed random-hyperplane LSH
+  with axis-aligned planes); queries only compare within their bucket.
+  256 buckets → ~n/256 candidates per query at the cost of recall. The
+  100 TB shape: bucket is the shuffle/join key, candidates per bucket are
+  bounded, and a multi-probe extension (flipping low-|value| bits) raises
+  recall without changing the plan.
+
+All arithmetic is a strict left-to-right fold (F.aggregate / list_reduce)
+over double-cast elements, so Spark and DuckDB produce bit-identical
+cosines; results are rounded to 6 decimals at the output edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_hadoop_spark.sources.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the demo query vectors
+TOP_K = 5
+NEAR_DUP_COS = 0.4
+LSH_BITS = 8
+
+
+def _dvec(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    v = _dvec("embedding")
+    return df.select(
+        "vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("norm")
+    )
+
+
+DOT_SQL = "list_reduce([{a}[i] * {b}[i] for i in range(1, 65)], (x, y) -> x + y)"
+NORM_SQL = (
+    "sqrt(list_reduce([{v}[i] * {v}[i] for i in range(1, 65)], (x, y) -> x + y))"
+)
+
+EMB_NORM_SQL = f"""
+SELECT vec_id, v, {NORM_SQL.format(v="v")} AS norm
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
+def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < N_QUERIES)."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+TOPK_BRUTEFORCE_ORACLE = f"""
+WITH e AS ({EMB_NORM_SQL}),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           round({DOT_SQL.format(a="q.qv", b="e.v")} / (q.qn * e.norm), 6) AS cosine
+    FROM e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-duplicates: cosine >= 0.4, vec_a < vec_b."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= F.lit(NEAR_DUP_COS)
+    )
+
+
+NEAR_DUP_ORACLE = f"""
+WITH e AS ({EMB_NORM_SQL})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({DOT_SQL.format(a="a.v", b="b.v")} / (a.norm * b.norm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({DOT_SQL.format(a="a.v", b="b.v")} / (a.norm * b.norm), 6) >= {NEAR_DUP_COS}
+"""
+
+
+def _bucket(v: Column) -> Column:
+    bucket = F.lit(0)
+    for i in range(LSH_BITS):
+        bucket = bucket + F.when(
+            F.element_at(v, i + 1) > F.lit(0.0), F.lit(2**i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0.0 THEN {2**i} ELSE 0 END)" for i in range(LSH_BITS)
+)
+
+
+def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via sign-hyperplane buckets: candidates share the query's
+    bucket (the first-8-dims sign pattern)."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "*", _bucket(F.col("v")).alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+TOPK_LSH_ORACLE = f"""
+WITH e0 AS ({EMB_NORM_SQL}),
+e AS (SELECT *, {_BUCKET_SQL} AS bucket FROM e0),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn, bucket AS qbucket
+      FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           round({DOT_SQL.format(a="q.qv", b="e.v")} / (q.qn * e.norm), 6) AS cosine
+    FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""

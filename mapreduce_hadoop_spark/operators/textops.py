@@ -1,0 +1,174 @@
+"""Text analysis for training-data pipelines (north-star extension).
+
+Four operator families over `documents`, all pure built-in expressions
+(split/transform/filter/md5 — no UDFs, fully codegen'd), each with a DuckDB
+oracle twin:
+
+- language ID: stopword-count heuristic with a deterministic argmax
+- quality scoring: length/diversity/stopword signals -> [0,1] score
+- token counting: whitespace tokens + a chars/4 BPE-style estimate
+- fingerprinting: full-text 60-bit hash + min-shingle-hash (winnowing-style)
+
+At 100 TB these are embarrassingly parallel single-pass scans: no shuffle at
+all (narrow select), so they run at storage bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hadoop_spark.functions import text as T
+from mapreduce_hadoop_spark.functions.hashing import md5_long, md5_long_sql
+from mapreduce_hadoop_spark.sources.tables import load_table
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "mit", "von", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "dans"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "por", "con", "para"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+
+def _lang_counts(toks: Column) -> dict[str, Column]:
+    return {lang: T.occurrence_count(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language ID: argmax over per-language hit counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    counts = _lang_counts(toks)
+    pred = F.lit("unknown")
+    # Build the CASE chain highest-priority-first; a language wins when its
+    # count is > 0 and >= every later-priority language's count.
+    expr = None
+    for i, lang in enumerate(LANG_ORDER):
+        cond = counts[lang] > 0
+        for other in LANG_ORDER[i + 1 :]:
+            cond = cond & (counts[lang] >= counts[other])
+        for other in LANG_ORDER[:i]:
+            cond = cond & (counts[lang] > counts[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("unknown"))
+    return docs.select(
+        "doc_id",
+        *[counts[lang].alias(f"hits_{lang}") for lang in LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+
+
+def _lang_counts_sql() -> dict[str, str]:
+    toks = T.tokens_sql("text")
+    return {
+        lang: T.occurrence_count_sql(toks, words) for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def _language_id_oracle() -> str:
+    c = _lang_counts_sql()
+    whens = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = [f"{c[lang]} > 0"]
+        conds += [f"{c[lang]} >= {c[other]}" for other in LANG_ORDER[i + 1 :]]
+        conds += [f"{c[lang]} > {c[other]}" for other in LANG_ORDER[:i]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+    hit_cols = ", ".join(f"{c[lang]} AS hits_{lang}" for lang in LANG_ORDER)
+    return f"SELECT doc_id, {hit_cols}, {case} AS pred_lang FROM documents"
+
+
+LANGUAGE_ID_ORACLE = _language_id_oracle()
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality signal: length, lexical diversity, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tok = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    sw = T.occurrence_count(toks, T.STOPWORDS_EN).cast("double")
+    length_sig = F.least(F.lit(1.0), n_tok / F.lit(50.0))
+    diversity = n_distinct / n_tok
+    sw_sig = F.least(F.lit(1.0), sw / n_tok * F.lit(5.0))
+    score = F.round(
+        length_sig * F.lit(0.4) + diversity * F.lit(0.4) + sw_sig * F.lit(0.2), 6
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(diversity, 6).alias("distinct_ratio"),
+        F.round(sw / n_tok, 6).alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+_TOKS = T.tokens_sql("text")
+QUALITY_ORACLE = f"""
+SELECT
+    doc_id,
+    len({_TOKS}) AS n_tokens,
+    length(text) AS n_chars_measured,
+    round(len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}), 6) AS distinct_ratio,
+    round({T.occurrence_count_sql(_TOKS, T.STOPWORDS_EN)}::DOUBLE / len({_TOKS}), 6) AS stopword_ratio,
+    round(
+        least(1.0::DOUBLE, len({_TOKS}) / 50.0) * 0.4
+        + (len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS})) * 0.4
+        + least(1.0::DOUBLE, {T.occurrence_count_sql(_TOKS, T.STOPWORDS_EN)}::DOUBLE / len({_TOKS}) * 5.0) * 0.2,
+    6) AS quality
+FROM documents
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + chars/4 BPE-style estimate per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("bigint").alias("bpe_est_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+TOKEN_COUNTS_ORACLE = f"""
+SELECT
+    doc_id,
+    len({_TOKS}) AS ws_tokens,
+    CAST(ceil(length(text) / 4.0::DOUBLE) AS BIGINT) AS bpe_est_tokens,
+    length(text) AS n_chars_measured
+FROM documents
+"""
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-text hash + min-shingle hash (winnowing).
+
+    The min-shingle fingerprint is stable under small appends/truncations —
+    the winnowing idea with window = whole document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.shingles("text")
+    sh_hashes = F.transform(sh, lambda s: md5_long(s))
+    return docs.select(
+        "doc_id",
+        md5_long(F.col("text")).alias("text_fp"),
+        F.when(F.size(sh) > 0, F.array_min(sh_hashes))
+        .otherwise(F.lit(None))
+        .alias("min_shingle_fp"),
+    )
+
+
+_SH = T.shingles_sql("text")
+FINGERPRINTS_ORACLE = f"""
+SELECT
+    doc_id,
+    {md5_long_sql("text")} AS text_fp,
+    CASE WHEN len({_SH}) > 0
+         THEN list_min([{md5_long_sql("s")} for s in {_SH}])
+         ELSE NULL END AS min_shingle_fp
+FROM documents
+"""

@@ -19,10 +19,14 @@ QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
 def _specs() -> dict[str, QuerySpec]:
     from mapreduce_hadoop_spark.operators import (
+        analytics,
+        dedup,
         histogram,
         revenue,
         segments,
         sessionize,
+        similarity,
+        textops,
     )
 
     specs: dict[str, QuerySpec] = {
@@ -49,6 +53,45 @@ def _specs() -> dict[str, QuerySpec]:
         "daily_revenue": (revenue.daily_revenue_query, revenue.DAILY_ORACLE),
         # O23: grand total (driver-side sum replaced by in-plan agg).
         "total_revenue": (revenue.total_revenue_query, revenue.TOTAL_ORACLE),
+        # Relational breadth beyond the reference (joins / window top-N /
+        # grouped rollups) — SURVEY.md §2.4 "available for extensions".
+        "pricing_summary": (analytics.pricing_summary, analytics.PRICING_SUMMARY_ORACLE),
+        "revenue_by_nation": (
+            analytics.revenue_by_nation,
+            analytics.REVENUE_BY_NATION_ORACLE,
+        ),
+        "top_orders_per_customer": (
+            analytics.top_orders_per_customer,
+            analytics.TOP_ORDERS_ORACLE,
+        ),
+        "events_daily_by_type": (
+            analytics.events_daily_by_type,
+            analytics.EVENTS_DAILY_ORACLE,
+        ),
+        "market_segment_balance": (
+            analytics.market_segment_balance,
+            analytics.MARKET_SEGMENT_ORACLE,
+        ),
+        # Text analysis (north-star extension).
+        "text_language_id": (textops.language_id, textops.LANGUAGE_ID_ORACLE),
+        "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
+        "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
+        "text_fingerprints": (textops.fingerprints, textops.FINGERPRINTS_ORACLE),
+        # Deduplication (north-star extension).
+        "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
+        "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
+        "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
+        "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE),
+        # Similarity search (north-star extension).
+        "similarity_topk_bruteforce": (
+            similarity.topk_bruteforce,
+            similarity.TOPK_BRUTEFORCE_ORACLE,
+        ),
+        "similarity_near_dup_cosine": (
+            similarity.near_dup_cosine,
+            similarity.NEAR_DUP_ORACLE,
+        ),
+        "similarity_topk_lsh": (similarity.topk_lsh, similarity.TOPK_LSH_ORACLE),
     }
     return specs
 
