@@ -1,0 +1,178 @@
+"""Multimodal (binary) column operators (north-star extension).
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque `binary`
+column with typed metadata beside it; decode / feature-extraction runs as
+Arrow-batched Python (``mapInPandas``), everything else (filtering, joins,
+grouping, metadata math) stays JVM-side.
+
+The driver testdata has no real media, so ``media_table`` synthesizes a
+binary column from `documents.text` (utf-8 bytes) with a deterministic mime
+split. The decode step is STUBBED: ``decode_media`` computes deterministic
+fake dimensions from the byte stream (real decoders — PIL/ffmpeg — are not
+in this container; ``real_decode=True`` raises NotImplementedError at the
+exact point a deployment would call them). The Spark-side plumbing —
+schema, binary handling, Arrow batching, multi-row-per-input frame
+sampling — is real and oracle-/unit-tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hadoop_spark.sources.tables import load_table
+
+MIME_KINDS = ["image/png", "audio/wav", "video/mp4"]
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mime, payload binary) — synthetic media derived from text."""
+    docs = load_table(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    return docs.select(
+        "doc_id", mime.alias("mime"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side metadata over the binary column: length, digest, b64 prefix."""
+    media = media_table(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        "mime",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256"),
+        F.substring(F.base64("payload"), 1, 16).alias("b64_prefix"),
+    )
+
+
+MEDIA_METADATA_ORACLE = """
+SELECT
+    doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         ELSE 'video/mp4' END AS mime,
+    octet_length(encode(text)) AS n_bytes,
+    sha256(text) AS sha256,
+    substr(to_base64(encode(text)), 1, 16) AS b64_prefix
+FROM documents
+"""
+
+
+def _fake_dimensions(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a real decoder: dimensions from byte stats."""
+    n = len(payload)
+    width = (n % 64) + 16
+    height = ((n // 64) % 64) + 16
+    return width, height
+
+
+def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Arrow-batched 'decode' over (doc_id, mime, payload).
+
+    The real decoder hook is the marked stub; the fake path keeps the full
+    Spark plumbing live (binary in Arrow batches, multi-column typed output).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_decode:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg, absent in this "
+                    "container; wire the decoder here"
+                )
+            dims = [_fake_dimensions(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_pixels": [d[0] * d[1] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(
+        batches, schema="doc_id bigint, mime string, width int, height int, n_pixels bigint"
+    )
+
+
+def media_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(media_table(spark, sf_dir))
+
+
+# The fake decoder is pure byte-length arithmetic, so the oracle can verify
+# the whole mapInPandas path end-to-end.
+MEDIA_DECODE_ORACLE = """
+SELECT
+    doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         ELSE 'video/mp4' END AS mime,
+    (octet_length(encode(text)) % 64) + 16 AS width,
+    ((octet_length(encode(text)) // 64) % 64) + 16 AS height,
+    CAST(((octet_length(encode(text)) % 64) + 16)
+         * (((octet_length(encode(text)) // 64) % 64) + 16) AS BIGINT) AS n_pixels
+FROM documents
+"""
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling: N output rows per input payload.
+
+    Demonstrates the 1->N mapInPandas shape (frame extraction, audio
+    windowing, chunking). Frame 'content' is a deterministic byte slice
+    digest; a real pipeline would emit decoded frame tensors.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for f in range(n_frames):
+                    start = (n * f) // n_frames
+                    stop = (n * (f + 1)) // n_frames
+                    chunk = bytes(payload[start:stop])
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            stop - start,
+                            hashlib.sha256(chunk).hexdigest()[:16],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame", "n_bytes", "digest16"]
+            )
+
+    return media.mapInPandas(
+        batches, schema="doc_id bigint, frame int, n_bytes int, digest16 string"
+    )
+
+
+def frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(spark, sf_dir))
+
+
+FRAME_SAMPLE_ORACLE = """
+WITH m AS (SELECT doc_id, text AS txt FROM documents),
+f AS (SELECT m.doc_id, m.txt, fr.frame
+      FROM m, LATERAL (VALUES (0), (1), (2), (3)) AS fr(frame))
+SELECT
+    doc_id,
+    frame,
+    ((octet_length(encode(txt)) * (frame + 1)) // 4
+     - (octet_length(encode(txt)) * frame) // 4) AS n_bytes,
+    substr(sha256(txt[(octet_length(encode(txt)) * frame) // 4 + 1 :
+                     (octet_length(encode(txt)) * (frame + 1)) // 4]), 1, 16) AS digest16
+FROM f
+"""

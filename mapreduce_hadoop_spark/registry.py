@@ -22,12 +22,14 @@ def _specs() -> dict[str, QuerySpec]:
         analytics,
         dedup,
         histogram,
+        multimodal,
         revenue,
         segments,
         sessionize,
         similarity,
         textops,
     )
+    from mapreduce_hadoop_spark.streaming import sessions
 
     specs: dict[str, QuerySpec] = {
         # O1-O8: Exercise-1 trip-length histogram (flagship).
@@ -92,6 +94,19 @@ def _specs() -> dict[str, QuerySpec]:
             similarity.NEAR_DUP_ORACLE,
         ),
         "similarity_topk_lsh": (similarity.topk_lsh, similarity.TOPK_LSH_ORACLE),
+        # Multimodal binary-column plumbing (north-star extension).
+        "multimodal_metadata": (multimodal.media_metadata, multimodal.MEDIA_METADATA_ORACLE),
+        "multimodal_decode_stub": (
+            multimodal.media_decode_query,
+            multimodal.MEDIA_DECODE_ORACLE,
+        ),
+        "multimodal_frame_sample": (
+            multimodal.frame_sample_query,
+            multimodal.FRAME_SAMPLE_ORACLE,
+        ),
+        # Generic gap sessionization via Spark's native session_window
+        # (batch surface; streaming twin in streaming/sessions.py).
+        "events_session_window": (sessions.session_agg, sessions.SESSION_AGG_ORACLE),
     }
     return specs
 

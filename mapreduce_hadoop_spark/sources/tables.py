@@ -25,28 +25,40 @@ TABLE_NAMES = [
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Must hold on externally created sessions too (the driver passes its own
-    # SparkSession to entry()): events.ts is TIMESTAMP(NANOS) parquet, which
-    # Spark only reads via this runtime-settable legacy conf, and the engine's
-    # timestamp arithmetic assumes a UTC session.
+def ensure_confs(spark: SparkSession) -> None:
+    """Runtime confs the engine needs even on externally created sessions
+    (the driver passes its own SparkSession to entry()): events.ts is
+    TIMESTAMP(NANOS) parquet, which Spark only reads via this runtime-settable
+    legacy conf, and the engine's timestamp arithmetic assumes a UTC session."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS): with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanoseconds.
-    # Truncate to microseconds (exactly what DuckDB does on read) and restore
-    # TimestampType so downstream code sees one timestamp representation.
+    if name == "events":
+        df = normalize_events(df)
+    return df
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Restore TimestampType on events.ts read as nanos-long.
+
+    events.ts is parquet TIMESTAMP(NANOS): with
+    spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanoseconds.
+    Truncate to microseconds (exactly what DuckDB does on read) using integer
+    division — nanos exceed 2^53, so a double round-trip would lose
+    sub-microsecond bits.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
     schema = dict(zip(df.schema.names, df.schema.fields))
-    if name == "events" and isinstance(schema["ts"].dataType, LongType):
-        # Integer division: nanos exceed 2^53, so a double round-trip would
-        # lose sub-microsecond bits that DuckDB keeps.
+    if isinstance(schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -1,0 +1,105 @@
+"""Gap-based session aggregation — batch + Structured Streaming.
+
+The reference's sessionization gap rule (210 s between busy fixes,
+``src/AirportTripsRevenue.java:36-38,337-372``) generalizes to Spark's
+native ``session_window``: per-key sessions that merge while consecutive
+events are closer than the gap. Two surfaces:
+
+- ``session_agg``: batch groupBy(user, session_window(ts, gap)) — the
+  engine's generic event-sessionization operator (SURVEY.md §2.4's
+  "session window" row). Oracle-checked against a lag/cumsum SQL
+  emulation in DuckDB.
+- ``session_agg_stream``: the identical aggregation as a streaming query
+  with a watermark — late events merge into their session until the
+  watermark passes; ``withWatermark`` + append mode emits a session once
+  it can no longer change. Cross-checked against the batch result in
+  tests (same data via a file stream, availableNow trigger).
+
+Semantics note: Spark merges sessions while ``next.start < prev.end``
+(strict), i.e. a new session starts when the delta >= gap — unlike the
+reference's trip rule (closes only when delta > 210). The oracle emulation
+uses the session_window semantics here; the reference semantics live in
+operators/sessionize.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hadoop_spark.sources.tables import load_table
+
+GAP_S = 3600  # 1 h: the events stream's natural inter-event scale
+
+
+def session_agg_from(ev: DataFrame, gap_s: int = GAP_S) -> DataFrame:
+    grouped = ev.groupBy(
+        "user_id", F.session_window("ts", f"{gap_s} seconds").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+    return grouped.select(
+        "user_id",
+        F.col("w.start").cast("double").alias("session_start"),
+        F.col("w.end").cast("double").alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+
+
+def session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg_from(load_table(spark, sf_dir, "events"))
+
+
+SESSION_AGG_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, epoch(ts) AS t, "value"
+    FROM events
+),
+lagged AS (
+    SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev_t FROM e
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t >= {GAP_S} THEN 1 ELSE 0 END AS is_start
+    FROM lagged
+),
+sid AS (
+    SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT
+    user_id,
+    min(t)                 AS session_start,
+    max(t) + {GAP_S}.0     AS session_end,
+    count(*)               AS n_events,
+    round(sum("value"), 4) AS value_sum
+FROM sid
+GROUP BY user_id, session_id
+"""
+
+
+def session_agg_stream(
+    spark: SparkSession, sf_dir: str, gap_s: int = GAP_S, watermark: str = "2 hours"
+) -> DataFrame:
+    """The same session aggregation as a Structured Streaming DataFrame.
+
+    Callers attach a sink:
+    ``session_agg_stream(spark, d).writeStream.trigger(availableNow=True)...``
+    """
+    from mapreduce_hadoop_spark.sources.tables import ensure_confs, normalize_events
+
+    ensure_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    # Raw on-disk schema (ts as nanos-long under the nanosAsLong conf, which
+    # load_table sets); the stream converts to TimestampType in-flight.
+    raw_schema = spark.read.parquet(path).schema
+    # The file stream source requires a directory; select the single table
+    # file with a glob filter.
+    ev = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return session_agg_from(ev.withWatermark("ts", watermark), gap_s)
