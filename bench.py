@@ -17,7 +17,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline queries (a subset of the registry worth timing; each is forced with
 # a cheap count() action so results never funnel through the driver).
 HEADLINE = [
+    # Reference-parity pipeline (Exercise 1 + 2).
     "trip_length_histogram",
+    "segments_clean_positions",
+    "trips_sessionize_window",
+    "airport_trips_parity",
+    "daily_revenue",
+    # Relational breadth.
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    # Training-data extensions.
+    "text_quality_score",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "events_session_window",
 ]
 
 

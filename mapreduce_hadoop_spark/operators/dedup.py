@@ -108,29 +108,47 @@ DOC_SHINGLES_SQL = f"SELECT doc_id, {_SH} AS sh FROM documents"
 # --- MinHash + LSH ---------------------------------------------------------
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh{n-1}) — min of (a*h + b) mod p over shingle hashes."""
-    exploded = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("shingle")
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs: array<long>) — md5-based 31-bit hash per shingle, in-row.
+
+    Keeping the hashes as an array makes every signature map-only: no
+    explode, no shuffle — the signature stage runs at scan bandwidth.
+    """
+    return _doc_shingles(spark, sf_dir).select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda s: md5_long(s) % F.lit(P)).alias("hs"),
     )
-    h = (md5_long(F.col("shingle")) % F.lit(P)).alias("h")
-    exploded = exploded.select("doc_id", h)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh{i}")
+
+
+SHINGLE_HASHES_SQL = (
+    f"SELECT doc_id, [({md5_long_sql('s')}) % {P} for s in sh] AS hs "
+    f"FROM ({DOC_SHINGLES_SQL})"
+)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) — min of (a*h + b) mod p over shingle hashes.
+
+    Map-only: each minhash is an array_min over the in-row hash array.
+    """
+    hs = _shingle_hashes(spark, sf_dir)
+    cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P))
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(_PERMS)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return hs.filter(F.size("hs") > 0).select("doc_id", *cols)
 
 
 def _minhash_sigs_sql() -> str:
     mins = ", ".join(
-        f"min(({a} * h + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
+        f"list_min([({a} * h + {b}) % {P} for h in hs]) AS mh{i}"
+        for i, (a, b) in enumerate(_PERMS)
     )
     return f"""
-sh AS ({DOC_SHINGLES_SQL}),
-ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-hs AS (SELECT doc_id, ({md5_long_sql("shingle")}) % {P} AS h FROM ex),
-sigs AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id)
+hsv AS ({SHINGLE_HASHES_SQL}),
+sigs AS (SELECT doc_id, {mins} FROM hsv WHERE len(hs) > 0)
 """
 
 
@@ -138,8 +156,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: LSH banding for candidates, exact Jaccard verify.
 
     Returns (doc_a, doc_b, jaccard) with jaccard >= 0.5, doc_a < doc_b.
+
+    The signature and shingle relations each feed two join branches; they
+    are persisted so the md5/shingle work runs once, not once per branch
+    (at cluster scale: MEMORY_AND_DISK, sized ~ O(docs x perms) longs).
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    sigs = minhash_signatures(spark, sf_dir).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -172,7 +194,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).persist()
     cand = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -224,37 +246,32 @@ MINHASH_LSH_ORACLE = _minhash_lsh_oracle()
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 32-bit simhash over shingle hashes."""
-    exploded = (
-        _doc_shingles(spark, sf_dir)
-        .select("doc_id", F.explode("sh").alias("shingle"))
-        .select("doc_id", md5_long(F.col("shingle")).alias("h"))
-    )
-    sums = [
-        F.sum(
-            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1))
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    per_bit = exploded.groupBy("doc_id").agg(*sums)
+    hs = _shingle_hashes(spark, sf_dir).filter(F.size("hs") > 0)
+    # Per bit j: count of set bits vs array length decides the sign; the
+    # whole signature is a map-only projection over the in-row hash array.
+    n = F.size("hs")
     sim = None
     for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        ones = F.size(
+            F.filter(
+                F.col("hs"),
+                lambda x: F.shiftright(x, j).bitwiseAND(F.lit(1)) == F.lit(1),
+            )
+        )
+        bit = F.when(ones * 2 > n, F.lit(2**j)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return per_bit.select("doc_id", sim.cast("long").alias("simhash"))
+    return hs.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def _simhash_sigs_sql() -> str:
-    sums = ", ".join(
-        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
-    )
     bits = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {j}) & 1) = 1)) > len(hs) "
+        f"THEN {2**j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
     )
     return f"""
-sh AS ({DOC_SHINGLES_SQL}),
-ex AS (SELECT doc_id, {md5_long_sql("s")} AS h FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
-per_bit AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id),
-sigs AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM per_bit)
+hsv AS ({SHINGLE_HASHES_SQL}),
+sigs AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hsv WHERE len(hs) > 0)
 """
 
 

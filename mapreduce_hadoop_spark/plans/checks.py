@@ -1,0 +1,43 @@
+"""Physical-plan assertions — the 100 TB design contract, executable.
+
+The scale properties SURVEY.md §7 promises (single-shuffle sessionization,
+broadcast dims, pushdown/pruning at the scan) are easy to regress silently:
+one refactor and Catalyst plans an extra exchange or flips a broadcast join
+to sort-merge. These helpers read the *executed* plan (post-AQE) so tests
+can pin the properties.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """String form of the executed (post-AQE-planning) physical plan."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_counts(df: DataFrame) -> dict[str, int]:
+    plan = executed_plan(df)
+    return {
+        "exchange": len(re.findall(r"\bExchange\b|\bShuffleExchange", plan))
+        - plan.count("BroadcastExchange"),
+        "broadcast_exchange": plan.count("BroadcastExchange"),
+        "broadcast_hash_join": plan.count("BroadcastHashJoin"),
+        "sort_merge_join": plan.count("SortMergeJoin"),
+        "sort": plan.count("+- Sort") + plan.count(":- Sort"),
+        "window": plan.count("Window"),
+        "hash_aggregate": plan.count("HashAggregate"),
+    }
+
+
+def pushed_filters(df: DataFrame) -> str:
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", executed_plan(df))
+    return m.group(1) if m else ""
+
+
+def read_schema(df: DataFrame) -> str:
+    m = re.search(r"ReadSchema: struct<([^>]*)", executed_plan(df))
+    return m.group(1) if m else ""

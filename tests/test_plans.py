@@ -1,0 +1,48 @@
+"""Physical-plan regression tests: the scale contract, pinned.
+
+These assert the plan *shapes* that make the engine viable at 100 TB —
+they fail if a refactor introduces an extra shuffle, loses a broadcast,
+or breaks scan pruning/pushdown.
+"""
+
+from __future__ import annotations
+
+from mapreduce_hadoop_spark.operators import analytics, histogram, sessionize
+from mapreduce_hadoop_spark.plans.checks import (
+    plan_counts,
+    pushed_filters,
+    read_schema,
+)
+
+
+def test_sessionize_is_single_shuffle(spark, sf_dir):
+    # The entire window sessionization (lag, session ids, per-session agg)
+    # must run on ONE data shuffle: the hash partition by taxi. The final
+    # groupBy(taxi, session_id) is satisfied by the same partitioning.
+    df = sessionize.trips_window_query(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["exchange"] == 1, c
+    assert c["sort"] == 1, c  # both Window ops share one sort
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    df = analytics.revenue_by_nation(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["sort_merge_join"] == 0, c
+    assert c["broadcast_hash_join"] >= 3, c
+
+
+def test_histogram_scans_single_column(spark, sf_dir):
+    # The histogram derives everything from `value`; the parquet scan must
+    # prune to exactly that column.
+    df = histogram.histogram_query(spark, sf_dir)
+    assert read_schema(df).startswith("value:double")
+    c = plan_counts(df)
+    assert c["hash_aggregate"] == 2, c  # partial + final (combiner automatic)
+
+
+def test_pricing_filter_pushed_to_scan(spark, sf_dir):
+    df = analytics.pricing_summary(spark, sf_dir)
+    assert "LessThan(l_shipdate" in pushed_filters(df)
+    # Unused columns (l_orderkey, l_partkey, ...) must not be read.
+    assert "l_orderkey" not in read_schema(df)
