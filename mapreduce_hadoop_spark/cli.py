@@ -1,0 +1,85 @@
+"""Command-line entry points mirroring the reference's job contract.
+
+The reference is driven as (``/root/reference/command:14-40``):
+
+    spark-submit Exercise1.jar <trips-in> <out>            # histogram
+    hadoop jar Exercise2.jar <segments-in> <out> [reducers] [mapperMB] [reducerMB]
+
+Equivalent here:
+
+    spark-submit -m mapreduce_hadoop_spark.cli histogram <trips-in> <out>
+    spark-submit -m mapreduce_hadoop_spark.cli airport-revenue <segments-in> <out>
+
+``histogram`` reads trip lines and writes `bin \\t count` (sorted, like the
+MR shuffle did). ``airport-revenue`` reads raw segment CSV, reconstructs
+airport trips (exact reference semantics — the parity state machine), writes
+the trip lines under <out>/trips, the daily TSV under <out>/daily, and
+prints the grand total like ``AirportTripsRevenue.java:640``. The manual
+tuning knobs (reducer count, container memory — ``:505-560``) have no
+equivalent because AQE owns those decisions.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from mapreduce_hadoop_spark.operators.histogram import trip_length_histogram
+from mapreduce_hadoop_spark.operators.revenue import daily_revenue, total_revenue
+from mapreduce_hadoop_spark.operators.segments import clean_positions
+from mapreduce_hadoop_spark.operators.sessionize import sessionize_parity
+from mapreduce_hadoop_spark.session import get_spark
+from mapreduce_hadoop_spark.sources.segments_csv import read_segments
+from mapreduce_hadoop_spark.sources.trips_text import (
+    read_trips,
+    write_trip_lines,
+    write_tsv,
+)
+
+
+def run_histogram(inp: str, out: str) -> None:
+    spark = get_spark("trip-length-histogram")
+    trips = read_trips(spark, inp)
+    hist = trip_length_histogram(trips)
+    write_tsv(hist, out)
+
+
+def run_airport_revenue(inp: str, out: str) -> None:
+    spark = get_spark("airport-trips-revenue")
+    segments = read_segments(spark, inp)
+    pos = clean_positions(segments).withColumns(
+        {
+            # The parity kernel orders by (t, event_id); positions from raw
+            # files carry no event id — the (taxi, t) pair is unique after
+            # dedup, so a zero tiebreak is deterministic.
+            "event_id": F.lit(0).cast("long"),
+            "event_date": F.to_date(F.timestamp_seconds(F.col("t"))),
+        }
+    )
+    trips = sessionize_parity(pos).cache()
+    write_trip_lines(trips, f"{out}/trips")
+    # The reference materializes job-1 output as text with %.2f revenue and
+    # job 2 re-parses it (AirportTripsRevenue.java:351-356,422-426); summing
+    # the 2-decimal-rounded revenue mirrors that file round-trip exactly,
+    # without the HDFS materialization.
+    rounded = trips.withColumn("revenue", F.round("revenue", 2))
+    daily = daily_revenue(rounded)
+    write_tsv(daily, f"{out}/daily")
+    total = total_revenue(rounded).first()["total_revenue"]
+    print(f"TOTAL AIRPORT TRIPS REVENUE : {total:.2f}")
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) >= 3 and argv[0] == "histogram":
+        run_histogram(argv[1], argv[2])
+        return 0
+    if len(argv) >= 3 and argv[0] == "airport-revenue":
+        run_airport_revenue(argv[1], argv[2])
+        return 0
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
