@@ -23,6 +23,7 @@ def _specs() -> dict[str, QuerySpec]:
         dedup,
         histogram,
         multimodal,
+        relational_ext,
         revenue,
         segments,
         sessionize,
@@ -107,6 +108,33 @@ def _specs() -> dict[str, QuerySpec]:
         # Generic gap sessionization via Spark's native session_window
         # (batch surface; streaming twin in streaming/sessions.py).
         "events_session_window": (sessions.session_agg, sessions.SESSION_AGG_ORACLE),
+        # Extended relational surface (rollup / as-of / JSON / sketches / set ops).
+        "events_rollup": (
+            relational_ext.events_rollup,
+            relational_ext.EVENTS_ROLLUP_ORACLE,
+        ),
+        "orders_asof_events": (
+            relational_ext.orders_asof_events,
+            relational_ext.ORDERS_ASOF_ORACLE,
+        ),
+        "event_props_json": (
+            relational_ext.event_props_stats,
+            relational_ext.EVENT_PROPS_ORACLE,
+        ),
+        "distinct_users_daily": (
+            relational_ext.distinct_users_daily,
+            relational_ext.DISTINCT_USERS_ORACLE,
+        ),
+        # HLL sketch: estimates are engine-specific -> rows-only check;
+        # tests/test_relational_ext.py bounds the error vs the exact twin.
+        "approx_distinct_users_daily": (
+            relational_ext.approx_distinct_users_daily,
+            None,
+        ),
+        "segment_customer_setops": (
+            relational_ext.segment_customer_setops,
+            relational_ext.SETOPS_ORACLE,
+        ),
     }
     return specs
 
