@@ -49,9 +49,13 @@ def main() -> None:
     spark = get_spark("bench")
     queries = registry.queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # plan, not session startup.
+    # Warm the JVM, codegen, and parquet footers once so per-query numbers
+    # measure the plan, not session startup or first-file-listing overhead.
     spark.range(1).count()
+    from mapreduce_hadoop_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

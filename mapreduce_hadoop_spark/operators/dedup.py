@@ -126,19 +126,23 @@ SHINGLE_HASHES_SQL = (
 )
 
 
+def _minhash_from(hs: DataFrame) -> DataFrame:
+    def perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P)
+
+    cols = [
+        F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERMS)
+    ]
+    return hs.filter(F.size("hs") > 0).select("doc_id", *cols)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mh0..mh{n-1}) — min of (a*h + b) mod p over shingle hashes.
 
     Map-only: each minhash is an array_min over the in-row hash array.
     """
-    hs = _shingle_hashes(spark, sf_dir)
-    cols = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P))
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_PERMS)
-    ]
-    return hs.filter(F.size("hs") > 0).select("doc_id", *cols)
+    return _minhash_from(_shingle_hashes(spark, sf_dir))
 
 
 def _minhash_sigs_sql() -> str:
@@ -157,11 +161,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_a, doc_b, jaccard) with jaccard >= 0.5, doc_a < doc_b.
 
-    The signature and shingle relations each feed two join branches; they
-    are persisted so the md5/shingle work runs once, not once per branch
-    (at cluster scale: MEMORY_AND_DISK, sized ~ O(docs x perms) longs).
+    The shingle-hash relation feeds three branches (signatures + both verify
+    joins); it is persisted so the shingle/md5 work runs exactly once (at
+    cluster scale: MEMORY_AND_DISK, ~O(total shingles) longs). The Jaccard
+    verify runs on the hash arrays — set-identical to string shingles up to
+    2^-31 collisions, and far cheaper to shuffle than the strings.
     """
-    sigs = minhash_signatures(spark, sf_dir).persist()
+    hs = _shingle_hashes(spark, sf_dir).persist()
+    sigs = _minhash_from(hs)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -194,10 +201,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _doc_shingles(spark, sf_dir).persist()
     cand = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        cand.join(hs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "sh_a"), "doc_a")
+        .join(hs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "sh_b"), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
@@ -226,7 +232,7 @@ cand AS (
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-sh2 AS ({DOC_SHINGLES_SQL})
+sh2 AS (SELECT doc_id, hs AS sh FROM hsv)
 SELECT doc_a, doc_b,
        round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard

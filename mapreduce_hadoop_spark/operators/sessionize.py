@@ -323,19 +323,38 @@ PARITY_SCHEMA = (
 
 
 def sessionize_parity(pos: DataFrame, **kwargs) -> DataFrame:
-    """Exact-reference-semantics sessionization via per-taxi applyInPandas.
+    """Exact-reference-semantics sessionization, Arrow-batched per partition.
 
-    Arrow-batched grouped-map: one Python invocation per taxi, parallel
-    across taxis; per-invocation work is bounded by one taxi's history
-    (the reference's partitioner made the identical locality choice,
-    ``AirportTripsRevenue.java:236-252``). ``kwargs`` override the reference
-    thresholds (gap_s, max_speed_kmh, min_trip_km, airport_*).
+    Partition-level mapInPandas over hash-partitioned, taxi-sorted data:
+    one Python invocation per *partition* rather than per taxi (a per-group
+    applyInPandas pays per-group Python/Arrow overhead — with millions of
+    taxis that dominates). Taxis never span partitions (hash partitioning);
+    they can span Arrow batches within one, so the runner carries the
+    trailing taxi over to the next batch. Per-taxi state isolation is the
+    same locality the reference's custom partitioner enforced
+    (``AirportTripsRevenue.java:236-252``). ``kwargs`` override the
+    reference thresholds (gap_s, max_speed_kmh, min_trip_km, airport_*).
     """
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _replay_taxi(pdf, **kwargs)
+    def run(batches):
+        leftover = None
+        for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if pdf.empty:
+                continue
+            last_taxi = pdf["taxi"].iloc[-1]
+            head = pdf[pdf["taxi"] != last_taxi]
+            leftover = pdf[pdf["taxi"] == last_taxi]
+            for _, g in head.groupby("taxi", sort=False):
+                yield _replay_taxi(g, **kwargs)
+        if leftover is not None and not leftover.empty:
+            for _, g in leftover.groupby("taxi", sort=False):
+                yield _replay_taxi(g, **kwargs)
 
-    return pos.groupBy("taxi").applyInPandas(fn, schema=PARITY_SCHEMA)
+    ordered = pos.repartition("taxi").sortWithinPartitions("taxi", "t", "event_id")
+    return ordered.mapInPandas(run, schema=PARITY_SCHEMA)
 
 
 def airport_trips_parity_query(spark: SparkSession, sf_dir: str) -> DataFrame:

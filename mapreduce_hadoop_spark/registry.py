@@ -25,6 +25,7 @@ def _specs() -> dict[str, QuerySpec]:
         multimodal,
         relational_ext,
         revenue,
+        scalars,
         segments,
         sessionize,
         similarity,
@@ -35,6 +36,10 @@ def _specs() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {
         # O1-O8: Exercise-1 trip-length histogram (flagship).
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),
+        # Scalar-function layer, each standalone (SURVEY §7 step 2).
+        "fn_distance": (scalars.fn_distance, scalars.FN_DISTANCE_ORACLE),
+        "fn_width_bucket": (scalars.fn_width_bucket, scalars.FN_WIDTH_BUCKET_ORACLE),
+        "fn_epoch": (scalars.fn_epoch, scalars.FN_EPOCH_ORACLE),
         # O9b-O9g + O10: segment cleansing pipeline (normalize / E-E drop /
         # unpivot / null+geo filters / dedup).
         "segments_clean_positions": (segments.clean_positions_query, segments.ORACLE_SQL),

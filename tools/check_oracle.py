@@ -31,7 +31,9 @@ def _norm_cell(v) -> str:
             return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.9g}"
+        # Full precision: the engines must agree bit-for-bit, not just to
+        # N digits — repr round-trips the exact double.
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     if hasattr(v, "isoformat"):
