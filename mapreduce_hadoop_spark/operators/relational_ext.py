@@ -43,61 +43,199 @@ GROUP BY ROLLUP (1, 2)
 """
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (day, event_type): all four grouping sets in one pass
+    (partial aggregation runs once per input row, then expands)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "value",
+        )
+        .cube("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+    )
+
+
+EVENTS_CUBE_ORACLE = """
+SELECT
+    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+    event_type,
+    count(*) AS n,
+    round(sum("value"), 4) AS value_sum
+FROM events
+GROUP BY CUBE (1, 2)
+"""
+
+
+# --- PIVOT ------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_ALIASES = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+def orders_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted to one column per priority, per order status.
+
+    The value list is explicit — with it, Spark plans a single pass
+    (no extra distinct-values job), which is the only sane shape at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        *[F.col(f"`{p}`").alias(a) for p, a in zip(_PRIORITIES, _PIVOT_ALIASES)],
+    )
+    return renamed.orderBy("o_orderstatus")
+
+
+ORDERS_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT')        AS p1_urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH')          AS p2_high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3_medium,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+       count(*) FILTER (o_orderpriority = '5-LOW')           AS p5_low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- exact percentiles ------------------------------------------------------
+
+
+def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of extended price per return flag.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition, so exact values agree. At 100 TB the
+    exact percentile sorts each group; ``approx_percentile`` (t-digest,
+    bounded memory) is the drop-in scale path when ±0.1 % suffices.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LINEITEM_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- skew-resistant two-phase (salted) aggregation ---------------------------
+
+_N_SALTS = 32
+
+
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value sum with explicit salting: phase 1 aggregates on
+    (user, salt) so a hot user's rows spread over _N_SALTS reducers; phase 2
+    merges the partials. Result is identical to the direct groupBy (the
+    oracle) — this entry pins the pattern used when one key is large enough
+    to overwhelm a single task and AQE skew-join can't apply (aggregation,
+    not join). Rounding happens once, after the final merge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(_N_SALTS)))
+        .groupBy("user_id", "salt")
+        .agg(F.sum("value").alias("ps"), F.count(F.lit(1)).alias("pn"))
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(F.round(F.sum("ps"), 4).alias("value_sum"), F.sum("pn").alias("n"))
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SALTED_ORACLE = """
+SELECT user_id,
+       round(sum("value"), 4) AS value_sum,
+       count(*)               AS n
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --- as-of join -----------------------------------------------------------
 
 
-def orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each order joined to the customer's latest event at-or-before the
-    order date (point-in-time / as-of join).
+def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined to the same user's latest view event
+    at-or-before it (point-in-time / as-of join).
 
     Scalable formulation: union the two streams tagged, one window pass per
-    key carries the last-seen event forward (``last(..., ignorenulls)``).
+    key carries the last-seen view forward (``last(..., ignorenulls)``).
     One shuffle on the key, no range-join explosion — the classic
     time-series as-of shape. (DuckDB verifies with its native ASOF JOIN.)
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("key"),
         F.col("ts").alias("t"),
-        F.lit(0).alias("is_order"),
-        F.col("event_id"),
-        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(0).alias("is_probe"),
+        F.col("event_id").alias("view_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(1).alias("is_order"),
-        F.lit(None).cast("long").alias("event_id"),
-        "o_orderkey",
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
     )
-    # Events sort before orders at equal t (is_order asc) => "at-or-before"
-    # is inclusive; event_id breaks ties deterministically.
+    # Views sort before purchases at equal t (is_probe asc) => "at-or-before"
+    # is inclusive; view_id breaks ties deterministically.
     w = (
         Window.partitionBy("key")
-        .orderBy("t", "is_order", "event_id")
+        .orderBy("t", "is_probe", "view_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = ev.unionByName(orders).select(
+    merged = views.unionByName(purchases).select(
         "*",
-        F.last("event_id", ignorenulls=True).over(w).alias("last_event_id"),
+        F.last("view_id", ignorenulls=True).over(w).alias("last_view_id"),
     )
-    return merged.filter(F.col("is_order") == 1).select(
-        "o_orderkey",
-        F.col("key").alias("o_custkey"),
-        F.date_format("t", "yyyy-MM-dd").alias("order_day"),
-        "last_event_id",
+    return merged.filter(F.col("is_probe") == 1).select(
+        "purchase_id",
+        F.col("key").alias("user_id"),
+        F.col("t").cast("double").alias("purchase_t"),
+        "last_view_id",
     )
 
 
-ORDERS_ASOF_ORACLE = """
+PURCHASE_ASOF_ORACLE = """
 SELECT
-    o_orderkey,
-    o_custkey,
-    strftime(o_orderdate, '%Y-%m-%d') AS order_day,
-    e.event_id AS last_event_id
-FROM orders
+    p.event_id AS purchase_id,
+    p.user_id,
+    epoch(p.ts) AS purchase_t,
+    v.event_id AS last_view_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (
-    SELECT user_id, ts, event_id FROM events
-) e ON e.user_id = o_custkey AND e.ts <= o_orderdate
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+) v ON v.user_id = p.user_id AND v.ts <= p.ts
 """
 
 

@@ -171,3 +171,105 @@ SELECT query_id, vec_id, cosine, rank FROM (
     FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+IVF_K = 16  # coarse centroids: the vectors with vec_id in [100, 116)
+IVF_CENT_LO, IVF_CENT_HI = 100, 100 + IVF_K
+IVF_NPROBE = 4
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    return emb.filter(
+        (F.col("vec_id") >= IVF_CENT_LO) & (F.col("vec_id") < IVF_CENT_HI)
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+
+
+def _assign(emb: DataFrame, cents: DataFrame, n: int, out: str) -> DataFrame:
+    """Rank centroids by cosine per vector; keep the top ``n`` as ``out``."""
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "norm", "cent_id", cos.alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("crank"))
+        .filter(F.col("crank") <= n)
+        .select("vec_id", "v", "norm", F.col("cent_id").alias(out))
+    )
+
+
+def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via an IVF index: K=16 deterministic coarse centroids
+    (the vectors with vec_id in [100,116)), every vector files into its
+    nearest centroid's inverted list, a query probes its IVF_NPROBE nearest
+    lists and ranks only those candidates by exact cosine.
+
+    100 TB shape: centroids are broadcast (model-sized, not data-sized);
+    list assignment is a map-side pass; the probe is an equi-join on
+    cent_id, so candidate volume per query is nprobe/K of the corpus.
+    Recall rises with nprobe without changing the plan.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = _ivf_centroids(emb)
+    lists = _assign(emb, cents, 1, "cent_id")
+    probes = _assign(
+        emb.filter(F.col("vec_id") < N_QUERIES), cents, IVF_NPROBE, "cent_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        "cent_id",
+    )
+    pairs = lists.join(F.broadcast(probes), "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+TOPK_IVF_ORACLE = f"""
+WITH e AS ({EMB_NORM_SQL}),
+c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e
+      WHERE vec_id >= {IVF_CENT_LO} AND vec_id < {IVF_CENT_HI}),
+assigned AS (
+    SELECT vec_id, v, norm, cent_id FROM (
+        SELECT e.vec_id, e.v, e.norm, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) DESC,
+                            c.cent_id) AS crank
+        FROM e CROSS JOIN c
+    ) WHERE crank <= 1
+),
+probes AS (
+    SELECT vec_id AS query_id, v AS qv, norm AS qn, cent_id FROM (
+        SELECT e.vec_id, e.v, e.norm, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) DESC,
+                            c.cent_id) AS crank
+        FROM e CROSS JOIN c
+        WHERE e.vec_id < {N_QUERIES}
+    ) WHERE crank <= {IVF_NPROBE}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           round({DOT_SQL.format(a="p.qv", b="a.v")} / (p.qn * a.norm), 6) AS cosine
+    FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+    WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""

@@ -29,6 +29,7 @@ def _specs() -> dict[str, QuerySpec]:
         segments,
         sessionize,
         similarity,
+        temporal,
         textops,
     )
     from mapreduce_hadoop_spark.streaming import sessions
@@ -118,9 +119,9 @@ def _specs() -> dict[str, QuerySpec]:
             relational_ext.events_rollup,
             relational_ext.EVENTS_ROLLUP_ORACLE,
         ),
-        "orders_asof_events": (
-            relational_ext.orders_asof_events,
-            relational_ext.ORDERS_ASOF_ORACLE,
+        "purchase_asof_view": (
+            relational_ext.purchase_asof_view,
+            relational_ext.PURCHASE_ASOF_ORACLE,
         ),
         "event_props_json": (
             relational_ext.event_props_stats,
@@ -140,6 +141,35 @@ def _specs() -> dict[str, QuerySpec]:
             relational_ext.segment_customer_setops,
             relational_ext.SETOPS_ORACLE,
         ),
+        "events_cube": (relational_ext.events_cube, relational_ext.EVENTS_CUBE_ORACLE),
+        "orders_pivot_priority": (
+            relational_ext.orders_pivot_priority,
+            relational_ext.ORDERS_PIVOT_ORACLE,
+        ),
+        "lineitem_percentiles": (
+            relational_ext.lineitem_percentiles,
+            relational_ext.LINEITEM_PERCENTILES_ORACLE,
+        ),
+        "events_salted_agg": (
+            relational_ext.events_salted_agg,
+            relational_ext.EVENTS_SALTED_ORACLE,
+        ),
+        # Temporal windows + range join (north-star extension).
+        "events_tumbling_window": (
+            temporal.events_tumbling_window,
+            temporal.EVENTS_TUMBLING_ORACLE,
+        ),
+        "events_sliding_window": (
+            temporal.events_sliding_window,
+            temporal.EVENTS_SLIDING_ORACLE,
+        ),
+        "views_before_purchase_range_join": (
+            temporal.views_before_purchase_range_join,
+            temporal.VIEWS_BEFORE_PURCHASE_ORACLE,
+        ),
+        # IVF ANN (scale path beside topk_lsh; recall vs bruteforce bounded
+        # in tests/test_similarity_ivf.py).
+        "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
     }
     return specs
 

@@ -24,33 +24,27 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
 
 
 def test_asof_semantics_inclusive_and_null(spark):
-    # Hand fixture: order at exactly an event's timestamp picks that event
-    # (at-or-before is inclusive); an order before any event gets null.
-    from mapreduce_hadoop_spark.operators.relational_ext import orders_asof_events
+    # Hand fixture: a purchase at exactly a view's timestamp picks that view
+    # (at-or-before is inclusive); a purchase before any view gets null.
+    from mapreduce_hadoop_spark.operators.relational_ext import purchase_asof_view
 
     ev = spark.createDataFrame(
         [
-            (0, datetime.datetime(2024, 1, 2), 7, "click", 1.0, "{}"),
+            (0, datetime.datetime(2024, 1, 2), 7, "view", 1.0, "{}"),
             (1, datetime.datetime(2024, 1, 5), 7, "view", 1.0, "{}"),
+            (10, datetime.datetime(2024, 1, 1), 7, "purchase", 1.0, "{}"),  # before all
+            (11, datetime.datetime(2024, 1, 2), 7, "purchase", 1.0, "{}"),  # exact tie
+            (12, datetime.datetime(2024, 1, 9), 7, "purchase", 1.0, "{}"),  # after all
+            (13, datetime.datetime(2024, 1, 9), 8, "purchase", 1.0, "{}"),  # other user
         ],
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
-    )
-    orders = spark.createDataFrame(
-        [
-            (100, 7, "O", 1.0, datetime.datetime(2024, 1, 1), "P"),  # before all
-            (101, 7, "O", 1.0, datetime.datetime(2024, 1, 2), "P"),  # exact tie
-            (102, 7, "O", 1.0, datetime.datetime(2024, 1, 9), "P"),  # after all
-        ],
-        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
-        "o_orderdate timestamp, o_orderpriority string",
     )
     import tempfile
 
     d = tempfile.mkdtemp()
     ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
-    orders.write.mode("overwrite").parquet(f"{d}/orders.parquet")
     got = {
-        r["o_orderkey"]: r["last_event_id"]
-        for r in orders_asof_events(spark, d).collect()
+        r["purchase_id"]: r["last_view_id"]
+        for r in purchase_asof_view(spark, d).collect()
     }
-    assert got == {100: None, 101: 0, 102: 1}
+    assert got == {10: None, 11: 0, 12: 1, 13: None}

@@ -1,0 +1,32 @@
+"""IVF ANN: recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from mapreduce_hadoop_spark.operators.similarity import (
+    IVF_NPROBE,
+    N_QUERIES,
+    topk_bruteforce,
+    topk_ivf,
+)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = topk_bruteforce(spark, sf_dir).collect()
+    approx = topk_ivf(spark, sf_dir).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    assert set(exact_sets) == set(range(N_QUERIES))
+    # Every query must return a full (or near-full) candidate list...
+    assert set(approx_sets) == set(range(N_QUERIES))
+    # ...and mean recall@5 with nprobe=4 of 16 lists must beat the
+    # random-candidate expectation (nprobe/K = 0.25) by a wide margin.
+    hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+    total = sum(len(exact_sets[q]) for q in exact_sets)
+    recall = hits / total
+    assert recall >= 0.5, f"recall@5={recall:.2f} with nprobe={IVF_NPROBE}"
