@@ -211,22 +211,39 @@ SELECT * FROM t WHERE dist_km >= 0.1 AND is_airport
 
 # --- parity path: exact state-machine replay ------------------------------
 
-def _replay_taxi(
-    pdf: pd.DataFrame,
+def fresh_carrier() -> dict:
+    """Initial reducer-carrier state: before any input, the machine behaves
+    as if the previous fix was an E at the epoch (reference field defaults,
+    ``AirportTripsRevenue.java:279-285``)."""
+    return {
+        "prev_status": "E",
+        "prev_lat": 0.0,
+        "prev_lon": 0.0,
+        "prev_t": 0.0,
+        "trip": None,
+    }
+
+
+def replay_core(
+    taxi: int,
+    rows,
+    carrier: dict,
     gap_s: float = C.MAX_SEGMENT_DELTA_TIME_S,
     max_speed_kmh: float = C.MAX_SEGMENT_SPEED_KMH,
     min_trip_km: float = C.MIN_TRIP_DISTANCE_KM,
     airport_lat: float = C.SFO_LAT,
     airport_lon: float = C.SFO_LONG,
     airport_radius_km: float = C.SFO_MAX_DISTANCE_KM,
-) -> pd.DataFrame:
-    """Replay the reference reducer for one taxi (already a single group).
+) -> tuple[list[tuple], dict]:
+    """Run the reference state machine over ``rows`` (iterable of
+    (t, lat, lon, status, event_date), already time-ordered) starting from
+    ``carrier``; return (emitted airport trips, final carrier).
 
     Faithful transcription of ``AirportTripsRevenue.java:275-407`` with
-    per-taxi state isolation; see module docstring for the documented
-    divergence. Emits only airport trips with dist >= MIN_TRIP_DISTANCE_KM.
+    per-taxi state isolation (module docstring documents the divergence).
+    Shared by the batch parity path and the streaming stateful operator —
+    the carrier is exactly what persists across micro-batches there.
     """
-    pdf = pdf.sort_values(["t", "event_id"])
     d2r = C.DEGREES_TO_RADIANS
 
     def dist(lat1, lon1, lat2, lon2):
@@ -238,9 +255,10 @@ def _replay_taxi(
     def near_airport(lat, lon):
         return dist(lat, lon, airport_lat, airport_lon) <= airport_radius_km
 
-    out = []
-    prev_status, prev_lat, prev_lon, prev_t = "E", 0.0, 0.0, 0.0
-    trip = None  # dict: start_t, start_lat, start_lon, stop_t, stop_lat, stop_lon, airport, dist, date
+    out: list[tuple] = []
+    prev_status = carrier["prev_status"]
+    prev_lat, prev_lon, prev_t = carrier["prev_lat"], carrier["prev_lon"], carrier["prev_t"]
+    trip = carrier["trip"]
 
     def close_trip(stop_t, stop_lat, stop_lon):
         if trip is not None and trip["dist"] >= min_trip_km and trip["airport"]:
@@ -259,9 +277,7 @@ def _replay_taxi(
                 )
             )
 
-    taxi = int(pdf["taxi"].iloc[0])
-    cols = ["t", "lat", "lon", "status", "event_date"]
-    for t, lat, lon, status, event_date in pdf[cols].itertuples(index=False, name=None):
+    for t, lat, lon, status, event_date in rows:
         delta = t - prev_t
         if prev_status == "E" and status == "M":
             trip = {
@@ -297,22 +313,43 @@ def _replay_taxi(
             close_trip(prev_t, prev_lat, prev_lon)
             trip = None
         prev_status, prev_lat, prev_lon, prev_t = status, lat, lon, t
-    # A trip still open at end of input is never emitted (reference behavior).
-    return pd.DataFrame(
-        out,
-        columns=[
-            "taxi",
-            "start_t",
-            "start_lat",
-            "start_lon",
-            "stop_t",
-            "stop_lat",
-            "stop_lon",
-            "dist_km",
-            "revenue",
-            "trip_date",
-        ],
-    )
+
+    carrier = {
+        "prev_status": prev_status,
+        "prev_lat": prev_lat,
+        "prev_lon": prev_lon,
+        "prev_t": prev_t,
+        "trip": trip,
+    }
+    return out, carrier
+
+
+PARITY_COLUMNS = [
+    "taxi",
+    "start_t",
+    "start_lat",
+    "start_lon",
+    "stop_t",
+    "stop_lat",
+    "stop_lon",
+    "dist_km",
+    "revenue",
+    "trip_date",
+]
+
+
+def _replay_taxi(pdf: pd.DataFrame, **kwargs) -> pd.DataFrame:
+    """Replay the reference reducer for one taxi (already a single group).
+
+    Emits only airport trips with dist >= MIN_TRIP_DISTANCE_KM; a trip still
+    open at end of input is never emitted (reference behavior).
+    """
+    pdf = pdf.sort_values(["t", "event_id"])
+    taxi = int(pdf["taxi"].iloc[0])
+    cols = ["t", "lat", "lon", "status", "event_date"]
+    rows = pdf[cols].itertuples(index=False, name=None)
+    out, _ = replay_core(taxi, rows, fresh_carrier(), **kwargs)
+    return pd.DataFrame(out, columns=PARITY_COLUMNS)
 
 
 PARITY_SCHEMA = (

@@ -1,0 +1,163 @@
+"""Streaming trip sessionization — a custom stateful operator.
+
+The reference's trip-reconstruction state machine
+(``src/AirportTripsRevenue.java:275-407``) is a batch reducer; this module
+runs the *same* state machine incrementally over an unbounded position
+stream with ``applyInPandasWithState``: per-taxi state (the reducer's
+carrier — previous fix + open-trip accumulator) persists in the state
+store across micro-batches, and a trip is emitted the moment the machine
+closes it (gap split or M->E), exactly as the batch parity path would.
+
+Semantics and their streaming caveats, explicitly:
+
+- Within one micro-batch a taxi's new positions are sorted by (t,
+  event_id) before replay. Across micro-batches the operator assumes
+  per-taxi monotone arrival (the reference's input contract after the MR
+  shuffle sort); a position older than the carrier's last-seen t cannot be
+  replayed into already-consumed state and is dropped, counted nowhere —
+  the same silent-drop stance the reference takes for malformed input.
+- Trailing open trips are never emitted (reference behavior: a trip still
+  open at end-of-input is lost). Consequently no timeout is needed for
+  result parity; an event-time timeout that force-closes idle sessions is
+  the natural extension and would bound state size in production.
+- State per taxi is O(1) — a handful of doubles — so the state store
+  scales with |active taxis|, not with data volume.
+
+``tests/test_streaming_trips.py`` replays the derived GPS stream with an
+availableNow trigger and asserts output identical to the batch parity
+path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mapreduce_hadoop_spark.operators import gps
+from mapreduce_hadoop_spark.operators.sessionize import (
+    PARITY_COLUMNS,
+    PARITY_SCHEMA,
+    fresh_carrier,
+    replay_core,
+)
+
+# The reducer carrier, flattened for the state store. `trip_date` rides as a
+# string; `has_trip` discriminates the Optional open-trip accumulator.
+STATE_SCHEMA = (
+    "prev_status string, prev_lat double, prev_lon double, prev_t double, "
+    "has_trip boolean, start_t double, start_lat double, start_lon double, "
+    "airport boolean, dist double, trip_date string"
+)
+
+
+def _carrier_from_state(state: GroupState) -> dict:
+    if not state.exists:
+        return fresh_carrier()
+    (ps, plat, plon, pt, has_trip, st, slat, slon, ap, dist, date) = state.get
+    trip = (
+        {
+            "start_t": st,
+            "start_lat": slat,
+            "start_lon": slon,
+            "airport": ap,
+            "dist": dist,
+            "date": date,
+        }
+        if has_trip
+        else None
+    )
+    return {
+        "prev_status": ps,
+        "prev_lat": plat,
+        "prev_lon": plon,
+        "prev_t": pt,
+        "trip": trip,
+    }
+
+
+def _carrier_to_state(carrier: dict, state: GroupState) -> None:
+    trip = carrier["trip"]
+    state.update(
+        (
+            carrier["prev_status"],
+            carrier["prev_lat"],
+            carrier["prev_lon"],
+            carrier["prev_t"],
+            trip is not None,
+            trip["start_t"] if trip else 0.0,
+            trip["start_lat"] if trip else 0.0,
+            trip["start_lon"] if trip else 0.0,
+            trip["airport"] if trip else False,
+            trip["dist"] if trip else 0.0,
+            str(trip["date"]) if trip else "",
+        )
+    )
+
+
+def _make_fn(kwargs: dict):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (taxi,) = key
+        carrier = _carrier_from_state(state)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["t", "event_id"])
+        # Drop positions older than state already consumed (module docstring).
+        pdf = pdf[pdf["t"] >= carrier["prev_t"]]
+        rows = pdf[["t", "lat", "lon", "status", "event_date"]].itertuples(
+            index=False, name=None
+        )
+        out, carrier = replay_core(int(taxi), rows, carrier, **kwargs)
+        _carrier_to_state(carrier, state)
+        yield pd.DataFrame(out, columns=PARITY_COLUMNS)
+
+    return fn
+
+
+def positions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gps.positions derivation over a file stream of the events table."""
+    from mapreduce_hadoop_spark.sources.tables import ensure_confs, normalize_events
+
+    ensure_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from pyspark.sql import functions as F
+
+    return ev.select(
+        F.col("user_id").alias("taxi"),
+        (F.col("ts").cast("double") / F.lit(gps.TIME_COMPRESSION)).alias("t"),
+        (F.lit(37.58) + gps.fold(F.col("value"), 0.1)).alias("lat"),
+        (F.lit(-122.43) + gps.fold(F.col("value") * F.lit(0.618033), 0.1)).alias("lon"),
+        F.when(F.col("event_type").isin("click", "view", "purchase"), F.lit("M"))
+        .otherwise(F.lit("E"))
+        .alias("status"),
+        F.col("event_id"),
+        F.col("ts").cast("date").alias("event_date"),
+    )
+
+
+def airport_trips_stream(
+    spark: SparkSession, sf_dir: str, **kwargs
+) -> DataFrame:
+    """Streaming DataFrame of closed airport trips (append mode).
+
+    ``kwargs`` override the reference thresholds, as in the batch parity
+    path; the demo airport radius matches the batch parity query so the two
+    are directly comparable.
+    """
+    kwargs.setdefault("airport_radius_km", gps.DEMO_AIRPORT_RADIUS_KM)
+    pos = positions_stream(spark, sf_dir)
+    return pos.groupBy("taxi").applyInPandasWithState(
+        _make_fn(kwargs),
+        outputStructType=PARITY_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
