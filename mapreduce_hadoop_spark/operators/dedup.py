@@ -95,10 +95,19 @@ WHERE doc_id <> keep_doc_id
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh: array<string>) — sorted distinct 3-token shingles."""
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", T.shingles("text").alias("sh")
-    )
+    """(doc_id, sh: array<string>) — sorted distinct 3-token shingles.
+
+    Everything downstream (shingling, per-shingle md5, minhash/simhash) is
+    CPU-bound per row, so the scan's partitioning caps the whole family's
+    parallelism. A small corpus arrives as one parquet split; spread it
+    across the cores before the expensive projection. At cluster scale the
+    scan already yields >= defaultParallelism splits and this is a no-op.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < p:
+        docs = docs.repartition(p)
+    return docs.select("doc_id", T.shingles("text").alias("sh"))
 
 
 _SH = T.shingles_sql("text")
@@ -127,14 +136,25 @@ SHINGLE_HASHES_SQL = (
 
 
 def _minhash_from(hs: DataFrame) -> DataFrame:
-    def perm(a: int, b: int):
-        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P)
-
-    cols = [
-        F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_PERMS)
-    ]
-    return hs.filter(F.size("hs") > 0).select("doc_id", *cols)
+    # One aggregate pass carrying an array<long> of running minima (one slot
+    # per permutation) instead of 32 separate transform+array_min columns:
+    # ~3x smaller expression tree, which cuts plan/codegen latency (the
+    # dominant cost of a cold run) and one array traversal instead of 32.
+    params = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in _PERMS]
+    )
+    sig = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(P).cast("long"), NUM_PERMS),
+        lambda acc, x: F.zip_with(
+            acc, params, lambda m, p: F.least(m, (p["a"] * x + p["b"]) % F.lit(P))
+        ),
+    )
+    return (
+        hs.filter(F.size("hs") > 0)
+        .select("doc_id", sig.alias("sig"))
+        .select("doc_id", *[F.col("sig")[i].alias(f"mh{i}") for i in range(NUM_PERMS)])
+    )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -390,7 +390,14 @@ def sessionize_parity(pos: DataFrame, **kwargs) -> DataFrame:
             for _, g in leftover.groupby("taxi", sort=False):
                 yield _replay_taxi(g, **kwargs)
 
-    ordered = pos.repartition("taxi").sortWithinPartitions("taxi", "t", "event_id")
+    # Explicit partition count: a bare repartition("taxi") lets AQE coalesce
+    # the small shuffle output down to 1-2 partitions, which would serialize
+    # the (CPU-bound, Python-side) replay onto 1-2 cores. A user-specified
+    # count is exempt from AQE coalescing, keeping the replay parallel.
+    n_parts = pos.sparkSession.sparkContext.defaultParallelism
+    ordered = pos.repartition(n_parts, "taxi").sortWithinPartitions(
+        "taxi", "t", "event_id"
+    )
     return ordered.mapInPandas(run, schema=PARITY_SCHEMA)
 
 
