@@ -30,6 +30,9 @@ def plan_counts(df: DataFrame) -> dict[str, int]:
         "sort": plan.count("+- Sort") + plan.count(":- Sort"),
         "window": plan.count("Window"),
         "hash_aggregate": plan.count("HashAggregate"),
+        "cartesian": plan.count("CartesianProduct"),
+        "nested_loop_join": plan.count("BroadcastNestedLoopJoin"),
+        "expand": plan.count("Expand"),
     }
 
 

@@ -46,3 +46,45 @@ def test_pricing_filter_pushed_to_scan(spark, sf_dir):
     assert "LessThan(l_shipdate" in pushed_filters(df)
     # Unused columns (l_orderkey, l_partkey, ...) must not be read.
     assert "l_orderkey" not in read_schema(df)
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    # The bin-then-refine formulation must plan as a hash/merge equi-join —
+    # never a nested-loop or cartesian over the inequality.
+    from mapreduce_hadoop_spark.operators.temporal import (
+        views_before_purchase_range_join,
+    )
+
+    c = plan_counts(views_before_purchase_range_join(spark, sf_dir))
+    assert c["cartesian"] == 0 and c["nested_loop_join"] == 0, c
+    assert c["broadcast_hash_join"] + c["sort_merge_join"] >= 1, c
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    # Tagged-union + window: one hash exchange on the key, one sort — the
+    # whole point of the formulation vs. a range join.
+    from mapreduce_hadoop_spark.operators.relational_ext import purchase_asof_view
+
+    c = plan_counts(purchase_asof_view(spark, sf_dir))
+    assert c["exchange"] == 1 and c["sort"] == 1, c
+    assert c["cartesian"] == 0 and c["nested_loop_join"] == 0, c
+
+
+def test_cube_expands_in_one_pass(spark, sf_dir):
+    # cube() must plan a single Expand + partial/final agg over ONE shuffle,
+    # not one aggregation job per grouping set.
+    from mapreduce_hadoop_spark.operators.relational_ext import events_cube
+
+    c = plan_counts(events_cube(spark, sf_dir))
+    assert c["expand"] == 1 and c["exchange"] == 1, c
+    assert c["hash_aggregate"] == 2, c
+
+
+def test_ivf_never_cartesian(spark, sf_dir):
+    # Centroid scoring is a broadcast nested-loop over a 16-row side (bounded
+    # by construction); an unbroadcast CartesianProduct would be quadratic.
+    from mapreduce_hadoop_spark.operators.similarity import topk_ivf
+
+    c = plan_counts(topk_ivf(spark, sf_dir))
+    assert c["cartesian"] == 0, c
+    assert c["broadcast_exchange"] >= 1, c
