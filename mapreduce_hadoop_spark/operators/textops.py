@@ -6,7 +6,8 @@ oracle twin:
 
 - language ID: stopword-count heuristic with a deterministic argmax
 - quality scoring: length/diversity/stopword signals -> [0,1] score
-- token counting: whitespace tokens + a chars/4 BPE-style estimate
+- token counting: whitespace tokens, a GPT-2-style pre-tokenizer regex
+  count, and a chars/4 BPE-style estimate
 - fingerprinting: full-text 60-bit hash + min-shingle-hash (winnowing-style)
 
 At 100 TB these are embarrassingly parallel single-pass scans: no shuffle at
@@ -122,22 +123,33 @@ FROM documents
 """
 
 
+# GPT-2-style pre-tokenizer, restricted to lookahead-free ASCII classes so
+# Java regex (Spark) and RE2 (DuckDB) match identically: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs. Real BPE would further merge within these pieces, so this
+# counts an upper bound on BPE tokens with the right segmentation behavior.
+BPE_PRETOKEN_RE = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + chars/4 BPE-style estimate per document."""
+    """Whitespace tokens, BPE-ish regex pieces, chars/4 estimate per doc."""
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
     return docs.select(
         "doc_id",
         F.size(toks).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_PRETOKEN_RE)).alias("bpe_regex_tokens"),
         F.ceil(F.length("text") / F.lit(4.0)).cast("bigint").alias("bpe_est_tokens"),
         F.length("text").alias("n_chars_measured"),
     )
 
 
+_BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 TOKEN_COUNTS_ORACLE = f"""
 SELECT
     doc_id,
     len({_TOKS}) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS INT) AS bpe_regex_tokens,
     CAST(ceil(length(text) / 4.0::DOUBLE) AS BIGINT) AS bpe_est_tokens,
     length(text) AS n_chars_measured
 FROM documents

@@ -83,3 +83,20 @@ def test_write_tsv(spark, tmp_path):
     write_tsv(df, str(out))
     content = "".join(open(f).read() for f in glob.glob(str(out / "part-*")))
     assert content.strip() == "2008-05-25\t12.5"
+
+
+def test_read_trips_gzip_transparent(spark, tmp_path):
+    # The reference consumes gzipped trip files (`command:17` runs on
+    # 2010_03.trips via TextInputFormat, which decompresses .gz); Spark's
+    # text source does the same. Single-split per .gz file, as in Hadoop.
+    import gzip
+
+    line = "450 1211706872.0 37.61799 -122.38607 1211707018.0 37.61611 -122.38888 true 0.327 4.06 2008-05-25"
+    p = tmp_path / "fixture.trips.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(line + "\n")
+    rows = read_trips(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0]["taxi"] == 450
+    assert rows[0]["revenue"] == 4.06
+    assert rows[0]["is_airport"] is True
