@@ -27,11 +27,18 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_customer",
+    "events_cube",
+    # Temporal surface.
+    "events_tumbling_window",
+    "views_before_purchase_range_join",
+    "purchase_asof_view",
     # Training-data extensions.
     "text_quality_score",
+    "text_token_counts",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
     "events_session_window",
 ]
 
