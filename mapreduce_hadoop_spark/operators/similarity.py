@@ -116,6 +116,73 @@ WHERE round({DOT_SQL.format(a="a.v", b="b.v")} / (a.norm * b.norm), 6) >= {NEAR_
 """
 
 
+NEAR_DUP_BANDS = 4
+NEAR_DUP_BAND_BITS = 4
+
+
+def _band_bucket(v: Column, band: int) -> Column:
+    """Sign pattern of dims [band*bits, (band+1)*bits) as an int bucket."""
+    bucket = F.lit(0)
+    for i in range(NEAR_DUP_BAND_BITS):
+        dim = band * NEAR_DUP_BAND_BITS + i
+        bucket = bucket + F.when(
+            F.element_at(v, dim + 1) > F.lit(0.0), F.lit(2**i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def near_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4) via banded hyperplane LSH —
+    the scale path beside the exact all-pairs ``near_dup_cosine``.
+
+    OR-of-ANDs banding (same construction as MinHash-LSH, with sign
+    hyperplanes as the hash family): 4 bands of 4 sign bits each; a pair is
+    a candidate when ALL bits agree in ANY band, then exact cosine verifies.
+    Per-band candidate volume is sum(bucket_size^2) ~ n^2/2^bits instead of
+    n^2, and recall at cosine c is 1-(1-p^bits)^bands with
+    p = 1 - arccos(c)/pi — more bands raise recall, more bits cut
+    candidates, without changing the plan shape. No false positives by
+    construction (candidates still pass the exact threshold).
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    banded = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        _band_bucket(F.col("v"), j).alias("bucket"),
+                    )
+                    for j in range(NEAR_DUP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    pairs = cand.join(va, "vec_a").join(vb, "vec_b")
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= F.lit(NEAR_DUP_COS)
+    )
+
+
 def _bucket(v: Column) -> Column:
     bucket = F.lit(0)
     for i in range(LSH_BITS):
@@ -128,6 +195,34 @@ def _bucket(v: Column) -> Column:
 _BUCKET_SQL = " + ".join(
     f"(CASE WHEN v[{i + 1}] > 0.0 THEN {2**i} ELSE 0 END)" for i in range(LSH_BITS)
 )
+
+
+def _band_bucket_sql(band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN v[{band * NEAR_DUP_BAND_BITS + i + 1}] > 0.0 THEN {2**i} ELSE 0 END)"
+        for i in range(NEAR_DUP_BAND_BITS)
+    )
+
+
+NEAR_DUP_LSH_ORACLE = f"""
+WITH e AS ({EMB_NORM_SQL}),
+banded AS (
+    SELECT vec_id, bk.* FROM e,
+    LATERAL (VALUES {", ".join(f"({j}, {_band_bucket_sql(j)})" for j in range(NEAR_DUP_BANDS))})
+        AS bk(band, bucket)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round({DOT_SQL.format(a="ea.v", b="eb.v")} / (ea.norm * eb.norm), 6) AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE round({DOT_SQL.format(a="ea.v", b="eb.v")} / (ea.norm * eb.norm), 6) >= {NEAR_DUP_COS}
+"""
 
 
 def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

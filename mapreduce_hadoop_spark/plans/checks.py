@@ -22,8 +22,9 @@ def executed_plan(df: DataFrame) -> str:
 def plan_counts(df: DataFrame) -> dict[str, int]:
     plan = executed_plan(df)
     return {
-        "exchange": len(re.findall(r"\bExchange\b|\bShuffleExchange", plan))
-        - plan.count("BroadcastExchange"),
+        # \bExchange\b does not match inside "BroadcastExchange" (no word
+        # boundary between 't' and 'E'), so this counts shuffles only.
+        "exchange": len(re.findall(r"\bExchange\b|\bShuffleExchange", plan)),
         "broadcast_exchange": plan.count("BroadcastExchange"),
         "broadcast_hash_join": plan.count("BroadcastHashJoin"),
         "sort_merge_join": plan.count("SortMergeJoin"),

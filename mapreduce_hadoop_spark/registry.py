@@ -101,6 +101,10 @@ def _specs() -> dict[str, QuerySpec]:
             similarity.NEAR_DUP_ORACLE,
         ),
         "similarity_topk_lsh": (similarity.topk_lsh, similarity.TOPK_LSH_ORACLE),
+        "similarity_near_dup_lsh": (
+            similarity.near_dup_cosine_lsh,
+            similarity.NEAR_DUP_LSH_ORACLE,
+        ),
         # Multimodal binary-column plumbing (north-star extension).
         "multimodal_metadata": (multimodal.media_metadata, multimodal.MEDIA_METADATA_ORACLE),
         "multimodal_decode_stub": (

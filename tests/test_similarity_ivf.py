@@ -30,3 +30,17 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     total = sum(len(exact_sets[q]) for q in exact_sets)
     recall = hits / total
     assert recall >= 0.5, f"recall@5={recall:.2f} with nprobe={IVF_NPROBE}"
+
+
+def test_near_dup_lsh_recall(spark, sf_dir):
+    from mapreduce_hadoop_spark.operators.similarity import (
+        near_dup_cosine,
+        near_dup_cosine_lsh,
+    )
+
+    exact = {(r["vec_a"], r["vec_b"]) for r in near_dup_cosine(spark, sf_dir).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]) for r in near_dup_cosine_lsh(spark, sf_dir).collect()}
+    assert lsh <= exact  # no false positives: same threshold, subset by construction
+    assert len(exact) > 0
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.2, f"recall={recall:.2f}"
