@@ -80,14 +80,7 @@ GROUP BY user_id, session_id
 """
 
 
-def session_agg_stream(
-    spark: SparkSession, sf_dir: str, gap_s: int = GAP_S, watermark: str = "2 hours"
-) -> DataFrame:
-    """The same session aggregation as a Structured Streaming DataFrame.
-
-    Callers attach a sink:
-    ``session_agg_stream(spark, d).writeStream.trigger(availableNow=True)...``
-    """
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_hadoop_spark.sources.tables import ensure_confs, normalize_events
 
     ensure_confs(spark)
@@ -97,9 +90,52 @@ def session_agg_stream(
     raw_schema = spark.read.parquet(path).schema
     # The file stream source requires a directory; select the single table
     # file with a glob filter.
-    ev = normalize_events(
+    return normalize_events(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+
+
+def session_agg_stream(
+    spark: SparkSession, sf_dir: str, gap_s: int = GAP_S, watermark: str = "2 hours"
+) -> DataFrame:
+    """The same session aggregation as a Structured Streaming DataFrame.
+
+    Callers attach a sink:
+    ``session_agg_stream(spark, d).writeStream.trigger(availableNow=True)...``
+    """
+    ev = _events_stream(spark, sf_dir)
     return session_agg_from(ev.withWatermark("ts", watermark), gap_s)
+
+
+def tumbling_agg_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of operators/temporal.py::events_tumbling_window.
+
+    Watermarked tumbling windows in append mode: a window's aggregate emits
+    exactly once, when the watermark passes its end and no late event can
+    merge into it any longer — late rows inside the watermark still update
+    their (not-yet-emitted) window, later ones are dropped. State per key is
+    one partial aggregate per open window, so the store size is bounded by
+    (watermark horizon / window length) x |event types|.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.operators.temporal import TUMBLE_S
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", f"{TUMBLE_S} seconds").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").cast("double").alias("win_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
