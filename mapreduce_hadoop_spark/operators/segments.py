@@ -82,7 +82,14 @@ def derived_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("e"))
         .alias("status2"),
     )
-    return seg.unionAll(seg.filter(F.col("taxi") % 7 == 0))
+    # Dup injection via a row multiplier, not a self-union: a self-union
+    # would scan the source twice (visible as two Scan nodes in the plan);
+    # exploding a 1- or 2-element array keeps the whole derivation one scan.
+    n_copies = F.when(F.col("taxi") % 7 == 0, F.lit(2)).otherwise(F.lit(1))
+    return (
+        seg.withColumn("_copy", F.explode(F.sequence(F.lit(1), n_copies)))
+        .drop("_copy")
+    )
 
 
 def normalize_status(c: F.Column) -> F.Column:

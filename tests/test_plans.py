@@ -88,3 +88,14 @@ def test_ivf_never_cartesian(spark, sf_dir):
     c = plan_counts(topk_ivf(spark, sf_dir))
     assert c["cartesian"] == 0, c
     assert c["broadcast_exchange"] >= 1, c
+
+
+def test_cleanse_pipeline_single_scan(spark, sf_dir):
+    # Cleanse + unpivot + dedup must read the source ONCE: the unpivot is an
+    # explode, and the dup-injection fixture is a row multiplier, not a
+    # self-union (which would scan twice).
+    from mapreduce_hadoop_spark.operators.segments import clean_positions_query
+    from mapreduce_hadoop_spark.plans.checks import executed_plan
+
+    plan = executed_plan(clean_positions_query(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
