@@ -40,6 +40,8 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "events_session_window",
+    # Composed training-data pipeline (quality -> dedup -> near-dup -> stats).
+    "corpus_clean_stats",
 ]
 
 

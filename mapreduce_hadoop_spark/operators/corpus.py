@@ -1,0 +1,91 @@
+"""End-to-end corpus cleaning — the training-data pipeline, composed.
+
+One DAG chaining the north-star operator families the way a real
+LLM-data pipeline does: quality gate -> exact dedup -> near-dup removal ->
+per-source corpus stats. Each stage is the already-oracle-checked operator
+reused as-is; this query pins their *composition* (semi/anti-join
+plumbing included) against a DuckDB twin of the whole pipeline.
+
+Scale shape: the quality gate is a narrow scan-time filter; exact dedup is
+one shuffle on the text hash; near-dup removal reuses MinHash-LSH (shuffle
+on band keys, never all-pairs) and drops the larger doc_id of every
+verified pair (greedy, deterministic — at 100 TB you'd union-find the pair
+graph in O(pairs), which stays tiny relative to the corpus); the stats are
+a partial-agg groupBy. No driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hadoop_spark.functions.hashing import md5_long, md5_long_sql
+from mapreduce_hadoop_spark.operators import dedup, textops
+from mapreduce_hadoop_spark.sources.tables import load_table
+
+QUALITY_MIN = 0.5
+
+
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stats of the cleaned corpus (quality >= 0.5, exact dups
+    and near-dups removed, smaller doc_id survives)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    quality = textops.quality_score(spark, sf_dir).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    texth = load_table(spark, sf_dir, "documents").select(
+        "doc_id", md5_long(F.col("text")).alias("h")
+    )
+    exact_keep = texth.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact_ok = (
+        texth.join(exact_keep, "h")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id")
+    )
+    near_dups = dedup.minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    clean = (
+        docs.join(quality, "doc_id")
+        .filter(F.col("quality") >= F.lit(QUALITY_MIN))
+        .join(exact_ok, "doc_id", "left_semi")
+        .join(near_dups, "doc_id", "left_anti")
+    )
+    return (
+        clean.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_CLEAN_ORACLE = f"""
+WITH pairs AS (
+    SELECT * FROM ({dedup.MINHASH_LSH_ORACLE})
+),
+quality AS ({textops.QUALITY_ORACLE}),
+texth AS (SELECT doc_id, {md5_long_sql("text")} AS h FROM documents),
+exact_keep AS (SELECT h, min(doc_id) AS keep_id FROM texth GROUP BY h),
+exact_ok AS (
+    SELECT doc_id FROM texth JOIN exact_keep USING (h) WHERE doc_id = keep_id
+),
+near_dups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+clean AS (
+    SELECT d.doc_id, d.source, q.quality, q.n_tokens
+    FROM documents d
+    JOIN quality q ON q.doc_id = d.doc_id
+    WHERE q.quality >= {QUALITY_MIN}
+      AND d.doc_id IN (SELECT doc_id FROM exact_ok)
+      AND d.doc_id NOT IN (SELECT doc_id FROM near_dups)
+)
+SELECT source,
+       count(*)               AS n_docs,
+       sum(n_tokens)          AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM clean
+GROUP BY source
+ORDER BY source
+"""

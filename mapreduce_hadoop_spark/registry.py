@@ -20,6 +20,7 @@ QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 def _specs() -> dict[str, QuerySpec]:
     from mapreduce_hadoop_spark.operators import (
         analytics,
+        corpus,
         dedup,
         histogram,
         multimodal,
@@ -91,6 +92,9 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
         "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
         "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE),
+        # Composed training-data pipeline: quality gate -> exact dedup ->
+        # near-dup removal -> per-source stats, one DAG.
+        "corpus_clean_stats": (corpus.corpus_clean_stats, corpus.CORPUS_CLEAN_ORACLE),
         # Similarity search (north-star extension).
         "similarity_topk_bruteforce": (
             similarity.topk_bruteforce,
