@@ -1,0 +1,51 @@
+"""The engine's SQL surface: the same plans, declared as `spark.sql` text.
+
+The DataFrame callables elsewhere in operators/ are one face of the
+engine; this module pins the other — ANSI SQL over registered views,
+including join-strategy hints — by re-expressing the multi-way join query
+and checking it against the *same* DuckDB oracle as its DataFrame twin.
+Catalyst compiles both to the same physical plan (broadcast dims,
+pre-aggregated fact join), which the shared oracle hash certifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_hadoop_spark.operators.analytics import REVENUE_BY_NATION_ORACLE
+from mapreduce_hadoop_spark.sources.tables import TABLE_NAMES, load_table
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every testdata table as a temp view for spark.sql queries."""
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT /*+ BROADCAST(customer), BROADCAST(nation), BROADCAST(region) */
+    r_name,
+    n_name,
+    round(sum(rev), 4) AS revenue,
+    count(*)           AS n_orders
+FROM orders
+JOIN per_order ON o_orderkey = l_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation    ON c_nationkey = n_nationkey
+JOIN region    ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL)
+
+
+# Same result contract as the DataFrame twin => same oracle.
+SQL_REVENUE_BY_NATION_ORACLE = REVENUE_BY_NATION_ORACLE

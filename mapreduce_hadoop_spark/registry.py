@@ -30,6 +30,7 @@ def _specs() -> dict[str, QuerySpec]:
         segments,
         sessionize,
         similarity,
+        sqlapi,
         temporal,
         textops,
     )
@@ -73,6 +74,12 @@ def _specs() -> dict[str, QuerySpec]:
         "top_orders_per_customer": (
             analytics.top_orders_per_customer,
             analytics.TOP_ORDERS_ORACLE,
+        ),
+        # spark.sql surface: the same join plan declared as SQL text with
+        # broadcast hints; shares the DataFrame twin's oracle.
+        "sql_revenue_by_nation": (
+            sqlapi.sql_revenue_by_nation,
+            sqlapi.SQL_REVENUE_BY_NATION_ORACLE,
         ),
         "events_daily_by_type": (
             analytics.events_daily_by_type,
