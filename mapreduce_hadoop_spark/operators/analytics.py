@@ -151,6 +151,30 @@ WHERE rank <= 3
 """
 
 
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 orders by value: orderBy + limit.
+
+    Catalyst plans this as TakeOrderedAndProject — a bounded per-partition
+    heap merged at the driver — NOT a full sort of the table; the plan shape
+    is pinned in tests. This is the global-top-k companion to the per-group
+    window top-N above.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+GLOBAL_TOP_ORDERS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def events_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped daily event rollup (date x type counts + value sums)."""
     ev = load_table(spark, sf_dir, "events")

@@ -75,6 +75,10 @@ def _specs() -> dict[str, QuerySpec]:
             analytics.top_orders_per_customer,
             analytics.TOP_ORDERS_ORACLE,
         ),
+        "global_top_orders": (
+            analytics.global_top_orders,
+            analytics.GLOBAL_TOP_ORDERS_ORACLE,
+        ),
         # spark.sql surface: the same join plan declared as SQL text with
         # broadcast hints; shares the DataFrame twin's oracle.
         "sql_revenue_by_nation": (

@@ -1,0 +1,36 @@
+"""Partitioned-parquet layout: directory partition pruning.
+
+The reference had a flat file per job; a 100 TB table lives as
+``.../day=YYYY-MM-DD/part-*.parquet`` so a time-bounded query touches only
+its days' directories — pruning happens at file listing, before any IO.
+``write_events_partitioned`` materializes the events table in that layout;
+plan tests assert a day-filtered read shows the filter under
+``PartitionFilters`` (listing-time) rather than ``PushedFilters``
+(row-group-time), and scans only the matching partition directories.
+
+Partition-column cardinality note: partition by low-cardinality columns
+(day, source); partitioning by a high-cardinality key explodes the file
+count and kills listing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hadoop_spark.sources.tables import load_table
+
+
+def write_events_partitioned(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    )
+    # The partition column must not also live in the file payload; Spark
+    # handles that automatically for partitionBy.
+    ev.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+
+
+def read_events_day(spark: SparkSession, out_dir: str, day: str) -> DataFrame:
+    """Day-bounded read over the partitioned layout; the day predicate is a
+    directory filter, not a data filter."""
+    return spark.read.parquet(out_dir).filter(F.col("day") == day)

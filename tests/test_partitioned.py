@@ -1,0 +1,40 @@
+"""Partition pruning: day filters resolve at file listing, not row groups."""
+
+from __future__ import annotations
+
+import re
+
+from mapreduce_hadoop_spark.plans.checks import executed_plan
+from mapreduce_hadoop_spark.sources.partitioned import (
+    read_events_day,
+    write_events_partitioned,
+)
+from mapreduce_hadoop_spark.sources.tables import load_table
+
+import pyspark.sql.functions as F
+
+
+def test_day_filter_prunes_partitions(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_day")
+    write_events_partitioned(spark, sf_dir, out)
+
+    day = "2024-01-05"
+    df = read_events_day(spark, out, day)
+    plan = executed_plan(df)
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan[:2000]
+    # The pruned scan must read exactly the one matching directory.
+    m = re.search(r"partition count: (\d+)", plan) or re.search(
+        r"PartitionCount: (\d+)", plan
+    )
+    if m:
+        assert int(m.group(1)) == 1, plan[:2000]
+
+    # Round-trip correctness vs the unpartitioned source.
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd") == day)
+        .count()
+    )
+    assert df.count() == want > 0

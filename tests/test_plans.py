@@ -99,3 +99,13 @@ def test_cleanse_pipeline_single_scan(spark, sf_dir):
 
     plan = executed_plan(clean_positions_query(spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    # orderBy + limit must plan TakeOrderedAndProject (bounded heap), not a
+    # global Sort of the whole table.
+    from mapreduce_hadoop_spark.operators.analytics import global_top_orders
+    from mapreduce_hadoop_spark.plans.checks import executed_plan
+
+    plan = executed_plan(global_top_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
