@@ -75,6 +75,10 @@ def _specs() -> dict[str, QuerySpec]:
             analytics.top_orders_per_customer,
             analytics.TOP_ORDERS_ORACLE,
         ),
+        "shipping_priority": (
+            analytics.shipping_priority,
+            analytics.SHIPPING_PRIORITY_ORACLE,
+        ),
         "global_top_orders": (
             analytics.global_top_orders,
             analytics.GLOBAL_TOP_ORDERS_ORACLE,

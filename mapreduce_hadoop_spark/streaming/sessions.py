@@ -88,11 +88,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Raw on-disk schema (ts as nanos-long under the nanosAsLong conf, which
     # load_table sets); the stream converts to TimestampType in-flight.
     raw_schema = spark.read.parquet(path).schema
-    # The file stream source requires a directory; select the single table
-    # file with a glob filter.
+    # The file stream source requires a directory; select the table file(s)
+    # with a glob filter ("events*" also admits redelivered copies in tests).
     return normalize_events(
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
 
@@ -107,6 +107,21 @@ def session_agg_stream(
     """
     ev = _events_stream(spark, sf_dir)
     return session_agg_from(ev.withWatermark("ts", watermark), gap_s)
+
+
+def dedup_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once event dedup: watermarked ``dropDuplicates`` on
+    the event key.
+
+    The state store remembers each event_id until the watermark passes its
+    event time, so a redelivered event inside the horizon is suppressed and
+    state is bounded by (watermark x arrival rate) — the streaming twin of
+    the batch ``dropDuplicates`` used across the engine (reference combiner
+    semantics, ``AirportTripsRevenue.java:216-225``)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return ev.dropDuplicates(["event_id"])
 
 
 def tumbling_agg_stream(

@@ -67,3 +67,37 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert len(got) == len(want) > 0
     for c in want.columns:
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_stream_dedup_suppresses_redelivery(spark, tmp_path):
+    # Redeliver the whole events file as a second identical file: the
+    # watermarked dropDuplicates must emit each event_id exactly once.
+    import shutil
+
+    from mapreduce_hadoop_spark.streaming.sessions import dedup_stream
+
+    d = str(tmp_path / "stream_src")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    orig = "/root/testdata/sf0.001/events.parquet"
+    shutil.copy(orig, f"{d}/events.parquet")
+    shutil.copy(orig, f"{d}/events_redelivery.parquet")
+
+    n_unique = spark.read.parquet(orig).count()
+
+    q = (
+        dedup_stream(spark, d)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish"
+    finally:
+        q.stop()
+    got = spark.sql("select event_id from dedup_test")
+    assert got.count() == n_unique > 0
+    assert got.distinct().count() == n_unique
