@@ -26,6 +26,7 @@ HEADLINE = [
     # Relational breadth.
     "pricing_summary",
     "revenue_by_nation",
+    "shipping_priority",
     "top_orders_per_customer",
     "events_cube",
     # Temporal surface.
