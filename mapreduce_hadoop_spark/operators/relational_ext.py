@@ -303,6 +303,89 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- window-function breadth ------------------------------------------------
+
+
+def customer_balance_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/navigation/frame window functions in one pass per nation:
+    rank + dense_rank + percent_rank over a banded (tie-rich) order,
+    ntile/lead/running-sum over the fully deterministic order. Both window
+    specs share the partition key, so Catalyst plans ONE shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / 1000).alias("band"),
+    )
+    w_band = Window.partitionBy("c_nationkey").orderBy(F.col("band").desc())
+    w_total = Window.partitionBy("c_nationkey").orderBy(
+        F.col("band").desc(), "c_custkey"
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "band",
+        F.rank().over(w_band).alias("band_rank"),
+        F.dense_rank().over(w_band).alias("band_dense"),
+        F.round(F.percent_rank().over(w_band), 6).alias("band_pct"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.lead("c_custkey").over(w_total).alias("next_custkey"),
+        F.round(
+            F.sum("c_acctbal").over(
+                w_total.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        ).alias("running_bal"),
+    )
+
+
+CUSTOMER_WINDOWS_ORACLE = """
+SELECT
+    c_custkey,
+    c_nationkey,
+    band,
+    rank()       OVER wb AS band_rank,
+    dense_rank() OVER wb AS band_dense,
+    round(percent_rank() OVER wb, 6) AS band_pct,
+    ntile(4)     OVER wt AS quartile,
+    lead(c_custkey) OVER wt AS next_custkey,
+    round(sum(c_acctbal) OVER (PARTITION BY c_nationkey
+                               ORDER BY band DESC, c_custkey
+                               ROWS UNBOUNDED PRECEDING), 4) AS running_bal
+FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer)
+WINDOW wb AS (PARTITION BY c_nationkey ORDER BY band DESC),
+       wt AS (PARTITION BY c_nationkey ORDER BY band DESC, c_custkey)
+"""
+
+
+# --- deterministic hash sampling --------------------------------------------
+
+from mapreduce_hadoop_spark.functions.hashing import md5_long, md5_long_sql  # noqa: E402
+
+SAMPLE_MOD = 10  # keep 1/10th
+
+
+def events_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample: keep rows whose portable 60-bit key hash
+    is 0 mod 10. Unlike rand()/TABLESAMPLE, the sample is a pure function
+    of the key — stable across engines, retries, and partitionings, which
+    is what a training-data pipeline needs for held-out splits."""
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_long(F.col("event_id").cast("string"))
+    return ev.filter(h % SAMPLE_MOD == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+EVENTS_HASH_SAMPLE_ORACLE = f"""
+SELECT event_id, user_id, event_type, "value"
+FROM events
+WHERE ({md5_long_sql("CAST(event_id AS VARCHAR)")}) % {SAMPLE_MOD} = 0
+"""
+
+
 # --- set operations -------------------------------------------------------
 
 

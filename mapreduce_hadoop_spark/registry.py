@@ -165,6 +165,14 @@ def _specs() -> dict[str, QuerySpec]:
             relational_ext.SETOPS_ORACLE,
         ),
         "events_cube": (relational_ext.events_cube, relational_ext.EVENTS_CUBE_ORACLE),
+        "customer_balance_windows": (
+            relational_ext.customer_balance_windows,
+            relational_ext.CUSTOMER_WINDOWS_ORACLE,
+        ),
+        "events_hash_sample": (
+            relational_ext.events_hash_sample,
+            relational_ext.EVENTS_HASH_SAMPLE_ORACLE,
+        ),
         "orders_pivot_priority": (
             relational_ext.orders_pivot_priority,
             relational_ext.ORDERS_PIVOT_ORACLE,

@@ -1,0 +1,55 @@
+"""Stream-stream join with watermarks — the streaming range join.
+
+Streaming twin of ``operators/temporal.py::views_before_purchase_range_join``:
+view and purchase events arrive as two streams; each purchase joins the
+same user's views from the preceding 24 h. Both sides carry watermarks and
+the join condition bounds event-time distance, so the state store can
+expire a buffered view once the purchase-side watermark has passed
+``view.ts + 24 h`` (no unbounded buffering — the requirement for
+stream-stream joins to run indefinitely).
+
+State sizing at scale: buffered rows ~= arrival rate x (watermark + range)
+per side; the join key (user_id) partitions state across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_hadoop_spark.operators.temporal import RANGE_H
+from mapreduce_hadoop_spark.streaming.sessions import _events_stream
+
+
+def views_before_purchase_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming (purchase_id, view_id, value) pairs: views in the 24 h
+    before each purchase, same user. Aggregate downstream as needed."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("vts"),
+            F.col("event_id").alias("view_id"),
+            "value",
+        )
+        .withWatermark("vts", watermark)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", watermark)
+    )
+    cond = F.expr(
+        f"p_user = v_user AND vts >= pts - INTERVAL {RANGE_H} HOURS AND vts < pts"
+    )
+    return purchases.join(views, cond, "inner").select(
+        "purchase_id", "view_id", "value"
+    )

@@ -109,3 +109,15 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
 
     plan = executed_plan(global_top_orders(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_window_breadth_single_shuffle(spark, sf_dir):
+    # Two window specs sharing the partition key: one hash exchange, two
+    # sorts (one per ordering) — never a shuffle per window.
+    from mapreduce_hadoop_spark.operators.relational_ext import (
+        customer_balance_windows,
+    )
+
+    c = plan_counts(customer_balance_windows(spark, sf_dir))
+    assert c["exchange"] == 1, c
+    assert c["window"] == 2 and c["sort"] == 2, c
