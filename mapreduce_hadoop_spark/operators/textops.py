@@ -83,6 +83,84 @@ def _language_id_oracle() -> str:
 LANGUAGE_ID_ORACLE = _language_id_oracle()
 
 
+# Characteristic character trigrams per language (space-padded word edges
+# carry most of the signal; profiles are tiny fixed literals, broadcast as
+# part of the plan — the classic n-gram-profile LID shrunk to a determinate,
+# cross-engine-exact core).
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", "ing", "ng ", " an", "and", "nd ", "ion", " of"],
+    "de": ["der", "er ", " de", "ein", "ich", "sch", "und", " un", "en ", "ung"],
+    "fr": [" le", "les", "es ", " de", "de ", "ent", "nt ", "que", " qu", "ais"],
+    "es": [" de", "de ", " la", "la ", "los", " lo", "ión", "ara", " pa", "ue "],
+}
+
+
+def _char_trigrams(col: Column) -> Column:
+    """Distinct character 3-grams of ' ' + lower(text) + ' '."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(concat(' ', lower(text), ' ')) - 2, 0)),"
+        " i -> substr(concat(' ', lower(text), ' '), i, 3))"
+    )
+    del padded  # the expr above inlines the padding; kept for readability
+    return F.array_distinct(grams)
+
+
+def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID: argmax over per-language overlap
+    between the document's distinct trigrams and a fixed 10-trigram profile.
+    Same deterministic tie-break as the stopword variant; agreement between
+    the two heuristics is itself a data-quality signal. (The driver corpus's
+    `lang` column is synthetic metadata not reflected in the text content —
+    every doc draws from the same vocabulary — so label accuracy is not a
+    meaningful target here; correctness is pinned by the oracle instead.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _char_trigrams(F.col("text"))
+    counts = {
+        lang: F.size(
+            F.array_intersect(grams, F.array(*[F.lit(g) for g in profile]))
+        )
+        for lang, profile in LANG_TRIGRAMS.items()
+    }
+    expr = None
+    for i, lang in enumerate(LANG_ORDER):
+        cond = counts[lang] > 0
+        for other in LANG_ORDER[i + 1 :]:
+            cond = cond & (counts[lang] >= counts[other])
+        for other in LANG_ORDER[:i]:
+            cond = cond & (counts[lang] > counts[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("unknown"))
+    return docs.select(
+        "doc_id",
+        *[counts[lang].alias(f"tri_{lang}") for lang in LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+
+
+def _language_id_ngram_oracle() -> str:
+    grams = (
+        "list_distinct([substr(' ' || lower(text) || ' ', i, 3) "
+        "for i in range(1, greatest(length(' ' || lower(text) || ' ') - 2, 0) + 1)])"
+    )
+    c = {}
+    for lang, profile in LANG_TRIGRAMS.items():
+        lits = ", ".join("'" + g.replace("'", "''") + "'" for g in profile)
+        c[lang] = f"len(list_intersect({grams}, [{lits}]))"
+    whens = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = [f"{c[lang]} > 0"]
+        conds += [f"{c[lang]} >= {c[other]}" for other in LANG_ORDER[i + 1 :]]
+        conds += [f"{c[lang]} > {c[other]}" for other in LANG_ORDER[:i]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+    tri_cols = ", ".join(f"{c[lang]} AS tri_{lang}" for lang in LANG_ORDER)
+    return f"SELECT doc_id, {tri_cols}, {case} AS pred_lang FROM documents"
+
+
+LANGUAGE_ID_NGRAM_ORACLE = _language_id_ngram_oracle()
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality signal: length, lexical diversity, stopword ratio."""
     docs = load_table(spark, sf_dir, "documents")

@@ -99,6 +99,10 @@ def _specs() -> dict[str, QuerySpec]:
         ),
         # Text analysis (north-star extension).
         "text_language_id": (textops.language_id, textops.LANGUAGE_ID_ORACLE),
+        "text_language_id_ngram": (
+            textops.language_id_ngram,
+            textops.LANGUAGE_ID_NGRAM_ORACLE,
+        ),
         "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
         "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
         "text_fingerprints": (textops.fingerprints, textops.FINGERPRINTS_ORACLE),
