@@ -144,6 +144,24 @@ ORDER BY l_returnflag
 """
 
 
+def approx_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (bounded memory, no per-group sort) — the
+    100 TB path beside the exact ``lineitem_percentiles``. Estimates are
+    algorithm-specific, so the driver records a rows-only check; tests bound
+    the error against the exact twin (same pattern as the HLL sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 6
+            ).alias("p50_approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --- skew-resistant two-phase (salted) aggregation ---------------------------
 
 _N_SALTS = 32

@@ -185,6 +185,12 @@ def _specs() -> dict[str, QuerySpec]:
             relational_ext.lineitem_percentiles,
             relational_ext.LINEITEM_PERCENTILES_ORACLE,
         ),
+        # Sketch percentiles: estimates are algorithm-specific -> rows-only;
+        # tests/test_relational_ext.py bounds the error vs the exact twin.
+        "approx_lineitem_percentiles": (
+            relational_ext.approx_lineitem_percentiles,
+            None,
+        ),
         "events_salted_agg": (
             relational_ext.events_salted_agg,
             relational_ext.EVENTS_SALTED_ORACLE,

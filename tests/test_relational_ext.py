@@ -48,3 +48,19 @@ def test_asof_semantics_inclusive_and_null(spark):
         for r in purchase_asof_view(spark, d).collect()
     }
     assert got == {10: None, 11: 0, 12: 1, 13: None}
+
+
+def test_approx_percentile_within_error_bound(spark, sf_dir):
+    from mapreduce_hadoop_spark.operators.relational_ext import (
+        approx_lineitem_percentiles,
+        lineitem_percentiles,
+    )
+
+    exact = {r["l_returnflag"]: r["p50"] for r in lineitem_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r["l_returnflag"]: r["p50_approx"]
+        for r in approx_lineitem_percentiles(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, p50 in exact.items():
+        assert abs(approx[flag] - p50) <= 0.02 * abs(p50) + 1e-6, (flag, p50, approx[flag])
