@@ -70,3 +70,36 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2 * n1  # first file NOT reprocessed, new file once
     assert got.select("event_id").distinct().count() == 2 * n1
+
+
+def test_foreachbatch_idempotent_sink(spark, tmp_path):
+    # Two runs over a growing source with one checkpoint: each batch lands
+    # in its own batch_id dir exactly once; total rows = distinct source rows.
+    import os
+
+    from mapreduce_hadoop_spark.streaming.sessions import dedup_stream
+    from mapreduce_hadoop_spark.streaming.sinks import write_stream_idempotent
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(SRC, f"{src}/events.parquet")
+    n1 = spark.read.parquet(SRC).count()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    for add_file in (None, "events_b.parquet"):
+        if add_file:
+            _shifted_copy(f"{src}/{add_file}", 20_000_000, days=31)
+        q = (
+            write_stream_idempotent(dedup_stream(spark, src), out, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "stream did not finish"
+        finally:
+            q.stop()
+
+    got = spark.read.option("basePath", out).parquet(out)
+    assert got.count() == 2 * n1
+    assert got.select("event_id").distinct().count() == 2 * n1
