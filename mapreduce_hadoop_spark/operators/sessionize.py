@@ -116,6 +116,15 @@ def sessionize_window(
         F.max_by("lon", "t").alias("stop_lon"),
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum("seg_km"), 6).alias("dist_km"),
+        # Fee from the UNROUNDED distance (reference semantics,
+        # AirportTripsRevenue.java:347 - cumulatedDistance is never rounded
+        # before the fee). Also numerically essential cross-engine: fee over
+        # a 6-dp-rounded distance lands exactly on decimal half-boundaries
+        # (1.71 * x.xxxxxx can end in ...5 at 1e-7), where Spark's
+        # BigDecimal HALF_UP and DuckDB's float rounding disagree.
+        F.round(
+            F.lit(C.START_FEE) + F.lit(C.KM_FEE) * F.sum("seg_km"), 6
+        ).alias("revenue"),
         (F.max("at_airport") == 1).alias("is_airport"),
         F.min_by("event_date", "t").alias("trip_date"),
     )
@@ -131,7 +140,7 @@ def sessionize_window(
         "n_points",
         "dist_km",
         "is_airport",
-        F.round(F.lit(C.START_FEE) + F.lit(C.KM_FEE) * F.col("dist_km"), 6).alias("revenue"),
+        "revenue",
         F.date_format("trip_date", "yyyy-MM-dd").alias("trip_date"),
     )
 
@@ -197,7 +206,7 @@ SELECT
     count(*)            AS n_points,
     round(sum(seg_km), 6)                    AS dist_km,
     max(at_airport) = 1                      AS is_airport,
-    round(3.5 + 1.71 * round(sum(seg_km), 6), 6) AS revenue,
+    round(3.5 + 1.71 * sum(seg_km), 6)       AS revenue,
     strftime(min_by(event_date, t), '%Y-%m-%d') AS trip_date
 FROM m
 GROUP BY taxi, session_id
@@ -272,7 +281,7 @@ def replay_core(
                     stop_lat,
                     stop_lon,
                     round(trip["dist"], 6),
-                    round(C.START_FEE + C.KM_FEE * round(trip["dist"], 6), 6),
+                    round(C.START_FEE + C.KM_FEE * trip["dist"], 6),
                     str(trip["date"])[:10],
                 )
             )
