@@ -44,3 +44,16 @@ def test_near_dup_lsh_recall(spark, sf_dir):
     assert len(exact) > 0
     recall = len(lsh) / len(exact)
     assert recall >= 0.2, f"recall={recall:.2f}"
+
+
+def test_topk_lsh_recall(spark, sf_dir):
+    from mapreduce_hadoop_spark.operators.similarity import topk_lsh
+
+    exact, approx = {}, {}
+    for r in topk_bruteforce(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in topk_lsh(spark, sf_dir).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.3, f"recall@5={hits}/{total}"
