@@ -211,6 +211,9 @@ def _specs() -> dict[str, QuerySpec]:
         # IVF ANN (scale path beside topk_lsh; recall vs bruteforce bounded
         # in tests/test_similarity_ivf.py).
         "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
+        # K-means training is not SQL-expressible -> rows-only; recall vs
+        # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
+        "similarity_topk_ivf_trained": (similarity.topk_ivf_trained, None),
     }
     return specs
 
