@@ -108,6 +108,52 @@ ORDER BY o_orderstatus
 """
 
 
+# --- UNPIVOT / melt ---------------------------------------------------------
+
+
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long via the native ``unpivot`` (reference O9e did this shape
+    manually with explode; this is the declared relational form): the four
+    lineitem measures become (measure, value) rows, then a grouped profile
+    per measure. Unpivot is a zero-shuffle row multiplier — the aggregation
+    is the only exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+            F.round(F.avg("value"), 6).alias("v_avg"),
+        )
+        .orderBy("measure")
+    )
+
+
+LINEITEM_UNPIVOT_ORACLE = """
+SELECT measure,
+       count(*)            AS n,
+       round(min("value"), 6) AS v_min,
+       round(max("value"), 6) AS v_max,
+       round(avg("value"), 6) AS v_avg
+FROM (
+    UNPIVOT (SELECT l_orderkey, l_linenumber,
+                    l_quantity, l_extendedprice, l_discount, l_tax
+             FROM lineitem)
+    ON l_quantity, l_extendedprice, l_discount, l_tax
+    INTO NAME measure VALUE "value"
+)
+GROUP BY measure
+ORDER BY measure
+"""
+
+
 # --- exact percentiles ------------------------------------------------------
 
 

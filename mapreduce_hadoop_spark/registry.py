@@ -181,6 +181,10 @@ def _specs() -> dict[str, QuerySpec]:
             relational_ext.orders_pivot_priority,
             relational_ext.ORDERS_PIVOT_ORACLE,
         ),
+        "lineitem_measures_unpivot": (
+            relational_ext.lineitem_measures_unpivot,
+            relational_ext.LINEITEM_UNPIVOT_ORACLE,
+        ),
         "lineitem_percentiles": (
             relational_ext.lineitem_percentiles,
             relational_ext.LINEITEM_PERCENTILES_ORACLE,
