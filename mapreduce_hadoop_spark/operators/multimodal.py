@@ -176,3 +176,60 @@ SELECT
                      (octet_length(encode(txt)) * (frame + 1)) // 4]), 1, 16) AS digest16
 FROM f
 """
+
+
+RESIZE_BOX = 32  # aspect-fit target box (stand-in for a thumbnail pipeline)
+
+
+def resize_media(media: DataFrame, real_resize: bool = False) -> DataFrame:
+    """Arrow-batched 'resize': aspect-fit the (fake-)decoded dimensions into
+    a RESIZE_BOX square. The pixel transform is the marked stub; the
+    dimension arithmetic, batch shape and typed output are the real
+    plumbing a thumbnailing stage needs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_resize:
+                raise NotImplementedError(
+                    "real resizing requires PIL/ffmpeg, absent in this "
+                    "container; wire the resampler here"
+                )
+            rows = []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                w, h = _fake_dimensions(payload)
+                scale = min(RESIZE_BOX / w, RESIZE_BOX / h)
+                rows.append(
+                    (int(doc_id), mime, w, h, int(w * scale), int(h * scale))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "width", "height", "out_w", "out_h"],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="doc_id bigint, mime string, width int, height int, out_w int, out_h int",
+    )
+
+
+def media_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(media_table(spark, sf_dir))
+
+
+MEDIA_RESIZE_ORACLE = f"""
+WITH dims AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           (octet_length(encode(text)) % 64) + 16 AS width,
+           ((octet_length(encode(text)) // 64) % 64) + 16 AS height
+    FROM documents
+)
+SELECT doc_id, mime, width, height,
+       CAST(trunc(width * least({RESIZE_BOX}.0 / width, {RESIZE_BOX}.0 / height)) AS INT) AS out_w,
+       CAST(trunc(height * least({RESIZE_BOX}.0 / width, {RESIZE_BOX}.0 / height)) AS INT) AS out_h
+FROM dims
+"""

@@ -134,6 +134,10 @@ def _specs() -> dict[str, QuerySpec]:
             multimodal.media_decode_query,
             multimodal.MEDIA_DECODE_ORACLE,
         ),
+        "multimodal_resize_stub": (
+            multimodal.media_resize_query,
+            multimodal.MEDIA_RESIZE_ORACLE,
+        ),
         "multimodal_frame_sample": (
             multimodal.frame_sample_query,
             multimodal.FRAME_SAMPLE_ORACLE,
