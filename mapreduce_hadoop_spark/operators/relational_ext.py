@@ -479,3 +479,112 @@ SELECT 'intersect', c_nationkey FROM (SELECT c_nationkey FROM a INTERSECT SELECT
 UNION ALL
 SELECT 'except', c_nationkey FROM (SELECT c_nationkey FROM a EXCEPT SELECT c_nationkey FROM b)
 """
+
+
+# --- semi / anti joins ----------------------------------------------------
+
+
+def customer_order_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: customers with >= 1 order (LEFT SEMI) vs. none
+    (LEFT ANTI), as one relation (c_mktsegment, with_orders, without_orders).
+
+    Semi/anti are the scale-correct existence tests: the probe side is never
+    duplicated by match multiplicity (a plain join + distinct re-expands the
+    fact table first), and only the join key crosses the shuffle — Catalyst
+    plans both from the same orders scan with the aggregate pushed below.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ords = load_table(spark, sf_dir, "orders").select("o_custkey")
+    on = cust["c_custkey"] == ords["o_custkey"]
+    semi = (
+        cust.join(ords, on, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    anti = (
+        cust.join(ords, on, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    return (
+        semi.join(anti, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
+
+
+SEMI_ANTI_ORACLE = """
+SELECT c_mktsegment,
+       count(*) FILTER (WHERE EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+       count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders
+FROM customer c
+GROUP BY c_mktsegment
+"""
+
+
+# --- GROUPING SETS (arbitrary set list, not the rollup/cube lattice) ------
+
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((event_type), (day)): two independent aggregation
+    grains in ONE scan + one shuffle — the general form that rollup/cube
+    specialize. At 100 TB this halves input passes vs. two separate
+    groupBys; Spark plans a single Expand + hash aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        F.col("value"),
+    )
+    return (
+        ev.groupingSets([["event_type"], ["day"]], "event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("event_type", "day", "n", "sum_value")
+    )
+
+
+EVENTS_GROUPING_SETS_ORACLE = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n, round(sum("value"), 4) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')))
+"""
+
+
+# --- stratified (per-class) deterministic sampling ------------------------
+
+STRATA_PCT = {"purchase": 100, "error": 50, "signup": 25, "view": 10, "click": 10}
+
+
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type sampling at different rates (rare classes kept whole,
+    common classes downsampled) — the class-rebalancing primitive of a
+    training-data pipeline. Keep iff hash(event_id) mod 100 < pct[type]:
+    a pure function of the key, so the sample is reproducible across
+    engines, retries, and partitionings (rand()/sampleBy are not), and the
+    filter runs map-side with zero shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.create_map(
+        *[F.lit(x) for kv in STRATA_PCT.items() for x in kv]
+    )[F.col("event_type")]
+    h = md5_long(F.col("event_id").cast("string")) % 100
+    return ev.filter(h < pct).select("event_id", "user_id", "event_type", "value")
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items()
+)
+
+EVENTS_STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT event_id, user_id, event_type, "value"
+FROM events
+WHERE ({md5_long_sql("CAST(event_id AS VARCHAR)")}) % 100
+      < (CASE event_type {_STRATA_CASE} ELSE 0 END)
+"""

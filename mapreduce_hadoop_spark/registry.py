@@ -181,6 +181,18 @@ def _specs() -> dict[str, QuerySpec]:
             relational_ext.events_hash_sample,
             relational_ext.EVENTS_HASH_SAMPLE_ORACLE,
         ),
+        "events_stratified_sample": (
+            relational_ext.events_stratified_sample,
+            relational_ext.EVENTS_STRATIFIED_SAMPLE_ORACLE,
+        ),
+        "customer_order_semi_anti": (
+            relational_ext.customer_order_semi_anti,
+            relational_ext.SEMI_ANTI_ORACLE,
+        ),
+        "events_grouping_sets": (
+            relational_ext.events_grouping_sets,
+            relational_ext.EVENTS_GROUPING_SETS_ORACLE,
+        ),
         "orders_pivot_priority": (
             relational_ext.orders_pivot_priority,
             relational_ext.ORDERS_PIVOT_ORACLE,

@@ -121,3 +121,37 @@ def test_window_breadth_single_shuffle(spark, sf_dir):
     c = plan_counts(customer_balance_windows(spark, sf_dir))
     assert c["exchange"] == 1, c
     assert c["window"] == 2 and c["sort"] == 2, c
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    # Two aggregation grains from ONE scan: a single Expand feeding one
+    # partial+final aggregate pair — not two separate groupBys.
+    from mapreduce_hadoop_spark.operators.relational_ext import events_grouping_sets
+
+    c = plan_counts(events_grouping_sets(spark, sf_dir))
+    assert c["expand"] == 1, c
+    assert c["exchange"] == 1, c
+
+
+def test_semi_anti_no_fact_duplication(spark, sf_dir):
+    # Existence tests must plan as semi/anti joins (probe side never
+    # re-expanded by match multiplicity) — not inner join + distinct.
+    from mapreduce_hadoop_spark.operators.relational_ext import (
+        customer_order_semi_anti,
+    )
+    from mapreduce_hadoop_spark.plans.checks import executed_plan
+
+    plan = executed_plan(customer_order_semi_anti(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2000]
+    c = plan_counts(customer_order_semi_anti(spark, sf_dir))
+    assert c["cartesian"] == 0 and c["nested_loop_join"] == 0, c
+
+
+def test_stratified_sample_map_side(spark, sf_dir):
+    # The per-class hash filter is a pure map-side predicate: zero shuffles.
+    from mapreduce_hadoop_spark.operators.relational_ext import (
+        events_stratified_sample,
+    )
+
+    c = plan_counts(events_stratified_sample(spark, sf_dir))
+    assert c["exchange"] == 0, c
