@@ -150,3 +150,65 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
  AND v.ts <  p.ts
 GROUP BY p.event_id
 """
+
+
+# --- calendar gap-fill / resample -----------------------------------------
+
+
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts per type resampled onto a dense calendar: days
+    with no events appear with n = 0 (time-series training data needs
+    gapless grids; a bare groupBy silently drops empty buckets).
+
+    The dense (type x day) spine is built in-plan: the global [min, max]
+    date range is one scalar aggregate broadcast into `sequence()` +
+    explode, cross-joined with the distinct types (both sides tiny — the
+    spine is O(types x days) regardless of fact size), then left-joined
+    with the per-day counts. The only fact-sized shuffle is the groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type"), F.to_date("ts").alias("day"), F.col("value")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(days))
+    return (
+        spine.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_GAPFILL_ORACLE = """
+WITH ev AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, "value" FROM events
+),
+counts AS (
+    SELECT event_type, day, count(*) AS n, round(sum("value"), 4) AS sum_value
+    FROM ev GROUP BY event_type, day
+),
+days AS (
+    SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+    FROM ev
+),
+spine AS (
+    SELECT t.event_type, d.day
+    FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN days d
+)
+SELECT s.event_type,
+       strftime(s.day, '%Y-%m-%d') AS day,
+       coalesce(n, 0) AS n,
+       coalesce(sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN counts c
+  ON c.event_type = s.event_type AND c.day = s.day
+"""

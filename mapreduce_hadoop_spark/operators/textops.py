@@ -16,7 +16,7 @@ all (narrow select), so they run at storage bandwidth.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_hadoop_spark.functions import text as T
@@ -261,4 +261,78 @@ SELECT
          THEN list_min([{md5_long_sql("s")} for s in {_SH}])
          ELSE NULL END AS min_shingle_fp
 FROM documents
+"""
+
+
+# --- TF-IDF ---------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: the classic corpus-weighting
+    primitive (feature extraction / keyword summarization for training
+    pipelines).
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (smoothed);
+    score rounded once at the edge. Plan shape at scale: one explode ->
+    shuffle on (doc_id, term) for tf, shuffle on term for df, the scalar N
+    broadcast; top-k is a per-doc window over the scored relation — no
+    driver-side collects, vocabulary-sized state only in the df aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH terms AS (
+    SELECT doc_id, unnest({T.tokens_sql('text')}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM terms
+    WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, term,
+           round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1.0), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """

@@ -106,6 +106,7 @@ def _specs() -> dict[str, QuerySpec]:
         "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
         "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
         "text_fingerprints": (textops.fingerprints, textops.FINGERPRINTS_ORACLE),
+        "text_tfidf_top_terms": (textops.tfidf_top_terms, textops.TFIDF_ORACLE),
         # Deduplication (north-star extension).
         "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
         "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
@@ -223,6 +224,10 @@ def _specs() -> dict[str, QuerySpec]:
         "events_sliding_window": (
             temporal.events_sliding_window,
             temporal.EVENTS_SLIDING_ORACLE,
+        ),
+        "events_daily_gapfill": (
+            temporal.events_daily_gapfill,
+            temporal.EVENTS_GAPFILL_ORACLE,
         ),
         "views_before_purchase_range_join": (
             temporal.views_before_purchase_range_join,
