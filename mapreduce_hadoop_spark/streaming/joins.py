@@ -53,3 +53,27 @@ def views_before_purchase_stream(
     return purchases.join(views, cond, "inner").select(
         "purchase_id", "view_id", "value"
     )
+
+
+def enriched_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrich: each micro-batch of events joins the
+    static customer table broadcast to every executor — the stream side
+    never shuffles and no join state accrues (the canonical third join
+    pattern beside stream-stream and batch-batch).
+
+    The static side is re-planned per micro-batch, so a dimension refresh
+    (e.g. an updated parquet snapshot) is picked up without restarting the
+    query; at 100 TB/day stream rates the only scaling knob is the
+    dimension's broadcast size.
+    """
+    from mapreduce_hadoop_spark.sources.tables import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return ev.join(cust, "user_id").select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
