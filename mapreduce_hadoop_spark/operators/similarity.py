@@ -451,3 +451,58 @@ SELECT query_id, vec_id, cosine, rank FROM (
     FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+# --- metadata-filtered search ---------------------------------------------
+
+
+def topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 restricted to English documents — filtered vector
+    search, the retrieval pattern production corpora actually need
+    (metadata predicate + similarity, not similarity alone).
+
+    Pre-filter strategy: the candidate set shrinks BEFORE any scoring
+    (embeddings semi-joined to the filtered documents on vec_id = doc_id),
+    so top-k is computed over exactly the rows that satisfy the predicate —
+    no post-filter recall loss. At scale the filter is a key-partitioned
+    semi join (or a pushed-down predicate when the metadata is embedded in
+    the vector table) and the scoring cost drops by the filter selectivity.
+    """
+    en = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    cand = emb.join(en, "vec_id", "left_semi")
+    pairs = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+TOPK_FILTERED_ORACLE = f"""
+WITH e AS ({EMB_NORM_SQL}),
+en AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+c AS (SELECT e.* FROM e WHERE vec_id IN (SELECT vec_id FROM en)),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           round({DOT_SQL.format(a="q.qv", b="c.v")} / (q.qn * c.norm), 6) AS cosine
+    FROM c JOIN q ON c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""

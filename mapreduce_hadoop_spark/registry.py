@@ -120,6 +120,10 @@ def _specs() -> dict[str, QuerySpec]:
             similarity.topk_bruteforce,
             similarity.TOPK_BRUTEFORCE_ORACLE,
         ),
+        "similarity_topk_filtered": (
+            similarity.topk_filtered,
+            similarity.TOPK_FILTERED_ORACLE,
+        ),
         "similarity_near_dup_cosine": (
             similarity.near_dup_cosine,
             similarity.NEAR_DUP_ORACLE,
