@@ -336,3 +336,67 @@ ranked AS (
 )
 SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+# --- document chunking ----------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 8
+
+
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks per document — the 1->N
+    windowing that turns a raw corpus into training sequences (context
+    chunks for LLM pretraining / RAG indexing).
+
+    Chunk k covers tokens [1 + (k-1)*stride, ... + size); a chunk is kept
+    iff it contributes at least one token no earlier chunk covers (always
+    true for chunk 1), so short documents yield exactly one chunk and no
+    chunk is a suffix-duplicate of its predecessor. Map-only: the explode
+    multiplies rows ~len/stride with zero shuffle; downstream ops see
+    (doc_id, chunk_id) as the new record key.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = T.tokens("text")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+    ex = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(starts).alias("pos", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS)
+    return (
+        ex.select(
+            "doc_id",
+            (F.col("pos") + 1).alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+        .filter(
+            (F.col("chunk_id") == 1)
+            | (F.col("n_tokens") > CHUNK_TOKENS - CHUNK_STRIDE)
+        )
+    )
+
+
+DOCUMENT_CHUNKS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS start
+    FROM t
+),
+c AS (
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS INT) + 1 AS chunk_id,
+           list_slice(toks, start, start + {CHUNK_TOKENS} - 1) AS chunk
+    FROM s
+)
+SELECT doc_id, chunk_id,
+       array_to_string(chunk, ' ') AS chunk_text,
+       CAST(len(chunk) AS INT) AS n_tokens
+FROM c
+WHERE chunk_id = 1 OR len(chunk) > {CHUNK_TOKENS - CHUNK_STRIDE}
+"""
