@@ -155,3 +155,11 @@ def test_stratified_sample_map_side(spark, sf_dir):
 
     c = plan_counts(events_stratified_sample(spark, sf_dir))
     assert c["exchange"] == 0, c
+
+
+def test_document_chunks_map_only(spark, sf_dir):
+    # The 1->N chunk explode is a narrow transformation: zero shuffles.
+    from mapreduce_hadoop_spark.operators.textops import document_chunks
+
+    c = plan_counts(document_chunks(spark, sf_dir))
+    assert c["exchange"] == 0, c
