@@ -51,12 +51,26 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact_ok, "doc_id", "left_semi")
         .join(near_dups, "doc_id", "left_anti")
     )
+    # Fixed-point average: quality is quantized to nano BIGINTs and summed
+    # as integers (order-independent, exact), then 6-dp HALF_UP is pure
+    # integer arithmetic — round(p/q) = (p + q/2) div q on non-negative
+    # values with q = 1000 * n_docs. A double avg() depends on the
+    # partial-merge order and flips round(.., 6) at half-boundaries
+    # run-to-run; this cannot. The oracle quantizes identically.
     return (
         clean.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum(F.expr("cast(round(quality * 1e9) as bigint)")).alias("q_nano"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                "((q_nano + 500 * n_docs) div (1000 * n_docs)) / 1e6"
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )
@@ -80,12 +94,17 @@ clean AS (
     WHERE q.quality >= {QUALITY_MIN}
       AND d.doc_id IN (SELECT doc_id FROM exact_ok)
       AND d.doc_id NOT IN (SELECT doc_id FROM near_dups)
+),
+grouped AS (
+    SELECT source,
+           count(*)      AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           CAST(sum(CAST(round(quality * 1e9) AS BIGINT)) AS BIGINT) AS q_nano
+    FROM clean
+    GROUP BY source
 )
-SELECT source,
-       count(*)               AS n_docs,
-       sum(n_tokens)          AS total_tokens,
-       round(avg(quality), 6) AS avg_quality
-FROM clean
-GROUP BY source
+SELECT source, n_docs, total_tokens,
+       ((q_nano + 500 * n_docs) // (1000 * n_docs)) / 1e6 AS avg_quality
+FROM grouped
 ORDER BY source
 """

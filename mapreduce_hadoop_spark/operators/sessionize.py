@@ -53,6 +53,10 @@ from mapreduce_hadoop_spark.functions.geo import (
 )
 from mapreduce_hadoop_spark.operators import gps
 
+# Start fee in nano-units for the fixed-point revenue derivation (see
+# sessionize_window docstring/comments).
+_START_FEE_NANO = int(round(C.START_FEE * 1e9))
+
 TRIP_SCHEMA = (
     "taxi bigint, session_id bigint, start_t double, start_lat double, "
     "start_lon double, stop_t double, stop_lat double, stop_lon double, "
@@ -76,6 +80,17 @@ def sessionize_window(
     (taxi | t, event_id) spec, so Catalyst collapses them into a single
     Window operator over one sort.
     """
+    # Fixed-point aggregation: per-segment distances are quantized to
+    # nano-km BIGINTs and summed as integers, so the aggregate is exact and
+    # independent of Spark's partial-merge order. IEEE double sums depend on
+    # addend order (shuffle-fetch arrival order varies run to run); when the
+    # unrounded sum lands within an ulp of a 1e-6 half-boundary, round(.., 6)
+    # flips between runs/engines. Integer sums cannot. Quantization error is
+    # <= 5e-10 km/segment — invisible at the 6-dp output precision, and the
+    # DuckDB oracle quantizes identically so the engines agree bit-for-bit.
+    # Reference semantics preserved: the fee is computed from the
+    # (quantized) unrounded sum, not the 6-dp distance
+    # (AirportTripsRevenue.java:347).
     w = Window.partitionBy("taxi").orderBy("t", "event_id")
     lagged = pos.select(
         "*",
@@ -94,10 +109,13 @@ def sessionize_window(
         (is_m & ~F.coalesce(cont, F.lit(False))).cast("int").alias("is_start"),
         F.when(
             is_m & cont,
-            spherical_earth_distance("prev_lat", "prev_lon", "lat", "lon"),
+            F.round(
+                spherical_earth_distance("prev_lat", "prev_lon", "lat", "lon")
+                * F.lit(1e9)
+            ).cast("long"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("seg_km"),
+        .otherwise(F.lit(0).cast("long"))
+        .alias("seg_nano"),
         is_airport_position(
             "lat", "lon", airport_lat, airport_lon, airport_radius_km
         )
@@ -115,19 +133,14 @@ def sessionize_window(
         F.max_by("lat", "t").alias("stop_lat"),
         F.max_by("lon", "t").alias("stop_lon"),
         F.count(F.lit(1)).alias("n_points"),
-        F.round(F.sum("seg_km"), 6).alias("dist_km"),
-        # Fee from the UNROUNDED distance (reference semantics,
-        # AirportTripsRevenue.java:347 - cumulatedDistance is never rounded
-        # before the fee). Also numerically essential cross-engine: fee over
-        # a 6-dp-rounded distance lands exactly on decimal half-boundaries
-        # (1.71 * x.xxxxxx can end in ...5 at 1e-7), where Spark's
-        # BigDecimal HALF_UP and DuckDB's float rounding disagree.
-        F.round(
-            F.lit(C.START_FEE) + F.lit(C.KM_FEE) * F.sum("seg_km"), 6
-        ).alias("revenue"),
+        F.sum("seg_nano").alias("dist_nano"),
         (F.max("at_airport") == 1).alias("is_airport"),
         F.min_by("event_date", "t").alias("trip_date"),
     )
+    # 6-dp HALF_UP in pure integer arithmetic ((x + 500) div 1000 on
+    # non-negative nano units), then one exact long->double division: both
+    # engines produce the identical double. Fee from the unrounded
+    # (nano-quantized) distance per reference semantics.
     return trips.select(
         "taxi",
         "session_id",
@@ -138,9 +151,12 @@ def sessionize_window(
         "stop_lat",
         "stop_lon",
         "n_points",
-        "dist_km",
+        F.expr("((dist_nano + 500) div 1000) / 1e6").alias("dist_km"),
         "is_airport",
-        "revenue",
+        F.expr(
+            f"(({_START_FEE_NANO} + cast(round({C.KM_FEE!r} * dist_nano) as bigint)"
+            " + 500) div 1000) / 1e6"
+        ).alias("revenue"),
         F.date_format("trip_date", "yyyy-MM-dd").alias("trip_date"),
     )
 
@@ -183,8 +199,11 @@ flagged AS (
         CASE WHEN status = 'M' AND NOT coalesce(
                  prev_status = 'M' AND (t - prev_t) <= 210.0, FALSE)
              THEN 1 ELSE 0 END AS is_start,
+        -- Fixed-point: quantize each segment to nano-km BIGINTs so the sum
+        -- is exact integer arithmetic, bit-identical to the Spark plan
+        -- regardless of addend order (see sessionize_window).
         CASE WHEN status = 'M' AND prev_status = 'M' AND (t - prev_t) <= 210.0
-             THEN {_SEG_KM} ELSE 0.0 END AS seg_km,
+             THEN CAST(round(({_SEG_KM}) * 1e9) AS BIGINT) ELSE 0 END AS seg_nano,
         CASE WHEN {_AIRPORT_KM} <= 2.0 THEN 1 ELSE 0 END AS at_airport
     FROM lagged
 ),
@@ -193,23 +212,33 @@ m AS (
         sum(is_start) OVER (PARTITION BY taxi ORDER BY t, event_id
                             ROWS UNBOUNDED PRECEDING) AS session_id
     FROM flagged WHERE status = 'M'
+),
+grouped AS (
+    SELECT
+        taxi,
+        session_id,
+        min(t)              AS start_t,
+        min_by(lat, t)      AS start_lat,
+        min_by(lon, t)      AS start_lon,
+        max(t)              AS stop_t,
+        max_by(lat, t)      AS stop_lat,
+        max_by(lon, t)      AS stop_lon,
+        count(*)            AS n_points,
+        CAST(sum(seg_nano) AS BIGINT)            AS dist_nano,
+        max(at_airport) = 1                      AS is_airport,
+        strftime(min_by(event_date, t), '%Y-%m-%d') AS trip_date
+    FROM m
+    GROUP BY taxi, session_id
 )
 SELECT
-    taxi,
-    session_id,
-    min(t)              AS start_t,
-    min_by(lat, t)      AS start_lat,
-    min_by(lon, t)      AS start_lon,
-    max(t)              AS stop_t,
-    max_by(lat, t)      AS stop_lat,
-    max_by(lon, t)      AS stop_lon,
-    count(*)            AS n_points,
-    round(sum(seg_km), 6)                    AS dist_km,
-    max(at_airport) = 1                      AS is_airport,
-    round(3.5 + 1.71 * sum(seg_km), 6)       AS revenue,
-    strftime(min_by(event_date, t), '%Y-%m-%d') AS trip_date
-FROM m
-GROUP BY taxi, session_id
+    taxi, session_id, start_t, start_lat, start_lon,
+    stop_t, stop_lat, stop_lon, n_points,
+    ((dist_nano + 500) // 1000) / 1e6 AS dist_km,
+    is_airport,
+    ((3500000000 + CAST(round(1.71 * dist_nano) AS BIGINT) + 500) // 1000) / 1e6
+        AS revenue,
+    trip_date
+FROM grouped
 """
 
 AIRPORT_TRIPS_ORACLE = f"""
