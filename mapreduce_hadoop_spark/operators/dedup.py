@@ -25,7 +25,7 @@ xxhash64 when oracle parity is not needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_hadoop_spark.functions import text as T
@@ -45,6 +45,13 @@ SIMHASH_BITS = 32
 SIMHASH_BLOCKS = 4
 HAMMING_MAX = 6
 NGRAM_DF_CAP = 200  # shingles in more docs than this don't generate pairs
+# Band buckets larger than this don't generate candidate pairs. Boilerplate
+# corpora collapse many docs onto one band signature, making that bucket's
+# self-join quadratic; >cap docs sharing a 2-minhash signature is almost
+# surely boilerplate, and dropping the bucket bounds the blowup (same
+# tradeoff as NGRAM_DF_CAP — pairs whose every band is boilerplate are
+# lost, documented). ``lsh_dropped_buckets`` reports what the cap dropped.
+LSH_BUCKET_CAP = 200
 
 _PERMS = minhash_params(NUM_PERMS)
 
@@ -105,7 +112,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     p = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < p:
+    # File-count probe instead of rdd.getNumPartitions(): inputFiles() is a
+    # metadata-only FileIndex listing (no plan->RDD conversion, no job). A
+    # corpus big enough for split count to matter is multi-file, so file
+    # count < parallelism is the right "too few splits" signal.
+    if len(docs.inputFiles()) < p:
         docs = docs.repartition(p)
     return docs.select("doc_id", T.shingles("text").alias("sh"))
 
@@ -176,20 +187,9 @@ sigs AS (SELECT doc_id, {mins} FROM hsv WHERE len(hs) > 0)
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs: LSH banding for candidates, exact Jaccard verify.
-
-    Returns (doc_a, doc_b, jaccard) with jaccard >= 0.5, doc_a < doc_b.
-
-    The shingle-hash relation feeds three branches (signatures + both verify
-    joins); it is persisted so the shingle/md5 work runs exactly once (at
-    cluster scale: MEMORY_AND_DISK, ~O(total shingles) longs). The Jaccard
-    verify runs on the hash arrays — set-identical to string shingles up to
-    2^-31 collisions, and far cheaper to shuffle than the strings.
-    """
-    hs = _shingle_hashes(spark, sf_dir).persist()
-    sigs = _minhash_from(hs)
-    bands = sigs.select(
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) — one row per (doc, band) with the band signature."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -209,6 +209,48 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.sig")
+
+
+def lsh_dropped_buckets(
+    hs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """(band, sig, bucket_n) for every band bucket the cap drops — the
+    observability side of LSH_BUCKET_CAP (run it alongside the dedup to
+    quantify what boilerplate the cap excluded)."""
+    return (
+        _band_keys(_minhash_from(hs))
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > F.lit(bucket_cap))
+    )
+
+
+def minhash_lsh_pairs_from(
+    hs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Near-duplicate pairs: LSH banding for candidates, exact Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= 0.5, doc_a < doc_b.
+
+    The shingle-hash relation feeds three branches (signatures + both verify
+    joins); it is persisted so the shingle/md5 work runs exactly once (at
+    cluster scale: MEMORY_AND_DISK, ~O(total shingles) longs). The Jaccard
+    verify runs on the hash arrays — set-identical to string shingles up to
+    2^-31 collisions, and far cheaper to shuffle than the strings.
+
+    Band buckets above ``bucket_cap`` are excluded from candidate
+    generation (quadratic-blowup guard; see LSH_BUCKET_CAP). The in-line
+    window count shuffles on exactly the (band, sig) key the self-join
+    hashes on, so the guard adds no extra shuffle of the band relation.
+    """
+    hs = hs.persist()
+    bands = _band_keys(_minhash_from(hs))
+    wb = Window.partitionBy("band", "sig")
+    bands = (
+        bands.select("*", F.count(F.lit(1)).over(wb).alias("bucket_n"))
+        .filter(F.col("bucket_n") <= F.lit(bucket_cap))
+        .drop("bucket_n")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -234,6 +276,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs_from(_shingle_hashes(spark, sf_dir))
+
+
 def _minhash_lsh_oracle() -> str:
     band_rows = ", ".join(
         "({b}, mh{i0} || '_' || mh{i1})".format(
@@ -244,12 +290,15 @@ def _minhash_lsh_oracle() -> str:
     return f"""
 WITH {_minhash_sigs_sql()},
 bands AS (
-    SELECT doc_id, bk.* FROM sigs,
+    SELECT doc_id, bk.*,
+           count(*) OVER (PARTITION BY bk.band, bk.sig) AS bucket_n
+    FROM sigs,
     LATERAL (VALUES {band_rows}) AS bk(band, sig)
 ),
+bandsf AS (SELECT doc_id, band, sig FROM bands WHERE bucket_n <= {LSH_BUCKET_CAP}),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM bandsf a JOIN bandsf b
       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
 sh2 AS (SELECT doc_id, hs AS sh FROM hsv)

@@ -120,6 +120,13 @@ WHERE round({DOT_SQL.format(a="a.v", b="b.v")} / (a.norm * b.norm), 6) >= {NEAR_
 
 NEAR_DUP_BANDS = 4
 NEAR_DUP_BAND_BITS = 4
+# Degenerate-bucket guard for the banded self-join: a sign bucket holding
+# more than max(EMB_BUCKET_CAP_MIN, n/2) vectors (e.g. a zero-heavy corpus
+# collapsing everything onto bucket 0) is excluded from candidate
+# generation. Healthy 4-bit buckets hold ~n/16, so the cap only trips on
+# pathological skew; it is relative (not a fixed count) because bucket size
+# legitimately grows linearly with the corpus.
+EMB_BUCKET_CAP_MIN = 200
 
 
 def _band_bucket(v: Column, band: int) -> Column:
@@ -147,6 +154,15 @@ def near_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (candidates still pass the exact threshold).
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    return near_dup_lsh_from(emb)
+
+
+def near_dup_lsh_from(emb: DataFrame) -> DataFrame:
+    """Banded-LSH near-dup pairs from a normed (vec_id, v, norm) relation;
+    see ``near_dup_cosine_lsh``. Buckets over max(EMB_BUCKET_CAP_MIN, n/2)
+    are dropped (degenerate-skew guard); the window count shuffles on the
+    same (band, bucket) key the self-join uses, so the guard adds no extra
+    shuffle of the band relation."""
     banded = emb.select(
         "vec_id",
         F.explode(
@@ -161,6 +177,19 @@ def near_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("vec_id", "bk.band", "bk.bucket")
+    tot = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    wb = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.crossJoin(F.broadcast(tot))
+        .select("*", F.count(F.lit(1)).over(wb).alias("bucket_n"))
+        .filter(
+            F.col("bucket_n")
+            <= F.greatest(
+                F.lit(EMB_BUCKET_CAP_MIN).cast("long"), F.expr("n_total div 2")
+            )
+        )
+        .select("vec_id", "band", "bucket")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -195,13 +224,20 @@ def _band_bucket_sql(band: int) -> str:
 NEAR_DUP_LSH_ORACLE = f"""
 WITH e AS ({EMB_NORM_SQL}),
 banded AS (
-    SELECT vec_id, bk.* FROM e,
+    SELECT vec_id, bk.*,
+           count(*) OVER (PARTITION BY bk.band, bk.bucket) AS bucket_n,
+           (SELECT count(*) FROM e) AS n_total
+    FROM e,
     LATERAL (VALUES {", ".join(f"({j}, {_band_bucket_sql(j)})" for j in range(NEAR_DUP_BANDS))})
         AS bk(band, bucket)
 ),
+bandedf AS (
+    SELECT vec_id, band, bucket FROM banded
+    WHERE bucket_n <= greatest({EMB_BUCKET_CAP_MIN}, n_total // 2)
+),
 cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM banded a JOIN banded b
+    FROM bandedf a JOIN bandedf b
       ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b,

@@ -22,3 +22,55 @@ def test_simhash_covers_true_pairs(spark, sf_dir):
     sim = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(spark, sf_dir).collect()}
     assert len(exact) > 0
     assert len(sim & exact) / len(exact) >= 0.8
+
+
+def test_lsh_bucket_cap_bounds_boilerplate_blowup(spark):
+    # 300 identical docs collapse onto one band signature per band; without
+    # the cap the candidate self-join is 300*299/2 pairs. With the cap the
+    # hot buckets are dropped entirely and the stat reports them.
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.functions import text as T
+    from mapreduce_hadoop_spark.functions.hashing import MINHASH_PRIME as P, md5_long
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate paragraph repeated in every document").alias("text"),
+    )
+    hs = docs.select(
+        "doc_id",
+        F.transform(T.shingles("text"), lambda s: md5_long(s) % F.lit(P)).alias("hs"),
+    )
+    assert dedup.minhash_lsh_pairs_from(hs).count() == 0
+    dropped = dedup.lsh_dropped_buckets(hs).collect()
+    assert len(dropped) == dedup.BANDS
+    assert all(r["bucket_n"] == 300 for r in dropped)
+    # An uncapped run on the same input explodes into the quadratic pairs.
+    uncapped = dedup.minhash_lsh_pairs_from(hs, bucket_cap=10**9)
+    assert uncapped.count() == 300 * 299 // 2
+
+
+def test_emb_lsh_bucket_cap_drops_degenerate_sign_bucket(spark):
+    # All-positive vectors land in bucket 0xF of every band -> one bucket
+    # holds the whole corpus (> n/2) -> dropped, zero candidates. A healthy
+    # mixed-sign corpus is unaffected (buckets ~ n/16 << n/2).
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.operators import similarity
+
+    n = 500
+    degenerate = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (F.col("id") % 7 + i).cast("double") / 100.0 + 0.01,
+        ).alias("v"),
+    )
+    degenerate = degenerate.select(
+        "vec_id", "v", F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+            )
+        ).alias("norm"),
+    )
+    assert similarity.near_dup_lsh_from(degenerate).count() == 0
