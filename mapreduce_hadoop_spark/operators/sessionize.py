@@ -439,7 +439,131 @@ def sessionize_parity(pos: DataFrame, **kwargs) -> DataFrame:
     return ordered.mapInPandas(run, schema=PARITY_SCHEMA)
 
 
+# --- JVM-side parity: the state machine as a per-taxi aggregate fold ------
+
+_PARITY_OUT_T = (
+    "array<struct<start_t:double,start_lat:double,start_lon:double,"
+    "stop_t:double,stop_lat:double,stop_lon:double,dist_km:double,"
+    "revenue:double,trip_date:string>>"
+)
+
+
+def sessionize_parity_sql(
+    pos: DataFrame,
+    gap_s: float = C.MAX_SEGMENT_DELTA_TIME_S,
+    max_speed_kmh: float = C.MAX_SEGMENT_SPEED_KMH,
+    min_trip_km: float = C.MIN_TRIP_DISTANCE_KM,
+    airport_lat: float = C.SFO_LAT,
+    airport_lon: float = C.SFO_LONG,
+    airport_radius_km: float = C.SFO_MAX_DISTANCE_KM,
+) -> DataFrame:
+    """Exact-reference-semantics sessionization, entirely JVM-side.
+
+    The same state machine as ``replay_core`` (``AirportTripsRevenue.java:
+    275-407``, per-taxi state isolation as documented in the module
+    docstring), expressed as a left-to-right ``F.aggregate`` fold over each
+    taxi's time-sorted position array: groupBy(taxi) -> sort_array(collect_
+    list(struct)) -> fold with a (prev fix, open trip, emitted trips)
+    accumulator -> explode. One shuffle on taxi, no Python workers, no
+    Arrow transfer — the fold is evaluated by the JVM expression
+    interpreter. Sequential fold order makes the order-dependent speed-drop
+    (``:317-335``) and the left-to-right distance accumulation exact, so
+    output is bit-identical to ``replay_core`` (cross-checked per fixture
+    arm in tests and against the committed sf0.01 golden file).
+
+    Memory bounds like the per-group Pandas path: one taxi's positions are
+    materialized per fold — fine whenever a single key's history fits an
+    executor, the same contract applyInPandas has. ``F.bround`` (HALF_EVEN)
+    mirrors Python ``round`` at the 6-dp emit edge.
+    """
+    per_taxi = pos.groupBy("taxi").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("t", "event_id", "lat", "lon", "status", "event_date")
+            )
+        ).alias("pts")
+    )
+    init = F.struct(
+        F.lit("E").alias("prev_status"),
+        F.lit(0.0).alias("prev_lat"),
+        F.lit(0.0).alias("prev_lon"),
+        F.lit(0.0).alias("prev_t"),
+        F.lit(0.0).alias("start_t"),
+        F.lit(0.0).alias("start_lat"),
+        F.lit(0.0).alias("start_lon"),
+        F.lit(False).alias("airport"),
+        F.lit(0.0).alias("dist"),
+        F.lit(None).cast("date").alias("date"),
+        F.expr(f"cast(array() as {_PARITY_OUT_T})").alias("out"),
+    )
+
+    def step(acc, x):
+        prev_m = acc["prev_status"] == F.lit("M")
+        is_m = x["status"] == F.lit("M")
+        delta = x["t"] - acc["prev_t"]
+        seg = spherical_earth_distance(
+            acc["prev_lat"], acc["prev_lon"], x["lat"], x["lon"]
+        )
+        near = is_airport_position(
+            x["lat"], x["lon"], airport_lat, airport_lon, airport_radius_km
+        )
+        cont = prev_m & is_m & (delta <= F.lit(gap_s))
+        # Same arithmetic shape as replay_core: speed = seg/(delta/3600),
+        # infinite (-> drop) when delta <= 0.
+        drop = cont & (
+            (delta <= F.lit(0.0))
+            | ((seg / (delta / F.lit(3600.0))) > F.lit(max_speed_kmh))
+        )
+        closing = prev_m & (~is_m | (delta > F.lit(gap_s)))
+        opening = is_m & (~prev_m | (delta > F.lit(gap_s)))
+        emitted = F.struct(
+            acc["start_t"].alias("start_t"),
+            acc["start_lat"].alias("start_lat"),
+            acc["start_lon"].alias("start_lon"),
+            acc["prev_t"].alias("stop_t"),
+            acc["prev_lat"].alias("stop_lat"),
+            acc["prev_lon"].alias("stop_lon"),
+            F.bround(acc["dist"], 6).alias("dist_km"),
+            F.bround(
+                F.lit(C.START_FEE) + F.lit(C.KM_FEE) * acc["dist"], 6
+            ).alias("revenue"),
+            acc["date"].cast("string").alias("trip_date"),
+        )
+        qual = closing & (acc["dist"] >= F.lit(min_trip_km)) & acc["airport"]
+        new_out = F.when(qual, F.concat(acc["out"], F.array(emitted))).otherwise(
+            acc["out"]
+        )
+        new_acc = F.struct(
+            x["status"].alias("prev_status"),
+            x["lat"].alias("prev_lat"),
+            x["lon"].alias("prev_lon"),
+            x["t"].alias("prev_t"),
+            F.when(opening, x["t"]).otherwise(acc["start_t"]).alias("start_t"),
+            F.when(opening, x["lat"]).otherwise(acc["start_lat"]).alias("start_lat"),
+            F.when(opening, x["lon"]).otherwise(acc["start_lon"]).alias("start_lon"),
+            F.when(opening, near)
+            .when(cont, acc["airport"] | near)
+            .otherwise(acc["airport"])
+            .alias("airport"),
+            F.when(opening, F.lit(0.0))
+            .when(cont, acc["dist"] + seg)
+            .otherwise(acc["dist"])
+            .alias("dist"),
+            F.when(opening, x["event_date"]).otherwise(acc["date"]).alias("date"),
+            new_out.alias("out"),
+        )
+        # A dropped point leaves the whole accumulator untouched — the
+        # previous fix stays "previous" (reference `return` before the
+        # previous-position update, :331-334).
+        return F.when(drop, acc).otherwise(new_acc)
+
+    folded = per_taxi.select("taxi", F.aggregate("pts", init, step).alias("acc"))
+    return folded.select("taxi", F.explode("acc.out").alias("tr")).select(
+        "taxi", "tr.*"
+    )
+
+
 def airport_trips_parity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessionize_parity(
+    return sessionize_parity_sql(
         gps.positions(spark, sf_dir), airport_radius_km=gps.DEMO_AIRPORT_RADIUS_KM
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from mapreduce_hadoop_spark import constants as C
 from mapreduce_hadoop_spark.operators.sessionize import (
     sessionize_parity,
+    sessionize_parity_sql,
     sessionize_window,
 )
 
@@ -48,10 +49,15 @@ def mkpos(spark, rows):
 
 
 def parity_rows(spark, rows, **kw):
-    return sorted(
-        sessionize_parity(mkpos(spark, rows), **kw).collect(),
-        key=lambda r: (r["taxi"], r["start_t"]),
-    )
+    """Run BOTH parity implementations (Pandas replay + JVM aggregate fold)
+    and require bit-identical output before returning it — every transition
+    arm below exercises the twins against each other."""
+    pos = mkpos(spark, rows)
+    key = lambda r: (r["taxi"], r["start_t"])
+    py = sorted(sessionize_parity(pos, **kw).collect(), key=key)
+    jvm = sorted(sessionize_parity_sql(pos, **kw).collect(), key=key)
+    assert [tuple(r) for r in jvm] == [tuple(r) for r in py]
+    return py
 
 
 # --- transition arms -------------------------------------------------------
