@@ -118,7 +118,17 @@ WHERE round({DOT_SQL.format(a="a.v", b="b.v")} / (a.norm * b.norm), 6) >= {NEAR_
 """
 
 
-NEAR_DUP_BANDS = 4
+# Banding defaults, chosen from the measured recall-vs-candidates curve on
+# the sf0.01 corpus (weak neighbors, top-5 cosine ~0.3 — near-random data
+# is the hard case for LSH; tests/test_similarity_ivf.py re-measures):
+#   bands=4:  recall@5 0.50 at 24% of the corpus as candidates
+#   bands=8:  recall@5 0.80 at 41%   <- default
+#   bands=12: recall@5 0.86 at 54%
+#   bands=16: recall@5 0.92 at 65%
+# Each +4-band step costs ~n/4 more candidates; 8 bands is the knee. The
+# ``bands`` parameter on topk_lsh/near_dup_lsh_from moves along the curve
+# without changing the plan shape.
+NEAR_DUP_BANDS = 8
 NEAR_DUP_BAND_BITS = 4
 # Degenerate-bucket guard for the banded self-join: a sign bucket holding
 # more than max(EMB_BUCKET_CAP_MIN, n/2) vectors (e.g. a zero-heavy corpus
@@ -157,12 +167,13 @@ def near_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_lsh_from(emb)
 
 
-def near_dup_lsh_from(emb: DataFrame) -> DataFrame:
+def near_dup_lsh_from(emb: DataFrame, bands: int = NEAR_DUP_BANDS) -> DataFrame:
     """Banded-LSH near-dup pairs from a normed (vec_id, v, norm) relation;
-    see ``near_dup_cosine_lsh``. Buckets over max(EMB_BUCKET_CAP_MIN, n/2)
-    are dropped (degenerate-skew guard); the window count shuffles on the
-    same (band, bucket) key the self-join uses, so the guard adds no extra
-    shuffle of the band relation."""
+    see ``near_dup_cosine_lsh``. ``bands`` moves along the recall-vs-
+    candidates curve (see the constants above). Buckets over
+    max(EMB_BUCKET_CAP_MIN, n/2) are dropped (degenerate-skew guard); the
+    window count shuffles on the same (band, bucket) key the self-join
+    uses, so the guard adds no extra shuffle of the band relation."""
     banded = emb.select(
         "vec_id",
         F.explode(
@@ -172,7 +183,7 @@ def near_dup_lsh_from(emb: DataFrame) -> DataFrame:
                         F.lit(j).alias("band"),
                         _band_bucket(F.col("v"), j).alias("bucket"),
                     )
-                    for j in range(NEAR_DUP_BANDS)
+                    for j in range(bands)
                 ]
             )
         ).alias("bk"),
@@ -249,7 +260,9 @@ WHERE round({DOT_SQL.format(a="ea.v", b="eb.v")} / (ea.norm * eb.norm), 6) >= {N
 """
 
 
-def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def topk_lsh(
+    spark: SparkSession, sf_dir: str, bands: int = NEAR_DUP_BANDS
+) -> DataFrame:
     """ANN top-5 via banded sign-hyperplane LSH.
 
     OR-of-ANDs construction (NEAR_DUP_BANDS x NEAR_DUP_BAND_BITS sign
@@ -273,7 +286,7 @@ def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(j).alias("band"),
                         _band_bucket(F.col("v"), j).alias("bucket"),
                     )
-                    for j in range(NEAR_DUP_BANDS)
+                    for j in range(bands)
                 ]
             )
         ).alias("bk"),
@@ -368,22 +381,29 @@ def _assign(emb: DataFrame, cents: DataFrame, n: int, out: str) -> DataFrame:
     )
 
 
-def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def topk_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """ANN top-5 via an IVF index: K=16 deterministic coarse centroids
     (the vectors with vec_id in [100,116)), every vector files into its
-    nearest centroid's inverted list, a query probes its IVF_NPROBE nearest
+    nearest centroid's inverted list, a query probes its ``nprobe`` nearest
     lists and ranks only those candidates by exact cosine.
 
     100 TB shape: centroids are broadcast (model-sized, not data-sized);
     list assignment is a map-side pass; the probe is an equi-join on
     cent_id, so candidate volume per query is nprobe/K of the corpus.
-    Recall rises with nprobe without changing the plan.
+    Recall rises with nprobe without changing the plan — measured at
+    sf0.01 (tests/test_similarity_ivf.py re-measures):
+      nprobe=4:  recall@5 0.44 at 24% candidates   <- default (low budget)
+      nprobe=8:  recall@5 0.74 at 49%
+      nprobe=10: recall@5 0.82 at 62%
+      nprobe=12: recall@5 0.94 at 74%
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     cents = _ivf_centroids(emb)
     lists = _assign(emb, cents, 1, "cent_id")
     probes = _assign(
-        emb.filter(F.col("vec_id") < N_QUERIES), cents, IVF_NPROBE, "cent_id"
+        emb.filter(F.col("vec_id") < N_QUERIES), cents, nprobe, "cent_id"
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -43,20 +43,43 @@ def test_near_dup_lsh_recall(spark, sf_dir):
     assert lsh <= exact  # no false positives: same threshold, subset by construction
     assert len(exact) > 0
     recall = len(lsh) / len(exact)
-    assert recall >= 0.2, f"recall={recall:.2f}"
+    assert recall >= 0.5, f"recall={recall:.2f}"
+
+
+def _recall_at_5(exact_rows, approx_rows):
+    exact, approx = {}, {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx_rows:
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    return hits / sum(len(v) for v in exact.values())
 
 
 def test_topk_lsh_recall(spark, sf_dir):
     from mapreduce_hadoop_spark.operators.similarity import topk_lsh
 
-    exact, approx = {}, {}
-    for r in topk_bruteforce(spark, sf_dir).collect():
-        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
-    for r in topk_lsh(spark, sf_dir).collect():
-        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
-    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
-    total = sum(len(v) for v in exact.values())
-    assert hits / total >= 0.3, f"recall@5={hits}/{total}"
+    r = _recall_at_5(
+        topk_bruteforce(spark, sf_dir).collect(), topk_lsh(spark, sf_dir).collect()
+    )
+    assert r >= 0.5, f"recall@5={r:.2f}"
+
+
+def test_recall_at_stated_budgets_sf001(spark):
+    """The recall contract behind the documented curve (similarity.py):
+    at sf0.01, the 8-band LSH default reaches recall@5 >= 0.8 at a ~41%
+    candidate budget, and the IVF dial reaches >= 0.8 at nprobe=10 (~62%
+    budget) while staying monotone in nprobe."""
+    from mapreduce_hadoop_spark.operators.similarity import topk_ivf, topk_lsh
+
+    sf01 = "/root/testdata/sf0.01"
+    exact = topk_bruteforce(spark, sf01).collect()
+    r_lsh = _recall_at_5(exact, topk_lsh(spark, sf01).collect())
+    assert r_lsh >= 0.8, f"LSH default recall@5={r_lsh:.2f}"
+    r_ivf4 = _recall_at_5(exact, topk_ivf(spark, sf01).collect())
+    r_ivf10 = _recall_at_5(exact, topk_ivf(spark, sf01, nprobe=10).collect())
+    assert r_ivf10 >= 0.8, f"IVF nprobe=10 recall@5={r_ivf10:.2f}"
+    assert r_ivf10 >= r_ivf4, (r_ivf4, r_ivf10)
 
 
 def test_trained_ivf_beats_fixed_centroids(spark, sf_dir):
