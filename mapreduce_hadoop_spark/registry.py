@@ -34,6 +34,7 @@ def _specs() -> dict[str, QuerySpec]:
         temporal,
         textops,
     )
+    from mapreduce_hadoop_spark.streaming import joins as stream_joins
     from mapreduce_hadoop_spark.streaming import sessions
 
     specs: dict[str, QuerySpec] = {
@@ -151,6 +152,14 @@ def _specs() -> dict[str, QuerySpec]:
         # Generic gap sessionization via Spark's native session_window
         # (batch surface; streaming twin in streaming/sessions.py).
         "events_session_window": (sessions.session_agg, sessions.SESSION_AGG_ORACLE),
+        # Batch twins of the remaining streaming operators, so every
+        # streaming path has a driver-checked row (the stream side swaps
+        # only the source; cross-checked stream-vs-batch in tests).
+        "events_keyed_dedup": (sessions.keyed_dedup_batch, sessions.KEYED_DEDUP_ORACLE),
+        "events_enriched": (
+            stream_joins.enriched_events_batch,
+            stream_joins.ENRICHED_EVENTS_ORACLE,
+        ),
         # Extended relational surface (rollup / as-of / JSON / sketches / set ops).
         "events_rollup": (
             relational_ext.events_rollup,

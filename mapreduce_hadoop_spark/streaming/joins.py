@@ -69,6 +69,12 @@ def enriched_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_hadoop_spark.sources.tables import load_table
 
     ev = _events_stream(spark, sf_dir)
+    return _enrich(spark, sf_dir, ev)
+
+
+def _enrich(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
+    from mapreduce_hadoop_spark.sources.tables import load_table
+
     cust = F.broadcast(
         load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("user_id"), "c_mktsegment"
@@ -77,3 +83,20 @@ def enriched_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(cust, "user_id").select(
         "event_id", "user_id", "c_mktsegment", "value"
     )
+
+
+def enriched_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``enriched_events_stream`` (identical ``_enrich`` plan
+    over the batch events table), driver-checkable — the stream side only
+    swaps the source, so a green row here verifies the enrich join both
+    surfaces share."""
+    from mapreduce_hadoop_spark.sources.tables import load_table
+
+    return _enrich(spark, sf_dir, load_table(spark, sf_dir, "events"))
+
+
+ENRICHED_EVENTS_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_mktsegment, e."value"
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+"""

@@ -124,6 +124,36 @@ def dedup_stream(
     return ev.dropDuplicates(["event_id"])
 
 
+def keyed_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``dedup_stream``, driver-checkable: events plus a
+    simulated 10% redelivery (every event_id % 10 == 0 appears twice) run
+    through keyed dedup; exactly one row per event_id must survive.
+    Redelivered copies are bit-identical rows, so the surviving row's
+    content is deterministic whichever copy wins."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("double").alias("t"),
+    )
+    redelivered = ev.filter(F.col("event_id") % 10 == 0)
+    return ev.unionAll(redelivered).dropDuplicates(["event_id"])
+
+
+KEYED_DEDUP_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, event_type, "value", epoch(ts) AS t FROM events
+),
+u AS (
+    SELECT * FROM e
+    UNION ALL
+    SELECT * FROM e WHERE event_id % 10 = 0
+)
+SELECT DISTINCT * FROM u
+"""
+
+
 def tumbling_agg_stream(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:
