@@ -400,3 +400,78 @@ SELECT doc_id, chunk_id,
 FROM c
 WHERE chunk_id = 1 OR len(chunk) > {CHUNK_TOKENS - CHUNK_STRIDE}
 """
+
+
+# --- normalization + repetition (corpus-cleaning stages) -------------------
+
+_URL_RE = r"https?://\S+"
+_WS_RE = r"\s+"
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-time text normalization — the first stage of a cleaning
+    pipeline: strip URLs, lowercase, collapse whitespace runs, trim.
+    Map-only (regexp_replace/lower/trim are codegen'd JVM expressions); at
+    100 TB this runs at storage bandwidth with zero shuffle. The regexes
+    use only constructs Java regex and DuckDB's RE2 interpret identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(F.col("text"), _URL_RE, "")), _WS_RE, " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("norm_text"),
+        F.length(cleaned).alias("norm_chars"),
+    )
+
+
+TEXT_NORMALIZE_ORACLE = f"""
+SELECT doc_id,
+       trim(regexp_replace(lower(regexp_replace(text, '{_URL_RE}', '', 'g')),
+                           '{_WS_RE}', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(lower(regexp_replace(text, '{_URL_RE}', '', 'g')),
+                                  '{_WS_RE}', ' ', 'g'))) AS norm_chars
+FROM documents
+"""
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of duplicate 3-token shingles
+    (1 - distinct/total), the standard boilerplate/looping-text quality
+    filter for LLM corpora. Map-only over the in-row token array — total
+    shingle count is n_tokens-2, distinct comes from the shared canonical
+    shingle set, so no shuffle and no second tokenization pass. The
+    division is exact-integer-fed and identically evaluated by both
+    engines (deterministic; same guarantees as the fixed-point aggregates).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    total = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
+    distinct = F.size(T.shingles("text"))
+    rep = F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
+        rep.alias("repetition"),
+    )
+
+
+REPETITION_ORACLE = f"""
+SELECT doc_id,
+       greatest(len({T.tokens_sql("text")}) - 2, 0) AS n_shingles,
+       len({T.shingles_sql("text")}) AS n_distinct,
+       CASE WHEN greatest(len({T.tokens_sql("text")}) - 2, 0) > 0
+            THEN round(1.0 - len({T.shingles_sql("text")})::DOUBLE
+                           / greatest(len({T.tokens_sql("text")}) - 2, 0)::DOUBLE, 6)
+            ELSE 0.0 END AS repetition
+FROM documents
+"""

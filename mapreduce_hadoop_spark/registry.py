@@ -109,6 +109,8 @@ def _specs() -> dict[str, QuerySpec]:
         "text_fingerprints": (textops.fingerprints, textops.FINGERPRINTS_ORACLE),
         "text_tfidf_top_terms": (textops.tfidf_top_terms, textops.TFIDF_ORACLE),
         "text_document_chunks": (textops.document_chunks, textops.DOCUMENT_CHUNKS_ORACLE),
+        "text_normalize": (textops.text_normalize, textops.TEXT_NORMALIZE_ORACLE),
+        "text_repetition_score": (textops.repetition_score, textops.REPETITION_ORACLE),
         # Deduplication (north-star extension).
         "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
         "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),

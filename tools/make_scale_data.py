@@ -1,0 +1,89 @@
+"""Derive a larger scale factor from the driver testdata by key-shifted
+replication, for scale validation of the gate and bench beyond sf0.1.
+
+Each replica r shifts every key-family column by r * OFFSET (consistently
+across tables, so the relational structure — events.user_id ->
+customer.c_custkey, lineitem.l_orderkey -> orders.o_orderkey, embeddings.
+vec_id <-> documents.doc_id — stays intact), and leaves values/timestamps
+untouched: 10 replicas of sf0.1 behave like sf1 (10x keys, 10x rows, same
+per-key history). Query-pinned key ranges (similarity query vectors
+vec_id < 10, IVF centroids [100, 116)) live only in replica 0, so the
+probe set stays fixed while the corpus scales — the realistic shape.
+Schemas are preserved bit-for-bit (pyarrow, single parquet file per table,
+timestamp[ns] intact) so both Spark's and DuckDB's readers see exactly the
+driver layout.
+
+Usage: python tools/make_scale_data.py [factor=10] [src=/root/testdata/sf0.1]
+       [dst=<repo>/.scale_data/sf1]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+OFF = {
+    "C": 10_000_000,  # custkey / user_id
+    "O": 10_000_000,  # orderkey
+    "P": 1_000_000,  # partkey
+    "S": 1_000_000,  # suppkey
+    "E": 100_000_000,  # event_id
+    "D": 10_000_000,  # doc_id / vec_id
+}
+SHIFT_COLS = {
+    "region": {},
+    "nation": {},
+    "customer": {"c_custkey": "C"},
+    "supplier": {"s_suppkey": "S"},
+    "part": {"p_partkey": "P"},
+    "orders": {"o_orderkey": "O", "o_custkey": "C"},
+    "lineitem": {"l_orderkey": "O", "l_partkey": "P", "l_suppkey": "S"},
+    "events": {"event_id": "E", "user_id": "C"},
+    "documents": {"doc_id": "D"},
+    "embeddings": {"vec_id": "D"},
+}
+
+
+def replicate(src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for table, shifts in SHIFT_COLS.items():
+        t = pq.read_table(f"{src}/{table}.parquet")
+        if not shifts:  # fixed dims: single copy
+            out = t
+        else:
+            parts = []
+            for r in range(factor):
+                cols = {}
+                for name, fam in shifts.items():
+                    col = t.column(name)
+                    cols[name] = pc.add(col, pa.scalar(r * OFF[fam], col.type))
+                parts.append(
+                    pa.table(
+                        {n: cols.get(n, t.column(n)) for n in t.schema.names},
+                        schema=t.schema,
+                    )
+                )
+            out = pa.concat_tables(parts)
+        pq.write_table(out, f"{dst}/{table}.parquet")
+        back = pq.read_schema(f"{dst}/{table}.parquet")
+        assert back.equals(t.schema), (table, back, t.schema)
+        print(f"{table}: {t.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale_data",
+            "sf1",
+        )
+    )
+    replicate(src, dst, factor)
