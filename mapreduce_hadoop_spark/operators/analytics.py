@@ -92,7 +92,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        # No explicit broadcast on the customer-sized dim: unlike
+        # nation/region it grows with the corpus, and a static hint OOMs the
+        # driver once it stops being small (seen at the derived sf1). AQE's
+        # size-based decision broadcasts it while it fits and sort-merges
+        # beyond — the correct behavior at every scale.
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
             F.round(F.sum("rev"), 4).alias("revenue"),
@@ -166,7 +171,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(cutoff))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # Segment-filtered customer is corpus-proportional: size-based
+        # broadcast (AQE), not a static hint (see revenue_by_nation).
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(

@@ -27,7 +27,10 @@ WITH per_order AS (
     SELECT l_orderkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev
     FROM lineitem GROUP BY l_orderkey
 )
-SELECT /*+ BROADCAST(customer), BROADCAST(nation), BROADCAST(region) */
+-- BROADCAST hints only on the fixed-size dims; customer grows with the
+-- corpus, so its join strategy is AQE's size-based call (a static hint
+-- OOMs the driver once customer stops being small).
+SELECT /*+ BROADCAST(nation), BROADCAST(region) */
     r_name,
     n_name,
     round(sum(rev), 4) AS revenue,

@@ -30,6 +30,11 @@ DEFAULT_CONF = {
     # FileInputFormat.setMinInputSplitSize tuning (AirportTripsRevenue.java:568).
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Local-mode driver heap: the 1 GB default cannot hold the broadcast
+    # relations + collected results of larger-SF local runs (the JVM is
+    # driver AND executors in local mode). Only effective when this factory
+    # creates the JVM; a cluster deployment sizes driver/executors itself.
+    "spark.driver.memory": "16g",
     # The driver testdata stores events.ts as TIMESTAMP(NANOS), which Spark's
     # parquet reader rejects natively; read as nanos-long, converted to a
     # microsecond timestamp in sources/tables.py (same truncation DuckDB
