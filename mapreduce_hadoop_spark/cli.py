@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from mapreduce_hadoop_spark.operators.histogram import trip_length_histogram
 from mapreduce_hadoop_spark.operators.revenue import daily_revenue, total_revenue
 from mapreduce_hadoop_spark.operators.segments import clean_positions
-from mapreduce_hadoop_spark.operators.sessionize import sessionize_parity
+from mapreduce_hadoop_spark.operators.sessionize import sessionize_parity_sql
 from mapreduce_hadoop_spark.session import get_spark
 from mapreduce_hadoop_spark.sources.segments_csv import read_segments
 from mapreduce_hadoop_spark.sources.trips_text import (
@@ -57,7 +57,8 @@ def run_airport_revenue(inp: str, out: str) -> None:
             "event_date": F.to_date(F.timestamp_seconds(F.col("t"))),
         }
     )
-    trips = sessionize_parity(pos).cache()
+    # JVM parity path (bit-identical to the Pandas replay, no Python workers).
+    trips = sessionize_parity_sql(pos).cache()
     write_trip_lines(trips, f"{out}/trips")
     # The reference materializes job-1 output as text with %.2f revenue and
     # job 2 re-parses it (AirportTripsRevenue.java:351-356,422-426); summing
