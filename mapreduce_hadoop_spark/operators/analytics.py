@@ -18,53 +18,81 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce_hadoop_spark.functions import fixedpoint as FP
 from mapreduce_hadoop_spark.sources.tables import load_table
+
+# Money/value aggregates across this module use the fixed-point pattern
+# (functions/fixedpoint.py): micro-quantized BIGINT sums + integer
+# rounding, mirrored in the oracles — double sums are merge-order-
+# dependent and flip rounded values run-to-run at larger SF.
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary over lineitem (pure agg breadth)."""
+    """TPC-H Q1-shaped pricing summary over lineitem (pure agg breadth).
+
+    The per-row terms are exact <=6-dp decimals (2-dp money x 2-dp rates),
+    so the micro quantization is lossless.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     kept = li.filter(F.col("l_shipdate") < F.lit("1998-09-01"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (
         kept.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (F.lit(1.0) - F.col("l_discount"))
-                    * (F.lit(1.0) + F.col("l_tax"))
-                ),
-                4,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            FP.sum_micro("l_quantity").alias("qty_u"),
+            FP.sum_micro("l_extendedprice").alias("price_u"),
+            FP.sum_micro(disc_price).alias("disc_price_u"),
+            FP.sum_micro(charge).alias("charge_u"),
+            FP.sum_micro("l_discount").alias("disc_u"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            FP.round_micro("qty_u").alias("sum_qty"),
+            FP.round_micro("price_u").alias("sum_base_price"),
+            FP.round_micro("disc_price_u").alias("sum_disc_price"),
+            FP.round_micro("charge_u").alias("sum_charge"),
+            FP.avg_micro("qty_u", "count_order").alias("avg_qty"),
+            FP.avg_micro("price_u", "count_order").alias("avg_price"),
+            FP.avg_micro("disc_u", "count_order").alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-PRICING_SUMMARY_ORACLE = """
+_DISC_PRICE_SQL = "l_extendedprice * (1.0 - l_discount)"
+_CHARGE_SQL = f"{_DISC_PRICE_SQL} * (1.0 + l_tax)"
+
+PRICING_SUMMARY_ORACLE = f"""
+WITH g AS (
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        {FP.sum_micro_sql("l_quantity")}      AS qty_u,
+        {FP.sum_micro_sql("l_extendedprice")} AS price_u,
+        {FP.sum_micro_sql(_DISC_PRICE_SQL)}   AS disc_price_u,
+        {FP.sum_micro_sql(_CHARGE_SQL)}       AS charge_u,
+        {FP.sum_micro_sql("l_discount")}      AS disc_u,
+        count(*)                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+)
 SELECT
     l_returnflag,
     l_linestatus,
-    round(sum(l_quantity), 4)       AS sum_qty,
-    round(sum(l_extendedprice), 4)  AS sum_base_price,
-    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-    round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
-    round(avg(l_quantity), 6)       AS avg_qty,
-    round(avg(l_extendedprice), 6)  AS avg_price,
-    round(avg(l_discount), 6)       AS avg_disc,
-    count(*)                        AS count_order
-FROM lineitem
-WHERE l_shipdate < TIMESTAMP '1998-09-01'
-GROUP BY l_returnflag, l_linestatus
+    {FP.round_micro_sql("qty_u")}        AS sum_qty,
+    {FP.round_micro_sql("price_u")}      AS sum_base_price,
+    {FP.round_micro_sql("disc_price_u")} AS sum_disc_price,
+    {FP.round_micro_sql("charge_u")}     AS sum_charge,
+    {FP.avg_micro_sql("qty_u", "count_order")}  AS avg_qty,
+    {FP.avg_micro_sql("price_u", "count_order")} AS avg_price,
+    {FP.avg_micro_sql("disc_u", "count_order")}  AS avg_disc,
+    count_order
+FROM g
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -82,8 +110,13 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
+    # Revenue stays a micro-unit BIGINT through BOTH aggregation stages —
+    # no intermediate double anywhere, so partial-merge order cannot move
+    # the rounded output.
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev")
+        FP.sum_micro(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("rev_u")
     )
     dim = (
         customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -100,29 +133,39 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum("rev"), 4).alias("revenue"),
+            F.sum("rev_u").alias("rev_u_sum"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            FP.round_micro("rev_u_sum").alias("revenue"),
+            "n_orders",
         )
         .orderBy("r_name", "n_name")
     )
 
 
-REVENUE_BY_NATION_ORACLE = """
+REVENUE_BY_NATION_ORACLE = f"""
 WITH per_order AS (
-    SELECT l_orderkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev
+    SELECT l_orderkey, {FP.sum_micro_sql(_DISC_PRICE_SQL)} AS rev_u
     FROM lineitem GROUP BY l_orderkey
+),
+g AS (
+    SELECT
+        r_name,
+        n_name,
+        CAST(sum(rev_u) AS BIGINT) AS rev_u_sum,
+        count(*)                   AS n_orders
+    FROM orders
+    JOIN per_order ON o_orderkey = l_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation    ON c_nationkey = n_nationkey
+    JOIN region    ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
 )
-SELECT
-    r_name,
-    n_name,
-    round(sum(rev), 4) AS revenue,
-    count(*)           AS n_orders
-FROM orders
-JOIN per_order ON o_orderkey = l_orderkey
-JOIN customer  ON o_custkey = c_custkey
-JOIN nation    ON c_nationkey = n_nationkey
-JOIN region    ON n_regionkey = r_regionkey
-GROUP BY r_name, n_name
+SELECT r_name, n_name, {FP.round_micro_sql("rev_u_sum")} AS revenue, n_orders
+FROM g
 ORDER BY r_name, n_name
 """
 
@@ -176,13 +219,13 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
-            ).alias("revenue")
+            FP.sum_micro(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("rev_u")
         )
         .select(
             "l_orderkey",
-            "revenue",
+            FP.round_micro("rev_u").alias("revenue"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
             "o_orderpriority",
         )
@@ -243,20 +286,30 @@ def events_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            FP.sum_micro("value").alias("value_u"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n",
+            FP.round_micro("value_u").alias("value_sum"),
         )
         .orderBy("day", "event_type")
     )
 
 
-EVENTS_DAILY_ORACLE = """
-SELECT
-    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-    event_type,
-    count(*)              AS n,
-    round(sum("value"), 4) AS value_sum
-FROM events
-GROUP BY 1, 2
+EVENTS_DAILY_ORACLE = f"""
+WITH g AS (
+    SELECT
+        strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        event_type,
+        count(*)                        AS n,
+        {FP.sum_micro_sql('"value"')}   AS value_u
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT day, event_type, n, {FP.round_micro_sql("value_u")} AS value_sum
+FROM g
 ORDER BY 1, 2
 """
 
@@ -270,17 +323,29 @@ def market_segment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_balance"),
+            FP.sum_micro("c_acctbal").alias("bal_u"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_name",
+            "n_customers",
+            # Balances go negative — the sign-symmetric helper matters here.
+            FP.avg_micro("bal_u", "n_customers").alias("avg_balance"),
         )
         .orderBy("c_mktsegment", "n_name")
     )
 
 
-MARKET_SEGMENT_ORACLE = """
-SELECT c_mktsegment, n_name,
-       count(*) AS n_customers,
-       round(avg(c_acctbal), 6) AS avg_balance
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-GROUP BY 1, 2
+MARKET_SEGMENT_ORACLE = f"""
+WITH g AS (
+    SELECT c_mktsegment, n_name,
+           count(*) AS n_customers,
+           {FP.sum_micro_sql("c_acctbal")} AS bal_u
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+)
+SELECT c_mktsegment, n_name, n_customers,
+       {FP.avg_micro_sql("bal_u", "n_customers")} AS avg_balance
+FROM g
 ORDER BY 1, 2
 """

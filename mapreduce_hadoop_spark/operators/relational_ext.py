@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce_hadoop_spark.functions import fixedpoint as FP
 from mapreduce_hadoop_spark.sources.tables import load_table
 
 
@@ -28,18 +29,22 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .rollup("day", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .agg(F.count(F.lit(1)).alias("n"), FP.sum_micro("value").alias("value_u"))
+        .select("day", "event_type", "n", FP.round_micro("value_u").alias("value_sum"))
     )
 
 
-EVENTS_ROLLUP_ORACLE = """
-SELECT
-    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-    event_type,
-    count(*) AS n,
-    round(sum("value"), 4) AS value_sum
-FROM events
-GROUP BY ROLLUP (1, 2)
+EVENTS_ROLLUP_ORACLE = f"""
+WITH g AS (
+    SELECT
+        strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        event_type,
+        count(*) AS n,
+        {FP.sum_micro_sql('"value"')} AS value_u
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+)
+SELECT day, event_type, n, {FP.round_micro_sql("value_u")} AS value_sum FROM g
 """
 
 
@@ -54,18 +59,22 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .cube("day", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .agg(F.count(F.lit(1)).alias("n"), FP.sum_micro("value").alias("value_u"))
+        .select("day", "event_type", "n", FP.round_micro("value_u").alias("value_sum"))
     )
 
 
-EVENTS_CUBE_ORACLE = """
-SELECT
-    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-    event_type,
-    count(*) AS n,
-    round(sum("value"), 4) AS value_sum
-FROM events
-GROUP BY CUBE (1, 2)
+EVENTS_CUBE_ORACLE = f"""
+WITH g AS (
+    SELECT
+        strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        event_type,
+        count(*) AS n,
+        {FP.sum_micro_sql('"value"')} AS value_u
+    FROM events
+    GROUP BY CUBE (1, 2)
+)
+SELECT day, event_type, n, {FP.round_micro_sql("value_u")} AS value_sum FROM g
 """
 
 
@@ -128,28 +137,44 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.groupBy("measure")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # min/max are order-independent; only the mean needs the
+            # fixed-point treatment.
             F.round(F.min("value"), 6).alias("v_min"),
             F.round(F.max("value"), 6).alias("v_max"),
-            F.round(F.avg("value"), 6).alias("v_avg"),
+            FP.sum_micro("value").alias("v_u"),
+        )
+        .select(
+            "measure",
+            "n",
+            "v_min",
+            "v_max",
+            FP.avg_micro("v_u", "n").alias("v_avg"),
         )
         .orderBy("measure")
     )
 
 
-LINEITEM_UNPIVOT_ORACLE = """
+LINEITEM_UNPIVOT_ORACLE = f"""
 SELECT measure,
-       count(*)            AS n,
-       round(min("value"), 6) AS v_min,
-       round(max("value"), 6) AS v_max,
-       round(avg("value"), 6) AS v_avg
+       n,
+       v_min,
+       v_max,
+       {FP.avg_micro_sql("v_u", "n")} AS v_avg
 FROM (
-    UNPIVOT (SELECT l_orderkey, l_linenumber,
-                    l_quantity, l_extendedprice, l_discount, l_tax
-             FROM lineitem)
-    ON l_quantity, l_extendedprice, l_discount, l_tax
-    INTO NAME measure VALUE "value"
+    SELECT measure,
+           count(*)            AS n,
+           round(min("value"), 6) AS v_min,
+           round(max("value"), 6) AS v_max,
+           {FP.sum_micro_sql('"value"')} AS v_u
+    FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber,
+                        l_quantity, l_extendedprice, l_discount, l_tax
+                 FROM lineitem)
+        ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME measure VALUE "value"
+    )
+    GROUP BY measure
 )
-GROUP BY measure
 ORDER BY measure
 """
 
@@ -225,21 +250,28 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = (
         ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(_N_SALTS)))
         .groupBy("user_id", "salt")
-        .agg(F.sum("value").alias("ps"), F.count(F.lit(1)).alias("pn"))
+        # Partial sums are micro-unit BIGINTs, so the salted two-phase
+        # merge is exact whatever order the salts combine in.
+        .agg(FP.sum_micro("value").alias("ps_u"), F.count(F.lit(1)).alias("pn"))
     )
     return (
         partial.groupBy("user_id")
-        .agg(F.round(F.sum("ps"), 4).alias("value_sum"), F.sum("pn").alias("n"))
+        .agg(F.sum("ps_u").alias("s_u"), F.sum("pn").alias("n"))
+        .select("user_id", FP.round_micro("s_u").alias("value_sum"), "n")
         .orderBy("user_id")
     )
 
 
-EVENTS_SALTED_ORACLE = """
-SELECT user_id,
-       round(sum("value"), 4) AS value_sum,
-       count(*)               AS n
-FROM events
-GROUP BY user_id
+EVENTS_SALTED_ORACLE = f"""
+WITH g AS (
+    SELECT user_id,
+           {FP.sum_micro_sql('"value"')} AS s_u,
+           count(*)                      AS n
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id, {FP.round_micro_sql("s_u")} AS value_sum, n
+FROM g
 ORDER BY user_id
 """
 
@@ -544,17 +576,20 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupingSets([["event_type"], ["day"]], "event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            FP.sum_micro("value").alias("v_u"),
         )
-        .select("event_type", "day", "n", "sum_value")
+        .select("event_type", "day", "n", FP.round_micro("v_u").alias("sum_value"))
     )
 
 
-EVENTS_GROUPING_SETS_ORACLE = """
-SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-       count(*) AS n, round(sum("value"), 4) AS sum_value
-FROM events
-GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')))
+EVENTS_GROUPING_SETS_ORACLE = f"""
+WITH g AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n, {FP.sum_micro_sql('"value"')} AS v_u
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')))
+)
+SELECT event_type, day, n, {FP.round_micro_sql("v_u")} AS sum_value FROM g
 """
 
 

@@ -24,23 +24,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 _SQL = """
 WITH per_order AS (
-    SELECT l_orderkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev
+    -- Fixed-point micro-unit BIGINT revenue (functions/fixedpoint.py):
+    -- double sums are partial-merge-order dependent and flip rounded
+    -- values at larger SF (the DataFrame twin of this very query hashed
+    -- differently from this SQL twin at a derived sf1 before this).
+    SELECT l_orderkey,
+           sum(cast(round((l_extendedprice * (1.0 - l_discount)) * 1e6)
+                    as bigint)) AS rev_u
     FROM lineitem GROUP BY l_orderkey
-)
+),
 -- BROADCAST hints only on the fixed-size dims; customer grows with the
 -- corpus, so its join strategy is AQE's size-based call (a static hint
 -- OOMs the driver once customer stops being small).
-SELECT /*+ BROADCAST(nation), BROADCAST(region) */
-    r_name,
-    n_name,
-    round(sum(rev), 4) AS revenue,
-    count(*)           AS n_orders
-FROM orders
-JOIN per_order ON o_orderkey = l_orderkey
-JOIN customer  ON o_custkey = c_custkey
-JOIN nation    ON c_nationkey = n_nationkey
-JOIN region    ON n_regionkey = r_regionkey
-GROUP BY r_name, n_name
+g AS (
+    SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+        r_name,
+        n_name,
+        sum(rev_u) AS rev_u_sum,
+        count(*)   AS n_orders
+    FROM orders
+    JOIN per_order ON o_orderkey = l_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation    ON c_nationkey = n_nationkey
+    JOIN region    ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       sign(rev_u_sum) * ((abs(rev_u_sum) + 50) div 100) / 10000.0 AS revenue,
+       n_orders
+FROM g
 ORDER BY r_name, n_name
 """
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_hadoop_spark.functions import fixedpoint as FP
 from mapreduce_hadoop_spark.sources.tables import load_table
 
 TUMBLE_S = 6 * 3600
@@ -42,24 +43,27 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", f"{TUMBLE_S} seconds").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            FP.sum_micro("value").alias("v_u"),
         )
         .select(
             F.col("w.start").cast("double").alias("win_start"),
             "event_type",
             "n",
-            "value_sum",
+            FP.round_micro("v_u").alias("value_sum"),
         )
     )
 
 
 EVENTS_TUMBLING_ORACLE = f"""
-SELECT floor(epoch(ts) / {TUMBLE_S}) * {TUMBLE_S}.0 AS win_start,
-       event_type,
-       count(*)               AS n,
-       round(sum("value"), 4) AS value_sum
-FROM events
-GROUP BY 1, 2
+WITH g AS (
+    SELECT floor(epoch(ts) / {TUMBLE_S}) * {TUMBLE_S}.0 AS win_start,
+           event_type,
+           count(*)                      AS n,
+           {FP.sum_micro_sql('"value"')} AS v_u
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT win_start, event_type, n, {FP.round_micro_sql("v_u")} AS value_sum FROM g
 """
 
 
@@ -73,13 +77,13 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            FP.sum_micro("value").alias("v_u"),
         )
         .select(
             F.col("w.start").cast("double").alias("win_start"),
             "event_type",
             "n",
-            "value_sum",
+            FP.round_micro("v_u").alias("value_sum"),
         )
     )
 
@@ -94,11 +98,14 @@ WITH expanded AS (
     SELECT floor(epoch(ts) / {SLIDE_S}) * {SLIDE_S}.0 - {SLIDE_S}, event_type, "value"
     FROM events
 )
-SELECT win_start, event_type,
-       count(*)               AS n,
-       round(sum("value"), 4) AS value_sum
-FROM expanded
-GROUP BY 1, 2
+SELECT win_start, event_type, n, {FP.round_micro_sql("v_u")} AS value_sum
+FROM (
+    SELECT win_start, event_type,
+           count(*)                      AS n,
+           {FP.sum_micro_sql('"value"')} AS v_u
+    FROM expanded
+    GROUP BY 1, 2
+)
 """
 
 
@@ -133,22 +140,31 @@ def views_before_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFr
         (F.col("vts") >= F.col("pts") - F.expr(f"INTERVAL {RANGE_H} HOURS"))
         & (F.col("vts") < F.col("pts"))
     )
-    return joined.groupBy("purchase_id").agg(
-        F.count(F.lit(1)).alias("n_views"),
-        F.round(F.sum("value"), 4).alias("view_value_sum"),
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            FP.sum_micro("value").alias("v_u"),
+        )
+        .select(
+            "purchase_id", "n_views", FP.round_micro("v_u").alias("view_value_sum")
+        )
     )
 
 
 VIEWS_BEFORE_PURCHASE_ORACLE = f"""
-SELECT p.event_id AS purchase_id,
-       count(*)                 AS n_views,
-       round(sum(v."value"), 4) AS view_value_sum
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-JOIN (SELECT * FROM events WHERE event_type = 'view') v
-  ON v.user_id = p.user_id
- AND v.ts >= p.ts - INTERVAL {RANGE_H} HOUR
- AND v.ts <  p.ts
-GROUP BY p.event_id
+WITH g AS (
+    SELECT p.event_id AS purchase_id,
+           count(*)                         AS n_views,
+           {FP.sum_micro_sql('v."value"')}  AS v_u
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL {RANGE_H} HOUR
+     AND v.ts <  p.ts
+    GROUP BY p.event_id
+)
+SELECT purchase_id, n_views, {FP.round_micro_sql("v_u")} AS view_value_sum FROM g
 """
 
 
@@ -169,8 +185,12 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type"), F.to_date("ts").alias("day"), F.col("value")
     )
-    counts = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    counts = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), FP.sum_micro("value").alias("v_u"))
+        .select(
+            "event_type", "day", "n", FP.round_micro("v_u").alias("sum_value")
+        )
     )
     span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     days = span.select(
@@ -189,13 +209,17 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_GAPFILL_ORACLE = """
+EVENTS_GAPFILL_ORACLE = f"""
 WITH ev AS (
     SELECT event_type, CAST(ts AS DATE) AS day, "value" FROM events
 ),
 counts AS (
-    SELECT event_type, day, count(*) AS n, round(sum("value"), 4) AS sum_value
-    FROM ev GROUP BY event_type, day
+    SELECT event_type, day, n, {FP.round_micro_sql("v_u")} AS sum_value
+    FROM (
+        SELECT event_type, day, count(*) AS n,
+               {FP.sum_micro_sql('"value"')} AS v_u
+        FROM ev GROUP BY event_type, day
+    )
 ),
 days AS (
     SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day

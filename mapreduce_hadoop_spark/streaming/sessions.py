@@ -27,24 +27,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_hadoop_spark.functions import fixedpoint as FP
 from mapreduce_hadoop_spark.sources.tables import load_table
 
 GAP_S = 3600  # 1 h: the events stream's natural inter-event scale
 
 
 def session_agg_from(ev: DataFrame, gap_s: int = GAP_S) -> DataFrame:
+    # Fixed-point value sum (functions/fixedpoint.py): the BIGINT state also
+    # suits the streaming twin — session-merge order in the state store is
+    # as nondeterministic as batch partial-merge order.
     grouped = ev.groupBy(
         "user_id", F.session_window("ts", f"{gap_s} seconds").alias("w")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("value_sum"),
+        FP.sum_micro("value").alias("v_u"),
     )
     return grouped.select(
         "user_id",
         F.col("w.start").cast("double").alias("session_start"),
         F.col("w.end").cast("double").alias("session_end"),
         "n_events",
-        "value_sum",
+        FP.round_micro("v_u").alias("value_sum"),
     )
 
 
@@ -69,14 +73,18 @@ sid AS (
                                   ROWS UNBOUNDED PRECEDING) AS session_id
     FROM flagged
 )
-SELECT
-    user_id,
-    min(t)                 AS session_start,
-    max(t) + {GAP_S}.0     AS session_end,
-    count(*)               AS n_events,
-    round(sum("value"), 4) AS value_sum
-FROM sid
-GROUP BY user_id, session_id
+SELECT user_id, session_start, session_end, n_events,
+       {FP.round_micro_sql("v_u")} AS value_sum
+FROM (
+    SELECT
+        user_id,
+        min(t)                 AS session_start,
+        max(t) + {GAP_S}.0     AS session_end,
+        count(*)               AS n_events,
+        {FP.sum_micro_sql('"value"')} AS v_u
+    FROM sid
+    GROUP BY user_id, session_id
+)
 """
 
 
@@ -175,12 +183,12 @@ def tumbling_agg_stream(
         ev.groupBy(F.window("ts", f"{TUMBLE_S} seconds").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            FP.sum_micro("value").alias("v_u"),
         )
         .select(
             F.col("w.start").cast("double").alias("win_start"),
             "event_type",
             "n",
-            "value_sum",
+            FP.round_micro("v_u").alias("value_sum"),
         )
     )

@@ -163,3 +163,27 @@ def test_document_chunks_map_only(spark, sf_dir):
 
     c = plan_counts(document_chunks(spark, sf_dir))
     assert c["exchange"] == 0, c
+
+
+def test_parity_sql_single_shuffle(spark, sf_dir):
+    # The JVM parity fold is groupBy(taxi) -> fold: exactly one shuffle
+    # (the hash aggregate's exchange on taxi), no join, no window sort.
+    from mapreduce_hadoop_spark.operators import gps, sessionize
+
+    df = sessionize.sessionize_parity_sql(gps.positions(spark, sf_dir))
+    df.collect()
+    c = plan_counts(df)
+    assert c["exchange"] == 1, c
+    assert c["sort_merge_join"] == 0, c
+    assert c["window"] == 0, c
+
+
+def test_text_normalize_and_repetition_map_only(spark, sf_dir):
+    # Scan-time cleaning stages: zero shuffle, pure projection.
+    from mapreduce_hadoop_spark.operators import textops
+
+    for q in (textops.text_normalize, textops.repetition_score):
+        df = q(spark, sf_dir)
+        df.collect()
+        c = plan_counts(df)
+        assert c["exchange"] == 0, (q.__name__, c)
