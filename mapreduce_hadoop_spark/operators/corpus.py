@@ -98,7 +98,9 @@ clean AS (
 grouped AS (
     SELECT source,
            count(*)      AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           -- DuckDB integer sum() -> HUGEINT -> pandas float64; cast keeps
+           -- int64 to match Spark's BIGINT sum.
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(CAST(round(quality * 1e9) AS BIGINT)) AS BIGINT) AS q_nano
     FROM clean
     GROUP BY source

@@ -209,8 +209,10 @@ flagged AS (
 ),
 m AS (
     SELECT *,
-        sum(is_start) OVER (PARTITION BY taxi ORDER BY t, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_id
+        -- DuckDB promotes integer window-sum to HUGEINT, which pandas turns
+        -- into float64 (161.0 vs Spark's int64 161) — cast to keep int64.
+        CAST(sum(is_start) OVER (PARTITION BY taxi ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM flagged WHERE status = 'M'
 ),
 grouped AS (

@@ -29,10 +29,10 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isinf(v):
             return "inf" if v > 0 else "-inf"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        # Full precision: the engines must agree bit-for-bit, not just to
-        # N digits — repr round-trips the exact double.
+        # Full precision, no int-like normalization: the driver's hasher
+        # distinguishes 161.0 (float64, e.g. DuckDB HUGEINT->pandas) from
+        # 161 (int64); normalizing here masked exactly that bug class for
+        # two rounds. repr round-trips the exact double.
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
@@ -92,8 +92,17 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        elif value_hash(sdf) != value_hash(odf):
-            problems.append("value-hash mismatch")
+        else:
+            # Driver-strict dtype gate: the driver's hasher distinguishes
+            # float64 161.0 from int64 161 (DuckDB HUGEINT -> pandas float64
+            # burned us for two rounds), so a float-vs-nonfloat kind split is
+            # a hard failure even when values look equal.
+            for c in sorted(sdf.columns):
+                sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+                if (sk == "f") != (ok == "f"):
+                    problems.append(f"dtype {c}: spark {sdf[c].dtype} vs oracle {odf[c].dtype}")
+            if value_hash(sdf) != value_hash(odf):
+                problems.append("value-hash mismatch")
         if problems:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)} [{t_spark:.1f}s]")
