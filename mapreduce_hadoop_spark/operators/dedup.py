@@ -55,6 +55,29 @@ LSH_BUCKET_CAP = 200
 
 _PERMS = minhash_params(NUM_PERMS)
 
+# Intermediates the pair builders persist (shingle hashes, simhash
+# signatures). A persist with no matching unpersist is fine inside one
+# query but leaks executor storage when the module is used as a library —
+# callers (bench.py between queries, long-lived pipelines after consuming
+# a result) release them via ``unpersist_intermediates``.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persisted(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_intermediates() -> None:
+    """Release every cached intermediate pinned by the pair builders.
+
+    Safe to call while a returned DataFrame is still unconsumed — Spark
+    just recomputes the lineage on the next action.
+    """
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 # --- exact dedup -----------------------------------------------------------
 
@@ -112,12 +135,32 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     p = spark.sparkContext.defaultParallelism
-    # File-count probe instead of rdd.getNumPartitions(): inputFiles() is a
-    # metadata-only FileIndex listing (no plan->RDD conversion, no job). A
-    # corpus big enough for split count to matter is multi-file, so file
-    # count < parallelism is the right "too few splits" signal.
-    if len(docs.inputFiles()) < p:
-        docs = docs.repartition(p)
+    # Metadata-only probe (inputFiles() is a FileIndex listing — no
+    # plan->RDD conversion, no job): repartition only when the scan cannot
+    # already yield >= parallelism splits. File count alone undercounts a
+    # large single file that maxPartitionBytes splits into many partitions,
+    # so total bytes / maxPartitionBytes joins the estimate; where sizes
+    # aren't cheaply readable (non-local FS) it degrades to the file count.
+    files = docs.inputFiles()
+    if len(files) < p:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        s = raw.lower().rstrip("b")
+        max_split = (
+            int(s[:-1]) * units[s[-1]] if s and s[-1] in units else int(s)
+        )
+        try:
+            import os as _os
+
+            total = sum(
+                _os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+                for f in files
+            )
+            est_splits = max(len(files), total // max_split)
+        except OSError:
+            est_splits = len(files)
+        if est_splits < p:
+            docs = docs.repartition(p)
     return docs.select("doc_id", T.shingles("text").alias("sh"))
 
 
@@ -243,7 +286,7 @@ def minhash_lsh_pairs_from(
     window count shuffles on exactly the (band, sig) key the self-join
     hashes on, so the guard adds no extra shuffle of the band relation.
     """
-    hs = hs.persist()
+    hs = _persisted(hs)
     bands = _band_keys(_minhash_from(hs))
     wb = Window.partitionBy("band", "sig")
     bands = (
@@ -320,22 +363,38 @@ MINHASH_LSH_ORACLE = _minhash_lsh_oracle()
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — 32-bit simhash over shingle hashes."""
+    """(doc_id, simhash) — 32-bit simhash over shingle hashes.
+
+    Per bit j: count of set bits vs array length decides the sign. One
+    ``aggregate`` fold carries all 32 bit-counters in an array accumulator
+    (same pattern as the minhash rewrite above): a single traversal of each
+    doc's hash array and a ~32x smaller expression tree than the naive
+    one-list_filter-per-bit formulation, whose plan/codegen latency
+    dominated cold runs.
+    """
     hs = _shingle_hashes(spark, sf_dir).filter(F.size("hs") > 0)
-    # Per bit j: count of set bits vs array length decides the sign; the
-    # whole signature is a map-only projection over the in-row hash array.
     n = F.size("hs")
-    sim = None
-    for j in range(SIMHASH_BITS):
-        ones = F.size(
-            F.filter(
-                F.col("hs"),
-                lambda x: F.shiftright(x, j).bitwiseAND(F.lit(1)) == F.lit(1),
-            )
-        )
-        bit = F.when(ones * 2 > n, F.lit(2**j)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return hs.select("doc_id", sim.cast("long").alias("simhash"))
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    counts = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, x: F.zip_with(
+            acc,
+            masks,
+            lambda c, m: c
+            + F.when(x.bitwiseAND(m) != F.lit(0), F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return hs.select("doc_id", sim.alias("simhash"))
 
 
 def _simhash_sigs_sql() -> str:
@@ -352,8 +411,14 @@ sigs AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hsv WHERE len(hs)
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= 6, found via
-    4 x 8-bit block join (complete for hamming <= 3 by pigeonhole)."""
-    sigs = simhash_signatures(spark, sf_dir)
+    4 x 8-bit block join (complete for hamming <= 3 by pigeonhole).
+
+    The signature relation is persisted before the self-join: without it,
+    BOTH join sides re-run the whole shingle->md5->fold pipeline (and the
+    broadcast side evaluates it on a single thread), which measured ~14x
+    slower than persist+join at sf0.1. O(docs) longs of storage.
+    """
+    sigs = _persisted(simhash_signatures(spark, sf_dir))
     block_size = SIMHASH_BITS // SIMHASH_BLOCKS
     blocks = sigs.select(
         "doc_id",

@@ -57,6 +57,23 @@ from mapreduce_hadoop_spark.operators import gps
 # sessionize_window docstring/comments).
 _START_FEE_NANO = int(round(C.START_FEE * 1e9))
 
+
+def _round6_py(x: float) -> float:
+    """6-dp HALF_UP via floor(x*1e6 + 0.5)/1e6 — pure IEEE multiply/add/
+    floor, so the Python and JVM parity arms produce the identical double
+    BY CONSTRUCTION. (Python round() rounds the exact binary value HALF_
+    EVEN while F.bround goes through BigDecimal.valueOf's shortest decimal
+    repr; their agreement on 6-dp ties was only empirical.) Inputs are
+    non-negative (distances/fees), where floor(x+0.5) == HALF_UP."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _round6_col(c):
+    """JVM twin of ``_round6_py`` — the same three IEEE ops."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
 TRIP_SCHEMA = (
     "taxi bigint, session_id bigint, start_t double, start_lat double, "
     "start_lon double, stop_t double, stop_lat double, stop_lon double, "
@@ -311,8 +328,8 @@ def replay_core(
                     stop_t,
                     stop_lat,
                     stop_lon,
-                    round(trip["dist"], 6),
-                    round(C.START_FEE + C.KM_FEE * trip["dist"], 6),
+                    _round6_py(trip["dist"]),
+                    _round6_py(C.START_FEE + C.KM_FEE * trip["dist"]),
                     str(trip["date"])[:10],
                 )
             )
@@ -475,8 +492,10 @@ def sessionize_parity_sql(
 
     Memory bounds like the per-group Pandas path: one taxi's positions are
     materialized per fold — fine whenever a single key's history fits an
-    executor, the same contract applyInPandas has. ``F.bround`` (HALF_EVEN)
-    mirrors Python ``round`` at the 6-dp emit edge.
+    executor, the same contract applyInPandas has. The 6-dp emit edge uses
+    ``_round6_col`` / ``_round6_py`` (floor(x*1e6+0.5)/1e6): three IEEE ops
+    evaluated identically by the JVM and CPython, so the two arms agree by
+    construction, not empirically.
     """
     per_taxi = pos.groupBy("taxi").agg(
         F.sort_array(
@@ -525,9 +544,9 @@ def sessionize_parity_sql(
             acc["prev_t"].alias("stop_t"),
             acc["prev_lat"].alias("stop_lat"),
             acc["prev_lon"].alias("stop_lon"),
-            F.bround(acc["dist"], 6).alias("dist_km"),
-            F.bround(
-                F.lit(C.START_FEE) + F.lit(C.KM_FEE) * acc["dist"], 6
+            _round6_col(acc["dist"]).alias("dist_km"),
+            _round6_col(
+                F.lit(C.START_FEE) + F.lit(C.KM_FEE) * acc["dist"]
             ).alias("revenue"),
             acc["date"].cast("string").alias("trip_date"),
         )

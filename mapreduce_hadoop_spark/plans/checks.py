@@ -15,8 +15,16 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    """String form of the executed (post-AQE-planning) physical plan."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """String form of the executed (post-AQE-planning) physical plan.
+
+    Once AQE finalizes (after an action), ``AdaptiveSparkPlan.toString``
+    prints BOTH the ``== Final Plan ==`` and the ``== Initial Plan ==``
+    sections — naive substring counting then sees every node twice and
+    reports phantom duplicate subtrees. Only the final section executes,
+    so the initial-plan echo is stripped before any counting.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==", 1)[0]
 
 
 def plan_counts(df: DataFrame) -> dict[str, int]:

@@ -38,6 +38,78 @@ def _specs() -> dict[str, QuerySpec]:
     from mapreduce_hadoop_spark.streaming import sessions
 
     specs: dict[str, QuerySpec] = {
+        # --- Driver-window head -------------------------------------------
+        # The correctness driver checks only the FIRST 50 entries. These 17
+        # queries had no driver row through round 2 (insertion order pushed
+        # them out), so they lead the registry this round; the displaced
+        # tail all carries two rounds of green driver history.
+        "events_cube": (relational_ext.events_cube, relational_ext.EVENTS_CUBE_ORACLE),
+        "customer_balance_windows": (
+            relational_ext.customer_balance_windows,
+            relational_ext.CUSTOMER_WINDOWS_ORACLE,
+        ),
+        "events_hash_sample": (
+            relational_ext.events_hash_sample,
+            relational_ext.EVENTS_HASH_SAMPLE_ORACLE,
+        ),
+        "events_stratified_sample": (
+            relational_ext.events_stratified_sample,
+            relational_ext.EVENTS_STRATIFIED_SAMPLE_ORACLE,
+        ),
+        "customer_order_semi_anti": (
+            relational_ext.customer_order_semi_anti,
+            relational_ext.SEMI_ANTI_ORACLE,
+        ),
+        "events_grouping_sets": (
+            relational_ext.events_grouping_sets,
+            relational_ext.EVENTS_GROUPING_SETS_ORACLE,
+        ),
+        "orders_pivot_priority": (
+            relational_ext.orders_pivot_priority,
+            relational_ext.ORDERS_PIVOT_ORACLE,
+        ),
+        "lineitem_measures_unpivot": (
+            relational_ext.lineitem_measures_unpivot,
+            relational_ext.LINEITEM_UNPIVOT_ORACLE,
+        ),
+        "lineitem_percentiles": (
+            relational_ext.lineitem_percentiles,
+            relational_ext.LINEITEM_PERCENTILES_ORACLE,
+        ),
+        # Sketch percentiles: estimates are algorithm-specific -> rows-only;
+        # tests/test_relational_ext.py bounds the error vs the exact twin.
+        "approx_lineitem_percentiles": (
+            relational_ext.approx_lineitem_percentiles,
+            None,
+        ),
+        "events_salted_agg": (
+            relational_ext.events_salted_agg,
+            relational_ext.EVENTS_SALTED_ORACLE,
+        ),
+        # Temporal windows + range join (north-star extension).
+        "events_tumbling_window": (
+            temporal.events_tumbling_window,
+            temporal.EVENTS_TUMBLING_ORACLE,
+        ),
+        "events_sliding_window": (
+            temporal.events_sliding_window,
+            temporal.EVENTS_SLIDING_ORACLE,
+        ),
+        "events_daily_gapfill": (
+            temporal.events_daily_gapfill,
+            temporal.EVENTS_GAPFILL_ORACLE,
+        ),
+        "views_before_purchase_range_join": (
+            temporal.views_before_purchase_range_join,
+            temporal.VIEWS_BEFORE_PURCHASE_ORACLE,
+        ),
+        # IVF ANN (scale path beside topk_lsh; recall vs bruteforce bounded
+        # in tests/test_similarity_ivf.py).
+        "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
+        # K-means training is not SQL-expressible -> rows-only; recall vs
+        # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
+        "similarity_topk_ivf_trained": (similarity.topk_ivf_trained, None),
+        # --- Previously-verified queries (old driver-window order) --------
         # O1-O8: Exercise-1 trip-length histogram (flagship).
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),
         # Scalar-function layer, each standalone (SURVEY §7 step 2).
@@ -189,72 +261,6 @@ def _specs() -> dict[str, QuerySpec]:
             relational_ext.segment_customer_setops,
             relational_ext.SETOPS_ORACLE,
         ),
-        "events_cube": (relational_ext.events_cube, relational_ext.EVENTS_CUBE_ORACLE),
-        "customer_balance_windows": (
-            relational_ext.customer_balance_windows,
-            relational_ext.CUSTOMER_WINDOWS_ORACLE,
-        ),
-        "events_hash_sample": (
-            relational_ext.events_hash_sample,
-            relational_ext.EVENTS_HASH_SAMPLE_ORACLE,
-        ),
-        "events_stratified_sample": (
-            relational_ext.events_stratified_sample,
-            relational_ext.EVENTS_STRATIFIED_SAMPLE_ORACLE,
-        ),
-        "customer_order_semi_anti": (
-            relational_ext.customer_order_semi_anti,
-            relational_ext.SEMI_ANTI_ORACLE,
-        ),
-        "events_grouping_sets": (
-            relational_ext.events_grouping_sets,
-            relational_ext.EVENTS_GROUPING_SETS_ORACLE,
-        ),
-        "orders_pivot_priority": (
-            relational_ext.orders_pivot_priority,
-            relational_ext.ORDERS_PIVOT_ORACLE,
-        ),
-        "lineitem_measures_unpivot": (
-            relational_ext.lineitem_measures_unpivot,
-            relational_ext.LINEITEM_UNPIVOT_ORACLE,
-        ),
-        "lineitem_percentiles": (
-            relational_ext.lineitem_percentiles,
-            relational_ext.LINEITEM_PERCENTILES_ORACLE,
-        ),
-        # Sketch percentiles: estimates are algorithm-specific -> rows-only;
-        # tests/test_relational_ext.py bounds the error vs the exact twin.
-        "approx_lineitem_percentiles": (
-            relational_ext.approx_lineitem_percentiles,
-            None,
-        ),
-        "events_salted_agg": (
-            relational_ext.events_salted_agg,
-            relational_ext.EVENTS_SALTED_ORACLE,
-        ),
-        # Temporal windows + range join (north-star extension).
-        "events_tumbling_window": (
-            temporal.events_tumbling_window,
-            temporal.EVENTS_TUMBLING_ORACLE,
-        ),
-        "events_sliding_window": (
-            temporal.events_sliding_window,
-            temporal.EVENTS_SLIDING_ORACLE,
-        ),
-        "events_daily_gapfill": (
-            temporal.events_daily_gapfill,
-            temporal.EVENTS_GAPFILL_ORACLE,
-        ),
-        "views_before_purchase_range_join": (
-            temporal.views_before_purchase_range_join,
-            temporal.VIEWS_BEFORE_PURCHASE_ORACLE,
-        ),
-        # IVF ANN (scale path beside topk_lsh; recall vs bruteforce bounded
-        # in tests/test_similarity_ivf.py).
-        "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
-        # K-means training is not SQL-expressible -> rows-only; recall vs
-        # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
-        "similarity_topk_ivf_trained": (similarity.topk_ivf_trained, None),
     }
     return specs
 

@@ -69,30 +69,37 @@ def enriched_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_hadoop_spark.sources.tables import load_table
 
     ev = _events_stream(spark, sf_dir)
-    return _enrich(spark, sf_dir, ev)
+    return _enrich(spark, sf_dir, ev, True)
 
 
-def _enrich(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
+def _enrich(
+    spark: SparkSession, sf_dir: str, ev: DataFrame, hint_broadcast: bool
+) -> DataFrame:
     from mapreduce_hadoop_spark.sources.tables import load_table
 
-    cust = F.broadcast(
-        load_table(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("user_id"), "c_mktsegment"
-        )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
+    # The forced broadcast is a STREAM-side decision: a micro-batch plan has
+    # no AQE runtime statistics, and per-batch dim refresh is the point of
+    # the pattern. The batch twin takes no hint — customer grows with the
+    # corpus, and the size-based (AQE) strategy broadcasts it while small
+    # and sort-merges beyond (same rationale as revenue_by_nation's dim).
+    if hint_broadcast:
+        cust = F.broadcast(cust)
     return ev.join(cust, "user_id").select(
         "event_id", "user_id", "c_mktsegment", "value"
     )
 
 
 def enriched_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of ``enriched_events_stream`` (identical ``_enrich`` plan
+    """Batch twin of ``enriched_events_stream`` (same ``_enrich`` join shape
     over the batch events table), driver-checkable — the stream side only
-    swaps the source, so a green row here verifies the enrich join both
-    surfaces share."""
+    swaps the source and pins the broadcast, so a green row here verifies
+    the enrich join both surfaces share."""
     from mapreduce_hadoop_spark.sources.tables import load_table
 
-    return _enrich(spark, sf_dir, load_table(spark, sf_dir, "events"))
+    return _enrich(spark, sf_dir, load_table(spark, sf_dir, "events"), False)
 
 
 ENRICHED_EVENTS_ORACLE = """

@@ -149,6 +149,11 @@ def keyed_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.unionAll(redelivered).dropDuplicates(["event_id"])
 
 
+# Key-based like the Spark side (one row per event_id), not DISTINCT *:
+# the two agree today because redelivered copies are bit-identical, but a
+# duplicate event_id with a differing payload would make DISTINCT keep
+# both while dropDuplicates keeps one — the oracle must encode the same
+# keep-one-per-key contract.
 KEYED_DEDUP_ORACLE = """
 WITH e AS (
     SELECT event_id, user_id, event_type, "value", epoch(ts) AS t FROM events
@@ -158,7 +163,10 @@ u AS (
     UNION ALL
     SELECT * FROM e WHERE event_id % 10 = 0
 )
-SELECT DISTINCT * FROM u
+SELECT event_id, user_id, event_type, "value", t FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY user_id) AS rn
+    FROM u
+) WHERE rn = 1
 """
 
 
