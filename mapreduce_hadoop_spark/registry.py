@@ -35,7 +35,7 @@ def _specs() -> dict[str, QuerySpec]:
         textops,
     )
     from mapreduce_hadoop_spark.streaming import joins as stream_joins
-    from mapreduce_hadoop_spark.streaming import sessions
+    from mapreduce_hadoop_spark.streaming import sessions, trips
 
     specs: dict[str, QuerySpec] = {
         # --- Driver-window head -------------------------------------------
@@ -109,6 +109,11 @@ def _specs() -> dict[str, QuerySpec]:
         # K-means training is not SQL-expressible -> rows-only; recall vs
         # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
         "similarity_topk_ivf_trained": (similarity.topk_ivf_trained, None),
+        # Streaming trip machine, batch-twin form: replays the reducer
+        # carrier across simulated micro-batch boundaries. Order-dependent
+        # stateful fold -> rows-only; bit-identity to the parity path (and
+        # its committed golden fixture) pinned in tests/test_streaming_trips.py.
+        "airport_trips_microbatch": (trips.airport_trips_microbatch, None),
         # --- Previously-verified queries (old driver-window order) --------
         # O1-O8: Exercise-1 trip-length histogram (flagship).
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),

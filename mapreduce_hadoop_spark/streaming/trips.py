@@ -143,6 +143,58 @@ def positions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def airport_trips_microbatch(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3, **kwargs
+) -> DataFrame:
+    """Driver-checkable batch twin of ``airport_trips_stream``.
+
+    Simulates the micro-batch execution in one batch job: positions are
+    bucketed into ``n_batches`` global event-time windows (the stream's
+    arrival order), and each taxi replays its buckets IN ORDER through
+    ``replay_core``, carrying the reducer state across bucket boundaries
+    exactly as the state store does across micro-batches — including the
+    older-than-state drop guard. Because the carrier is the machine's
+    complete state, the output is bit-identical to the single-pass parity
+    replay (asserted against ``airport_trips_parity_query`` and the
+    committed golden fixture in ``tests/test_streaming_trips.py``), which
+    is what makes the cross-boundary carry verifiable by the driver.
+
+    Not SQL-expressible (order-dependent stateful fold) -> rows-only row.
+    """
+    from pyspark.sql import functions as F
+
+    kwargs.setdefault("airport_radius_km", gps.DEMO_AIRPORT_RADIUS_KM)
+    pos = gps.positions(spark, sf_dir)
+    bounds = pos.agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    width = (F.col("t1") - F.col("t0")) / F.lit(float(n_batches))
+    batch = F.when(F.col("t1") > F.col("t0"),
+                   F.least(
+                       F.lit(n_batches - 1),
+                       F.floor((F.col("t") - F.col("t0")) / width).cast("int"),
+                   )).otherwise(F.lit(0))
+    pos = (
+        pos.crossJoin(F.broadcast(bounds))
+        .withColumn("batch", batch)
+        .drop("t0", "t1")
+    )
+
+    def fn(key: Any, pdf: pd.DataFrame) -> pd.DataFrame:
+        (taxi,) = key
+        carrier = fresh_carrier()
+        outs: list[tuple] = []
+        for b in sorted(pdf["batch"].unique()):
+            chunk = pdf[pdf["batch"] == b].sort_values(["t", "event_id"])
+            chunk = chunk[chunk["t"] >= carrier["prev_t"]]
+            rows = chunk[["t", "lat", "lon", "status", "event_date"]].itertuples(
+                index=False, name=None
+            )
+            out, carrier = replay_core(int(taxi), rows, carrier, **kwargs)
+            outs.extend(out)
+        return pd.DataFrame(outs, columns=PARITY_COLUMNS)
+
+    return pos.groupBy("taxi").applyInPandas(fn, PARITY_SCHEMA)
+
+
 def airport_trips_stream(
     spark: SparkSession, sf_dir: str, **kwargs
 ) -> DataFrame:
