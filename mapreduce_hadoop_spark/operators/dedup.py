@@ -323,15 +323,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_from(_shingle_hashes(spark, sf_dir))
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_lsh_ctes() -> str:
+    """The CTE block of the LSH oracle, reusable under WITH / WITH RECURSIVE."""
     band_rows = ", ".join(
         "({b}, mh{i0} || '_' || mh{i1})".format(
             b=b, i0=b * ROWS_PER_BAND, i1=b * ROWS_PER_BAND + 1
         )
         for b in range(BANDS)
     )
-    return f"""
-WITH {_minhash_sigs_sql()},
+    return f"""{_minhash_sigs_sql()},
 bands AS (
     SELECT doc_id, bk.*,
            count(*) OVER (PARTITION BY bk.band, bk.sig) AS bucket_n
@@ -344,7 +344,10 @@ cand AS (
     FROM bandsf a JOIN bandsf b
       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-sh2 AS (SELECT doc_id, hs AS sh FROM hsv)
+sh2 AS (SELECT doc_id, hs AS sh FROM hsv)"""
+
+
+_MINHASH_LSH_SELECT = f"""
 SELECT doc_a, doc_b,
        round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
@@ -356,7 +359,7 @@ WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
 """
 
 
-MINHASH_LSH_ORACLE = _minhash_lsh_oracle()
+MINHASH_LSH_ORACLE = f"WITH {_minhash_lsh_ctes()} {_MINHASH_LSH_SELECT}"
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -524,6 +527,144 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return co.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)
     )
+
+
+# --- benchmark contamination check -----------------------------------------
+
+# Every doc_id % CONTAM_BENCH_MOD == 0 plays the held-out benchmark set
+# (deterministic stand-in for an external eval suite); the check flags
+# corpus documents sharing shingles with it — the train/test overlap scan
+# an LLM data pipeline runs before training.
+CONTAM_BENCH_MOD = 97
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh, n_hits, contam_ratio) for every non-benchmark doc
+    sharing >= 1 shingle with the benchmark set.
+
+    Scale shape: the benchmark side is eval-suite-sized (thousands of
+    docs), so its distinct-shingle set is broadcast and the corpus side
+    never shuffles — the whole check is scan + broadcast-semi-hash +
+    partial agg on doc_id. Shingles per doc are distinct (``_doc_shingles``),
+    so n_hits is exactly |doc shingles ∩ benchmark shingles|.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.filter(~is_bench).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_sh").cast("double"), 6
+            ).alias("contam_ratio"),
+        )
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH sh AS ({DOC_SHINGLES_SQL}),
+bench AS (
+    SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+),
+corpus AS (
+    SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle
+    FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+)
+SELECT doc_id, n_sh, count(*) AS n_hits,
+       round(count(*)::DOUBLE / n_sh, 6) AS contam_ratio
+FROM corpus JOIN bench USING (shingle)
+GROUP BY doc_id, n_sh
+"""
+
+
+# --- near-dup cluster assignment (connected components) ---------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a near-dup component: the
+    connected components of the MinHash-LSH pair graph, labeled by the
+    component's minimum doc_id (the canonical "keep" doc).
+
+    Min-label propagation: each round every node takes min(own label,
+    neighbors' labels) — the standard large-scale connected components
+    (O(diameter) rounds, each one join + one aggregation shuffled on the
+    node key; no Python per-row work). Near-dup components are shallow
+    (duplicates of a common source), so rounds stay single-digit at any
+    corpus size; the driver only coordinates the fixpoint check (a count,
+    never row data). ``localCheckpoint`` cuts the per-round lineage so plan
+    depth stays O(1) per round rather than O(rounds).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("a", "b").persist()
+    )
+    _PERSISTED.append(edges)
+    labels = edges.select(F.col("a").alias("doc")).distinct().select(
+        "doc", F.col("doc").alias("lbl")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["doc"])
+            .groupBy(F.col("a").alias("doc2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc"] == nbr_min["doc2"], "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def _dedup_clusters_oracle() -> str:
+    # Transitive closure via recursive CTE, then min reachable id per node.
+    # Fine for the oracle (components are small); the Spark side never
+    # materializes the closure.
+    return f"""
+WITH RECURSIVE {_minhash_lsh_ctes()},
+pairs AS ({_MINHASH_LSH_SELECT}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+DEDUP_CLUSTERS_ORACLE = _dedup_clusters_oracle()
 
 
 NGRAM_JACCARD_ORACLE = f"""

@@ -114,6 +114,11 @@ def _specs() -> dict[str, QuerySpec]:
         # stateful fold -> rows-only; bit-identity to the parity path (and
         # its committed golden fixture) pinned in tests/test_streaming_trips.py.
         "airport_trips_microbatch": (trips.airport_trips_microbatch, None),
+        # Benchmark-contamination scan (train/test n-gram overlap) and
+        # near-dup cluster assignment (connected components over the LSH
+        # pair graph; recursive-CTE oracle).
+        "contamination_check": (dedup.contamination_check, dedup.CONTAMINATION_ORACLE),
+        "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_ORACLE),
         # --- Previously-verified queries (old driver-window order) --------
         # O1-O8: Exercise-1 trip-length histogram (flagship).
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),

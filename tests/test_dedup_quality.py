@@ -74,3 +74,44 @@ def test_emb_lsh_bucket_cap_drops_degenerate_sign_bucket(spark):
         ).alias("norm"),
     )
     assert similarity.near_dup_lsh_from(degenerate).count() == 0
+
+
+def test_contamination_excludes_benchmark_and_bounds_ratio(spark, sf_dir):
+    from mapreduce_hadoop_spark.operators import dedup
+
+    rows = dedup.contamination_check(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # Benchmark docs never appear as contaminated corpus docs.
+        assert r["doc_id"] % dedup.CONTAM_BENCH_MOD != 0
+        assert 0 < r["n_hits"] <= r["n_sh"]
+        assert 0.0 < r["contam_ratio"] <= 1.0
+
+
+def test_dedup_clusters_labels_are_component_minima(spark, sf_dir):
+    from mapreduce_hadoop_spark.operators import dedup
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    # Independent union-find over the same pair graph.
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
