@@ -110,3 +110,63 @@ SELECT source, n_docs, total_tokens,
 FROM grouped
 ORDER BY source
 """
+
+
+# --- domain mixing ----------------------------------------------------------
+
+# Per-source share of the output corpus: each source is capped at 3% of
+# the total, so over-represented domains are downsampled to quota and
+# small domains pass through whole — the pretraining-mix rebalance. (The
+# test corpus has 20 near-uniform ~5% sources, so a 3% quota actually
+# binds: every source samples at rate ~0.6.)
+DOMAIN_QUOTA = 0.03
+_MIX_MOD = 1_000_000
+
+
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, lang) — deterministic per-source quota sampling.
+
+    rate_s = min(1, quota * N_total / n_s); a doc survives iff
+    md5(doc_id) % 1e6 < floor(rate_s * 1e6). The sample is a pure function
+    of the key (stable across engines, retries, partitionings — same
+    contract as events_hash_sample), and the rate relation is
+    corpus-cardinality-sized (|sources| rows), so the plan is one tiny agg
+    plus a broadcast join onto a map-only filter — no shuffle of the
+    corpus itself.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    totals = counts.agg(F.sum("n_s").alias("n_total"))
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(DOMAIN_QUOTA) * F.col("n_total") / F.col("n_s"),
+        ).alias("rate"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            md5_long(F.col("doc_id").cast("string")) % _MIX_MOD
+            < F.floor(F.col("rate") * F.lit(float(_MIX_MOD))).cast("long")
+        )
+        .select("doc_id", "source", "lang")
+    )
+
+
+DOMAIN_MIX_ORACLE = f"""
+WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM c),
+r AS (
+    -- CAST: DuckDB bare decimal literals are DECIMAL, not DOUBLE; the
+    -- rate must be the same IEEE double Spark computes.
+    SELECT source,
+           least(CAST(1.0 AS DOUBLE),
+                 CAST({DOMAIN_QUOTA} AS DOUBLE) * n_total / n_s) AS rate
+    FROM c, t
+)
+SELECT doc_id, d.source, lang
+FROM documents d JOIN r USING (source)
+WHERE ({md5_long_sql("CAST(doc_id AS VARCHAR)")}) % {_MIX_MOD}
+      < CAST(floor(rate * {_MIX_MOD}.0) AS BIGINT)
+"""

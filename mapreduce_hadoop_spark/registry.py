@@ -119,6 +119,9 @@ def _specs() -> dict[str, QuerySpec]:
         # pair graph; recursive-CTE oracle).
         "contamination_check": (dedup.contamination_check, dedup.CONTAMINATION_ORACLE),
         "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_ORACLE),
+        # Pretraining domain-mix rebalance: per-source quota, key-hash
+        # deterministic sampling (map-only over the corpus).
+        "corpus_domain_mix": (corpus.corpus_domain_mix, corpus.DOMAIN_MIX_ORACLE),
         # --- Previously-verified queries (old driver-window order) --------
         # O1-O8: Exercise-1 trip-length histogram (flagship).
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),
