@@ -187,3 +187,27 @@ def test_text_normalize_and_repetition_map_only(spark, sf_dir):
         df.collect()
         c = plan_counts(df)
         assert c["exchange"] == 0, (q.__name__, c)
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    # The benchmark shingle set is eval-suite-sized; the corpus side must
+    # join it by broadcast (no sort-merge, no corpus-wide shuffle for the
+    # join itself — the only exchange is the final doc_id aggregation).
+    from mapreduce_hadoop_spark.operators import dedup
+
+    df = dedup.contamination_check(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["broadcast_hash_join"] >= 1, c
+    assert c["sort_merge_join"] == 0, c
+
+
+def test_domain_mix_is_map_only_over_corpus(spark, sf_dir):
+    # The rate relation is |sources|-sized and broadcast; the corpus scan
+    # itself must not shuffle (the only exchanges belong to the tiny
+    # counts->total aggregation feeding the broadcast).
+    from mapreduce_hadoop_spark.operators import corpus
+
+    df = corpus.corpus_domain_mix(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["broadcast_hash_join"] >= 1, c
+    assert c["sort_merge_join"] == 0, c
