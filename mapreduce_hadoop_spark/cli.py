@@ -9,6 +9,7 @@ Equivalent here:
 
     spark-submit -m mapreduce_hadoop_spark.cli histogram <trips-in> <out>
     spark-submit -m mapreduce_hadoop_spark.cli airport-revenue <segments-in> <out>
+    spark-submit -m mapreduce_hadoop_spark.cli corpus-clean <tables-dir> <out>
 
 ``histogram`` reads trip lines and writes `bin \\t count` (sorted, like the
 MR shuffle did). ``airport-revenue`` reads raw segment CSV, reconstructs
@@ -71,12 +72,34 @@ def run_airport_revenue(inp: str, out: str) -> None:
     print(f"TOTAL AIRPORT TRIPS REVENUE : {total:.2f}")
 
 
+def run_corpus_clean(inp: str, out: str) -> None:
+    """Training-data pipeline as a job: clean the documents table under
+    ``inp`` (quality gate -> exact dedup -> MinHash-LSH near-dup removal),
+    write the surviving docs to <out>/clean_docs (parquet) and the
+    per-source stats to <out>/stats (TSV), print the corpus totals."""
+    from mapreduce_hadoop_spark.operators.corpus import (
+        clean_docs,
+        corpus_clean_stats,
+    )
+
+    spark = get_spark("corpus-clean")
+    clean = clean_docs(spark, inp).cache()
+    clean.write.mode("overwrite").parquet(f"{out}/clean_docs")
+    write_tsv(corpus_clean_stats(spark, inp), f"{out}/stats")
+    kept = clean.count()
+    toks = clean.agg(F.sum("n_tokens").alias("t")).first()["t"]
+    print(f"CLEAN DOCS : {kept}  TOKENS : {toks}")
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 3 and argv[0] == "histogram":
         run_histogram(argv[1], argv[2])
         return 0
     if len(argv) >= 3 and argv[0] == "airport-revenue":
         run_airport_revenue(argv[1], argv[2])
+        return 0
+    if len(argv) >= 3 and argv[0] == "corpus-clean":
+        run_corpus_clean(argv[1], argv[2])
         return 0
     print(__doc__)
     return 2

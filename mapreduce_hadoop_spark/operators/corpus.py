@@ -26,9 +26,11 @@ from mapreduce_hadoop_spark.sources.tables import load_table
 QUALITY_MIN = 0.5
 
 
-def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source stats of the cleaned corpus (quality >= 0.5, exact dups
-    and near-dups removed, smaller doc_id survives)."""
+def clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, quality, n_tokens) of the surviving corpus:
+    quality >= 0.5, exact dups and near-dups removed, smaller doc_id
+    survives. The pipeline's document-level output — ``corpus_clean_stats``
+    aggregates it, the CLI ``corpus-clean`` job writes it."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     quality = textops.quality_score(spark, sf_dir).select(
         "doc_id", "quality", "n_tokens"
@@ -45,12 +47,18 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_dups = dedup.minhash_lsh_pairs(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     )
-    clean = (
+    return (
         docs.join(quality, "doc_id")
         .filter(F.col("quality") >= F.lit(QUALITY_MIN))
         .join(exact_ok, "doc_id", "left_semi")
         .join(near_dups, "doc_id", "left_anti")
     )
+
+
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stats of the cleaned corpus (quality >= 0.5, exact dups
+    and near-dups removed, smaller doc_id survives)."""
+    clean = clean_docs(spark, sf_dir)
     # Fixed-point average: quality is quantized to nano BIGINTs and summed
     # as integers (order-independent, exact), then 6-dp HALF_UP is pure
     # integer arithmetic — round(p/q) = (p + q/2) div q on non-negative

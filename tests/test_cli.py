@@ -63,3 +63,14 @@ def test_histogram_cli_bins_reference_example(tmp_path):
     r = _run(["histogram", str(trips), str(out)])
     assert r.returncode == 0, r.stderr[-2000:]
     assert _read_parts(out) == ["00\t1", "46\t1"]
+
+
+def test_corpus_clean_cli_writes_docs_and_stats(tmp_path):
+    out = tmp_path / "out"
+    r = _run(["corpus-clean", "/root/testdata/sf0.001", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "CLEAN DOCS : " in r.stdout and "TOKENS : " in r.stdout
+    assert glob.glob(f"{out}/clean_docs/part-*.parquet")
+    stats = _read_parts(f"{out}/stats")
+    assert stats  # one TSV row per surviving source
+    assert all(len(line.split("\t")) == 4 for line in stats)
