@@ -475,3 +475,60 @@ SELECT doc_id,
             ELSE 0.0 END AS repetition
 FROM documents
 """
+
+
+# --- sequence packing -------------------------------------------------------
+
+# Token budget of one packed training sequence (whitespace-token proxy —
+# swap in a real tokenizer count upstream without changing the plan).
+PACK_BUDGET = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, ws_tokens, pack_id, pack_offset) — documents packed
+    into fixed token-budget training sequences, the standard streaming pack:
+    docs are laid end-to-end in doc_id order and a new sequence starts
+    every PACK_BUDGET tokens (docs may straddle a boundary; offset says
+    where in its first pack a doc begins).
+
+    Scale shape: packing is per-source, so the window partitions by source
+    and parallelizes across sources — no global ordering, no single-
+    partition window. A production packer sub-shards outsized sources by
+    key-hash prefix first; the per-shard math is exactly this cumsum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(T.tokens("text")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(toks).over(w)
+    start = cum - toks  # tokens laid down before this doc
+    return docs.select(
+        "doc_id",
+        "source",
+        toks.alias("ws_tokens"),
+        F.floor(start / F.lit(PACK_BUDGET)).cast("bigint").alias("pack_id"),
+        (start % F.lit(PACK_BUDGET)).alias("pack_offset"),
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS ws_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, ws_tokens,
+           sum(ws_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - ws_tokens AS start
+    FROM t
+)
+SELECT doc_id, source, ws_tokens,
+       CAST(start // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(start % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM c
+"""

@@ -122,6 +122,9 @@ def _specs() -> dict[str, QuerySpec]:
         # Pretraining domain-mix rebalance: per-source quota, key-hash
         # deterministic sampling (map-only over the corpus).
         "corpus_domain_mix": (corpus.corpus_domain_mix, corpus.DOMAIN_MIX_ORACLE),
+        # Sequence packing into fixed token budgets (per-source windowed
+        # cumsum — parallel across sources, no global ordering).
+        "corpus_pack_sequences": (textops.pack_sequences, textops.PACK_SEQUENCES_ORACLE),
         # --- Previously-verified queries (old driver-window order) --------
         # O1-O8: Exercise-1 trip-length histogram (flagship).
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),

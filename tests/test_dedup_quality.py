@@ -115,3 +115,22 @@ def test_dedup_clusters_labels_are_component_minima(spark, sf_dir):
         for r in dedup.dedup_clusters(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from mapreduce_hadoop_spark.operators import textops
+
+    rows = textops.pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_source: dict = {}
+    for r in rows:
+        assert 0 <= r["pack_offset"] < textops.PACK_BUDGET
+        by_source.setdefault(r["source"], []).append(r)
+    for src, docs in by_source.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        start = 0
+        for r in docs:
+            # Each doc begins exactly where the previous one ended.
+            assert r["pack_id"] == start // textops.PACK_BUDGET, (src, r)
+            assert r["pack_offset"] == start % textops.PACK_BUDGET, (src, r)
+            start += r["ws_tokens"]
