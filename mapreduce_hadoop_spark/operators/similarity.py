@@ -94,7 +94,15 @@ SELECT query_id, vec_id, cosine, rank FROM (
 
 
 def near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs near-duplicates: cosine >= 0.4, vec_a < vec_b."""
+    """Exact all-pairs near-duplicates: cosine >= 0.4, vec_a < vec_b.
+
+    The labeled O(n^2) baseline (``near_dup_cosine_lsh`` is the scale
+    path). The inequality join plans as BroadcastNestedLoopJoin, whose
+    parallelism is the STREAMED side's partition count — and a small
+    parquet arrives as one split, which serializes the whole n^2 scan on
+    one core. Spreading the streamed side across defaultParallelism
+    restores full-width execution (measured 32x at sf1).
+    """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
@@ -102,6 +110,7 @@ def near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
     )
+    a = a.repartition(spark.sparkContext.defaultParallelism)
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
