@@ -280,3 +280,28 @@ def test_parity_golden_fixture_sf001():
         expected.extend([*t] for t in trips)
     expected.sort(key=lambda r: (r[0], r[1]))
     assert got == expected
+
+
+def test_round6_arms_bit_identical():
+    """The CPython and JVM 6-dp rounding helpers must agree on EVERY
+    double — including values within an ulp of a 1e-6 half-boundary,
+    where round()/F.bround diverge (the reason they were replaced)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.operators.sessionize import _round6_col, _round6_py
+    from mapreduce_hadoop_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    rng = np.random.default_rng(7)
+    vals = list(rng.uniform(0, 3000, 5000))
+    # Adversarial: exact 6-dp values, half-boundaries, and off-by-one-ulp
+    # neighbors of half-boundaries.
+    for k in range(200):
+        base = k * 1e-6 + 5e-7
+        vals += [base, np.nextafter(base, 0.0), np.nextafter(base, 1.0), k * 1e-6]
+    vals = [float(v) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["y"] for r in df.select(_round6_col(F.col("x")).alias("y")).collect()]
+    want = [_round6_py(v) for v in vals]
+    assert got == want  # exact ==, no tolerance: bit-identity is the claim
