@@ -211,3 +211,19 @@ def test_domain_mix_is_map_only_over_corpus(spark, sf_dir):
     c = plan_counts(df)
     assert c["broadcast_hash_join"] >= 1, c
     assert c["sort_merge_join"] == 0, c
+
+
+def test_hot_paths_whole_stage_codegen(spark, sf_dir):
+    # The reference-parity pipeline and the relational flagships must stay
+    # inside whole-stage codegen (JVM-compiled operators), not fall back to
+    # interpreted evaluation — the "stay JVM-side" scale contract.
+    from mapreduce_hadoop_spark.operators.analytics import pricing_summary
+    from mapreduce_hadoop_spark.plans.checks import executed_plan
+
+    for q in (histogram.histogram_query, analytics.pricing_summary,
+              sessionize.trips_window_query):
+        df = q(spark, sf_dir)
+        df.collect()  # AQE prints codegen stage markers only once final
+        plan = executed_plan(df)
+        # "*(n)" prefixes are WholeStageCodegen stage ids in plan strings.
+        assert "*(" in plan, (q.__name__, plan[:1200])
