@@ -198,23 +198,29 @@ def _specs() -> dict[str, QuerySpec]:
             sqlapi.sql_revenue_by_nation,
             sqlapi.SQL_REVENUE_BY_NATION_ORACLE,
         ),
-        # Text analysis representatives (the family's other five members
-        # sit past the window with two rounds of green history).
-        "text_language_id": (textops.language_id, textops.LANGUAGE_ID_ORACLE),
-        "text_language_id_ngram": (
-            textops.language_id_ngram,
-            textops.LANGUAGE_ID_NGRAM_ORACLE,
+        # All-pairs cosine baseline: in-window because its nested-loop
+        # streamed side was re-parallelized this round (values unchanged).
+        "similarity_near_dup_cosine": (
+            similarity.near_dup_cosine,
+            similarity.NEAR_DUP_ORACLE,
         ),
+        # Text analysis representatives (the family's other members sit
+        # past the window with two rounds of green history).
+        "text_language_id": (textops.language_id, textops.LANGUAGE_ID_ORACLE),
         "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
         "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
-        "events_daily_by_type": (
-            analytics.events_daily_by_type,
-            analytics.EVENTS_DAILY_ORACLE,
-        ),
         # --- Past the 50-entry driver window ------------------------------
         # Everything below is unchanged this round and carries >= 2 rounds
         # of green driver history; tools/check_oracle.py still gates all of
         # it locally (committed log: GATE_sf0.01_r3.log).
+        "events_daily_by_type": (
+            analytics.events_daily_by_type,
+            analytics.EVENTS_DAILY_ORACLE,
+        ),
+        "text_language_id_ngram": (
+            textops.language_id_ngram,
+            textops.LANGUAGE_ID_NGRAM_ORACLE,
+        ),
         "market_segment_balance": (
             analytics.market_segment_balance,
             analytics.MARKET_SEGMENT_ORACLE,
@@ -232,10 +238,6 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_topk_filtered": (
             similarity.topk_filtered,
             similarity.TOPK_FILTERED_ORACLE,
-        ),
-        "similarity_near_dup_cosine": (
-            similarity.near_dup_cosine,
-            similarity.NEAR_DUP_ORACLE,
         ),
         "similarity_topk_lsh": (similarity.topk_lsh, similarity.TOPK_LSH_ORACLE),
         "similarity_near_dup_lsh": (
