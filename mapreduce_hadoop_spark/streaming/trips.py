@@ -123,9 +123,11 @@ def positions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # "events*" (like sessions._events_stream): a continuation file
+    # (events2.parquet, e.g. the next ingest drop) joins the stream.
     ev = normalize_events(
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
     from pyspark.sql import functions as F
