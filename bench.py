@@ -73,8 +73,15 @@ def main() -> None:
     # per-query at sf0.1 would measure the compiler, not the engine. Data
     # work at sf0.001 is ~1% of the timed run.
     # Any timed dir (sf0.1, a derived sf1, ...) warms at the smallest
-    # driver scale unless overridden.
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    # available sibling scale unless overridden: prefer sf0.001 next to
+    # sf_dir, then the driver default, so the warm-up still runs on
+    # machines without /root/testdata.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR")
+    if warm_dir is None:
+        sibling = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        warm_dir = sibling if os.path.isdir(sibling) else "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        print(f"note: warm-up skipped ({warm_dir} missing)", file=sys.stderr)
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
         for name in HEADLINE:
             try:

@@ -143,21 +143,24 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aren't cheaply readable (non-local FS) it degrades to the file count.
     files = docs.inputFiles()
     if len(files) < p:
-        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-        s = raw.lower().rstrip("b")
-        max_split = (
-            int(s[:-1]) * units[s[-1]] if s and s[-1] in units else int(s)
-        )
+        # The whole estimate is best-effort: any unparseable size string
+        # (Spark accepts forms beyond k/m/g, e.g. '1t'), a zero setting, or
+        # an unreadable file degrades to the file count, never an error.
         try:
             import os as _os
 
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+            s = raw.lower().rstrip("b")
+            max_split = (
+                int(s[:-1]) * units[s[-1]] if s and s[-1] in units else int(s)
+            )
             total = sum(
                 _os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
                 for f in files
             )
             est_splits = max(len(files), total // max_split)
-        except OSError:
+        except (OSError, ValueError, KeyError, ZeroDivisionError):
             est_splits = len(files)
         if est_splits < p:
             docs = docs.repartition(p)
@@ -555,8 +558,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
+    # size() is IntegerType (pandas int32); DuckDB len() is BIGINT. The
+    # driver's hasher is dtype-strict, so widen to bigint at the source.
     corpus = sh.filter(~is_bench).select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+        "doc_id",
+        F.size("sh").cast("bigint").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
     )
     return (
         corpus.join(F.broadcast(bench), "shingle")
@@ -640,6 +647,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exiting by exhaustion means some component has diameter >
+        # max_iter and the labels are NOT a fixpoint — emitting them
+        # silently would disagree with the transitive-closure oracle only
+        # on deep-chain data. Fail loudly instead; callers with genuinely
+        # deep graphs should raise max_iter (rounds needed = component
+        # diameter, single-digit for near-dup corpora).
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds ({changed} labels still changing); a "
+            f"component's diameter exceeds max_iter"
+        )
     return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -65,8 +65,6 @@ def _round6_py(x: float) -> float:
     EVEN while F.bround goes through BigDecimal.valueOf's shortest decimal
     repr; their agreement on 6-dp ties was only empirical.) Inputs are
     non-negative (distances/fees), where floor(x+0.5) == HALF_UP."""
-    import math
-
     return math.floor(x * 1e6 + 0.5) / 1e6
 
 

@@ -40,6 +40,12 @@ DEFAULT_CONF = {
     # microsecond timestamp in sources/tables.py (same truncation DuckDB
     # applies on read).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Driver testdata timestamps are parquet timestamp[us] with no timezone
+    # flag; Spark 4 infers TIMESTAMP_NTZ for those, which breaks epoch
+    # arithmetic (NTZ has no cast to numeric). Read them as session-tz
+    # TIMESTAMP (UTC above) — the exact semantics DuckDB's naive timestamps
+    # get in the oracle.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
 }
 

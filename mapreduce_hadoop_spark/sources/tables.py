@@ -33,6 +33,11 @@ def ensure_confs(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # timestamp[us] parquet without the UTC flag must read as session-tz
+        # TIMESTAMP, not TIMESTAMP_NTZ — NTZ has no numeric cast and the
+        # engine's epoch arithmetic (and the DuckDB oracle) treat naive
+        # timestamps as UTC instants.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
 
@@ -40,8 +45,26 @@ def ensure_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _denaive_timestamps(df)
     if name == "events":
         df = normalize_events(df)
+    return df
+
+
+def _denaive_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-tz TIMESTAMP.
+
+    Belt-and-braces for sessions where ensure_confs could not take effect
+    (conf locked, or the scan was planned before we ran): with the session
+    timezone pinned to UTC the cast maps each naive wall-clock to the same
+    instant the oracle assumes.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

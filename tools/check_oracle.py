@@ -64,12 +64,20 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from mapreduce_hadoop_spark.operators import dedup
+
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # Cache honesty (mirrors bench.py): the pair builders persist
+        # intermediates, and the CacheManager would substitute an earlier
+        # query's cached subtree into a later plan — every gate row must
+        # verify the standalone plan.
+        spark.catalog.clearCache()
+        dedup.unpersist_intermediates()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
