@@ -24,12 +24,13 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert set(exact_sets) == set(range(N_QUERIES))
     # Every query must return a full (or near-full) candidate list...
     assert set(approx_sets) == set(range(N_QUERIES))
-    # ...and mean recall@5 with nprobe=4 of 16 lists must beat the
-    # random-candidate expectation (nprobe/K = 0.25) by a wide margin.
+    # ...and mean recall@5 with the default nprobe=8 of 16 lists must beat
+    # the random-candidate expectation (nprobe/K = 0.5) by a wide margin
+    # (measured 0.74 at sf0.01; the fixture corpus is smaller/noisier).
     hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
     total = sum(len(exact_sets[q]) for q in exact_sets)
     recall = hits / total
-    assert recall >= 0.5, f"recall@5={recall:.2f} with nprobe={IVF_NPROBE}"
+    assert recall >= 0.6, f"recall@5={recall:.2f} with nprobe={IVF_NPROBE}"
 
 
 def test_near_dup_lsh_recall(spark, sf_dir):
@@ -68,18 +69,20 @@ def test_topk_lsh_recall(spark, sf_dir):
 def test_recall_at_stated_budgets_sf001(spark):
     """The recall contract behind the documented curve (similarity.py):
     at sf0.01, the 8-band LSH default reaches recall@5 >= 0.8 at a ~41%
-    candidate budget, and the IVF dial reaches >= 0.8 at nprobe=10 (~62%
-    budget) while staying monotone in nprobe."""
+    candidate budget, and the IVF default (nprobe=8, the knee) reaches
+    >= 0.70 (measured 0.74) while staying monotone in nprobe."""
     from mapreduce_hadoop_spark.operators.similarity import topk_ivf, topk_lsh
 
     sf01 = "/root/testdata/sf0.01"
     exact = topk_bruteforce(spark, sf01).collect()
     r_lsh = _recall_at_5(exact, topk_lsh(spark, sf01).collect())
     assert r_lsh >= 0.8, f"LSH default recall@5={r_lsh:.2f}"
-    r_ivf4 = _recall_at_5(exact, topk_ivf(spark, sf01).collect())
+    r_ivf4 = _recall_at_5(exact, topk_ivf(spark, sf01, nprobe=4).collect())
+    r_ivf8 = _recall_at_5(exact, topk_ivf(spark, sf01).collect())
     r_ivf10 = _recall_at_5(exact, topk_ivf(spark, sf01, nprobe=10).collect())
+    assert r_ivf8 >= 0.70, f"IVF default recall@5={r_ivf8:.2f}"
     assert r_ivf10 >= 0.8, f"IVF nprobe=10 recall@5={r_ivf10:.2f}"
-    assert r_ivf10 >= r_ivf4, (r_ivf4, r_ivf10)
+    assert r_ivf4 <= r_ivf8 <= r_ivf10, (r_ivf4, r_ivf8, r_ivf10)
 
 
 def test_trained_ivf_beats_fixed_centroids(spark, sf_dir):
@@ -97,5 +100,6 @@ def test_trained_ivf_beats_fixed_centroids(spark, sf_dir):
     r_trained = sum(len(exact[q] & trained.get(q, set())) for q in exact) / total
     # At this fixture scale (k=16 clusters over a tiny corpus) k-means is
     # noise, so no comparative claim vs fixed centroids here — at sf0.01 the
-    # trained variant measures 60% vs 44%. Bound the absolute recall only.
-    assert r_trained >= 0.4, (r_trained, r_fixed)
+    # trained variant measures 0.80 vs 0.74 at the nprobe=8 default. Bound
+    # the absolute recall only.
+    assert r_trained >= 0.5, (r_trained, r_fixed)
