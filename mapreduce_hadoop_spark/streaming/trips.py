@@ -14,12 +14,18 @@ Semantics and their streaming caveats, explicitly:
   event_id) before replay. Across micro-batches the operator assumes
   per-taxi monotone arrival (the reference's input contract after the MR
   shuffle sort); a position older than the carrier's last-seen t cannot be
-  replayed into already-consumed state and is dropped, counted nowhere —
-  the same silent-drop stance the reference takes for malformed input.
-- Trailing open trips are never emitted (reference behavior: a trip still
-  open at end-of-input is lost). Consequently no timeout is needed for
-  result parity; an event-time timeout that force-closes idle sessions is
-  the natural extension and would bound state size in production.
+  replayed into already-consumed state and is dropped. The reference drops
+  such input silently; an engine should count what it drops, so every
+  entry point takes an optional ``dropped_acc`` Spark accumulator that
+  tallies late-dropped positions (same observability stance as
+  ``dedup.lsh_dropped_buckets``).
+- Trailing open trips are never emitted by the default path (reference
+  behavior: a trip still open at end-of-input is lost), so no timeout is
+  needed for result parity. ``airport_trips_stream_timeout`` is the
+  production extension: an event-time timeout force-closes any session
+  idle longer than ``idle_gap_s``, emits the flushed trip (same M->E close
+  as a gap split, bit-identical rounding via ``replay_core``), and evicts
+  the taxi's state — bounding the state store by |recently active taxis|.
 - State per taxi is O(1) — a handful of doubles — so the state store
   scales with |active taxis|, not with data volume.
 
@@ -34,8 +40,10 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from mapreduce_hadoop_spark import constants as C
 from mapreduce_hadoop_spark.operators import gps
 from mapreduce_hadoop_spark.operators.sessionize import (
     PARITY_COLUMNS,
@@ -97,7 +105,17 @@ def _carrier_to_state(carrier: dict, state: GroupState) -> None:
     )
 
 
-def _make_fn(kwargs: dict):
+def _drop_late(pdf: pd.DataFrame, carrier: dict, dropped_acc) -> pd.DataFrame:
+    """Drop positions older than state already consumed (module docstring),
+    counting them into ``dropped_acc`` when one is supplied."""
+    late = pdf["t"] < carrier["prev_t"]
+    n_late = int(late.sum())
+    if n_late and dropped_acc is not None:
+        dropped_acc.add(n_late)
+    return pdf[~late]
+
+
+def _make_fn(kwargs: dict, dropped_acc=None):
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -105,8 +123,7 @@ def _make_fn(kwargs: dict):
         carrier = _carrier_from_state(state)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["t", "event_id"])
-        # Drop positions older than state already consumed (module docstring).
-        pdf = pdf[pdf["t"] >= carrier["prev_t"]]
+        pdf = _drop_late(pdf, carrier, dropped_acc)
         rows = pdf[["t", "lat", "lon", "status", "event_date"]].itertuples(
             index=False, name=None
         )
@@ -117,7 +134,9 @@ def _make_fn(kwargs: dict):
     return fn
 
 
-def positions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def positions_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """The gps.positions derivation over a file stream of the events table."""
     from mapreduce_hadoop_spark.sources.tables import ensure_confs, normalize_events
 
@@ -125,11 +144,12 @@ def positions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # "events*" (like sessions._events_stream): a continuation file
     # (events2.parquet, e.g. the next ingest drop) joins the stream.
-    ev = normalize_events(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", "events*.parquet"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    ev = normalize_events(reader.parquet(sf_dir))
     from pyspark.sql import functions as F
 
     return ev.select(
@@ -146,7 +166,7 @@ def positions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def airport_trips_microbatch(
-    spark: SparkSession, sf_dir: str, n_batches: int = 3, **kwargs
+    spark: SparkSession, sf_dir: str, n_batches: int = 3, dropped_acc=None, **kwargs
 ) -> DataFrame:
     """Driver-checkable batch twin of ``airport_trips_stream``.
 
@@ -186,7 +206,7 @@ def airport_trips_microbatch(
         outs: list[tuple] = []
         for b in sorted(pdf["batch"].unique()):
             chunk = pdf[pdf["batch"] == b].sort_values(["t", "event_id"])
-            chunk = chunk[chunk["t"] >= carrier["prev_t"]]
+            chunk = _drop_late(chunk, carrier, dropped_acc)
             rows = chunk[["t", "lat", "lon", "status", "event_date"]].itertuples(
                 index=False, name=None
             )
@@ -198,20 +218,116 @@ def airport_trips_microbatch(
 
 
 def airport_trips_stream(
-    spark: SparkSession, sf_dir: str, **kwargs
+    spark: SparkSession, sf_dir: str, dropped_acc=None, **kwargs
 ) -> DataFrame:
     """Streaming DataFrame of closed airport trips (append mode).
 
     ``kwargs`` override the reference thresholds, as in the batch parity
     path; the demo airport radius matches the batch parity query so the two
-    are directly comparable.
+    are directly comparable. ``dropped_acc`` (optional Spark accumulator)
+    counts late positions dropped at the state boundary.
     """
     kwargs.setdefault("airport_radius_km", gps.DEMO_AIRPORT_RADIUS_KM)
     pos = positions_stream(spark, sf_dir)
     return pos.groupBy("taxi").applyInPandasWithState(
-        _make_fn(kwargs),
+        _make_fn(kwargs, dropped_acc),
         outputStructType=PARITY_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- event-time timeout variant -------------------------------------------
+
+
+def _flush_carrier(taxi: int, carrier: dict, kwargs: dict) -> list[tuple]:
+    """Force-close a carrier's open trip at its last-seen position.
+
+    Reuses ``replay_core``'s own M->E close by feeding one synthetic E at
+    (prev_t, prev_lat, prev_lon): delta is 0, so the machine closes the
+    open trip exactly as a speed-legal M->E would — the emission test and
+    6-dp rounding are bit-identical to the parity path, not re-implemented.
+    A carrier with no open trip (prev_status E, or no qualifying trip)
+    emits nothing, same as the machine itself.
+    """
+    synthetic = [
+        (carrier["prev_t"], carrier["prev_lat"], carrier["prev_lon"], "E", "")
+    ]
+    out, _ = replay_core(taxi, synthetic, carrier, **kwargs)
+    return out
+
+
+def _make_timeout_fn(kwargs: dict, idle_gap_s: float, dropped_acc=None):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (taxi,) = key
+        if state.hasTimedOut:
+            # Watermark passed last-seen + idle gap with no new data:
+            # flush the open trip and evict this taxi's state entirely.
+            carrier = _carrier_from_state(state)
+            out = _flush_carrier(int(taxi), carrier, kwargs)
+            state.remove()
+            yield pd.DataFrame(out, columns=PARITY_COLUMNS)
+            return
+        carrier = _carrier_from_state(state)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["t", "event_id"])
+        pdf = _drop_late(pdf, carrier, dropped_acc)
+        rows = pdf[["t", "lat", "lon", "status", "event_date"]].itertuples(
+            index=False, name=None
+        )
+        out, carrier = replay_core(int(taxi), rows, carrier, **kwargs)
+        _carrier_to_state(carrier, state)
+        # Timeout fires once the event-time watermark passes last-seen +
+        # idle gap. The timestamp must lie beyond the current watermark
+        # (Spark requirement) — an all-late batch leaves prev_t behind the
+        # watermark, so clamp forward.
+        timeout_ms = max(
+            int((carrier["prev_t"] + idle_gap_s) * 1000),
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame(out, columns=PARITY_COLUMNS)
+
+    return fn
+
+
+def airport_trips_stream_timeout(
+    spark: SparkSession,
+    sf_dir: str,
+    idle_gap_s: float = C.MAX_SEGMENT_DELTA_TIME_S,
+    watermark_delay: str = "0 seconds",
+    dropped_acc=None,
+    max_files_per_trigger: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """``airport_trips_stream`` plus an event-time timeout: any taxi idle
+    longer than ``idle_gap_s`` (in compressed stream seconds, i.e. the
+    ``t`` timescale) is force-closed — its open trip is flushed through the
+    machine's own M->E close and its state evicted from the store.
+
+    This is the production shape the no-timeout parity path documents as
+    missing: without it, idle taxis' carriers live forever and trailing
+    trips are never emitted. With it, state is bounded by |taxis active
+    within the idle gap| and every qualifying trip eventually emits. The
+    default gap reuses the reference's 210 s session-split threshold
+    (``AirportTripsRevenue.java:36-38``): a session the machine would have
+    split on its next fix is exactly one the timeout may close in absentia.
+
+    The watermark rides a synthetic ``timestamp_seconds(t)`` column so
+    timeout arithmetic stays in the stream's own timescale.
+    """
+    kwargs.setdefault("airport_radius_km", gps.DEMO_AIRPORT_RADIUS_KM)
+    pos = positions_stream(spark, sf_dir, max_files_per_trigger)
+    pos = pos.withColumn(
+        "t_event", F.timestamp_seconds(F.col("t"))
+    ).withWatermark("t_event", watermark_delay)
+    return pos.groupBy("taxi").applyInPandasWithState(
+        _make_timeout_fn(kwargs, idle_gap_s, dropped_acc),
+        outputStructType=PARITY_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -6,6 +6,7 @@ from mapreduce_hadoop_spark.operators.sessionize import airport_trips_parity_que
 from mapreduce_hadoop_spark.streaming.trips import (
     airport_trips_microbatch,
     airport_trips_stream,
+    airport_trips_stream_timeout,
 )
 
 
@@ -114,3 +115,134 @@ def test_trip_state_survives_checkpoint_restart(spark, tmp_path):
     assert len(got) == len(want) > 0
     for c in want.columns:
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_late_positions_are_counted(spark, tmp_path):
+    """Out-of-order replay: deliver the LATER half of the corpus first,
+    then the earlier half. Every earlier-half position of a taxi already
+    advanced by the first run is older than its carrier and must be
+    dropped AND counted (the reference drops silently; we don't)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    half = t.num_rows // 2
+    early, late = t.slice(0, half), t.slice(half)
+    src = str(tmp_path / "src")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    os.makedirs(src)
+    pq.write_table(late, f"{src}/events.parquet")
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def run_stream():
+        q = (
+            airport_trips_stream(spark, src, dropped_acc=acc)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "stream did not finish"
+        finally:
+            q.stop()
+
+    run_stream()
+    assert acc.value == 0  # in-order delivery drops nothing
+    pq.write_table(early, f"{src}/events2.parquet")
+    run_stream()
+
+    # Every early row whose taxi appeared in the late half is late; taxis
+    # seen only in the early half start from a fresh carrier (prev_t=0).
+    late_taxis = set(late.column("user_id").to_pylist())
+    expected = sum(1 for u in early.column("user_id").to_pylist() if u in late_taxis)
+    assert expected > 0
+    assert acc.value == expected
+
+
+def test_event_time_timeout_flushes_idle_trips(spark, tmp_path):
+    """Three single-file micro-batches: taxi 1 leaves a trip open in batch
+    1; batches 2 and 3 (other taxis, much later event time) advance the
+    watermark past taxi 1's idle gap. The timeout must fire: the open trip
+    flushes through the machine's own M->E close (stop == last-seen fix)
+    and taxi 1's state is evicted from the store."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = 1_600_000_000  # epoch seconds; stream time t = ts/40
+    rows = {
+        "events.parquet": [
+            # taxi 1: E, M, M -> open trip after the batch (never closed).
+            (1, t0, 1, "other", 0.01),
+            (2, t0 + 400, 1, "click", 0.02),
+            (3, t0 + 800, 1, "click", 0.02),  # same value -> zero-length seg
+        ],
+        # idle gap 210 stream-seconds = 8400 epoch-seconds; t0+20000 is
+        # far beyond taxi 1's timeout of (t0+800)/40 + 210.
+        "events2.parquet": [(4, t0 + 20_000, 2, "click", 0.05)],
+        "events3.parquet": [(5, t0 + 20_400, 3, "click", 0.07)],
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, (name, rs) in enumerate(rows.items()):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rs], pa.int64()),
+                "ts": pa.array([r[1] * 1_000_000 for r in rs], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rs], pa.int64()),
+                "event_type": pa.array([r[3] for r in rs], pa.string()),
+                "value": pa.array([r[4] for r in rs], pa.float64()),
+                "props": pa.array(["{}"] * len(rs), pa.string()),
+            }
+        )
+        path = f"{src}/{name}"
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))  # arrival order
+
+    q = (
+        airport_trips_stream_timeout(
+            spark,
+            src,
+            max_files_per_trigger=1,
+            # Every trip qualifies: no minimum distance, airport everywhere.
+            min_trip_km=0.0,
+            airport_radius_km=1e9,
+        )
+        .writeStream.format("memory")
+        .queryName("trips_timeout_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        import json
+
+        assert q.awaitTermination(180), "stream did not finish"
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    got = spark.sql("select * from trips_timeout_test").toPandas()
+    # Only taxi 1's trip was both opened and idle long enough to flush;
+    # taxis 2/3 never had the watermark pass their timeout.
+    assert list(got["taxi"]) == [1]
+    row = got.iloc[0]
+    assert row["start_t"] == (t0 + 400) / 40.0
+    assert row["stop_t"] == (t0 + 800) / 40.0  # flushed AT the last-seen fix
+    assert row["dist_km"] == 0.0
+    assert row["revenue"] == 3.5  # START_FEE: zero-length trip
+    # State eviction is visible in the state-store metrics.
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in progress
+        for so in p.get("stateOperators", [])
+    )
+    assert removed >= 1, progress
