@@ -110,46 +110,147 @@ FROM (
 
 
 RANGE_H = 24
+# A user routes through the decomposed (hot) path once its view count
+# makes the pairwise candidate set per purchase comparable to the
+# decomposition's fixed 23-bucket fanout. ~1000 views over the corpus
+# window is far past that crossover and far above any uniform-key count.
+RANGE_HOT_VIEWS = 1000
 
 
 def views_before_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View events within the 24 h before each purchase, same user —
-    bin-then-refine equi-join formulation (module docstring).
+    skew-routed interval join.
 
-    Both sides bucket to calendar days; a purchase's 24 h lookback spans at
-    most 2 day-buckets, so the probe side explodes into a bounded 2-row
-    fanout and the join is a plain equi-join on (user, day) with the precise
-    interval as a residual filter.
+    The pairwise bin-then-refine equi-join (both sides bucketed to
+    calendar days, 2-day probe fanout, interval as residual filter) is
+    optimal for uniform keys but materializes every (purchase, view) pair
+    inside the window; under a hot user (the sf1-skew shape: one user
+    with 10% of events) that is views x purchases per key — the blowup is
+    in the candidate set itself, so no join strategy fixes it. The cure
+    for hot keys is bucket DECOMPOSITION: a purchase's 24 h lookback
+    [pts-24h, pts) splits exactly into 23 FULL hour buckets (h_p-23 ..
+    h_p-1) joined against a per-(user, hour) pre-aggregate — one row per
+    bucket, never the raw views — plus two partial EDGE buckets (h_p-24,
+    h_p) refined row-level. Per hot purchase: 23 + 2*views_per_hour rows
+    instead of views_per_24h, and the hot user's work spreads over all
+    its hour buckets instead of one (user, day) key.
+
+    Routing is a CBO-style statistics probe, same spirit as AQE's runtime
+    re-planning: one map-side-combined count per user decides whether any
+    hot key exists (> RANGE_HOT_VIEWS views). The overwhelmingly common
+    no-hot-key case then runs the PURE pairwise plan — zero routing
+    subtrees, zero overhead; only when hot keys exist does the plan split
+    into cold (pairwise) + hot (decomposed) branches. The stat job costs
+    one scan + a |users|-row shuffle — negligible against the join it
+    protects, at any scale.
+
+    Exact, not approximate: both paths compute the same counts and
+    fixed-point micro-sums (decomposable BIGINT aggregates), so the
+    driver's hash check against the unchanged pairwise oracle proves
+    equality on every byte.
     """
     ev = load_table(spark, sf_dir, "events")
+    hour = (F.col("ts").cast("long") / F.lit(3600)).cast("long")
     views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("vts"), "value", F.to_date("ts").alias("day")
+        "user_id",
+        F.col("ts").alias("vts"),
+        "value",
+        hour.alias("vh"),
+        F.to_date("ts").alias("day"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("pts"),
-        F.explode(
-            F.sequence(F.date_sub(F.to_date("ts"), 1), F.to_date("ts"))
-        ).alias("day"),
+        hour.alias("ph"),
     )
-    joined = purchases.join(
-        views,
-        (F.col("p_user") == F.col("user_id")) & (purchases["day"] == views["day"]),
-    ).filter(
-        (F.col("vts") >= F.col("pts") - F.expr(f"INTERVAL {RANGE_H} HOURS"))
-        & (F.col("vts") < F.col("pts"))
+    hot_users = (
+        views.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_v"))
+        .filter(F.col("n_v") > RANGE_HOT_VIEWS)
+        .select("user_id")
     )
-    return (
-        joined.groupBy("purchase_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_views"),
-            FP.sum_micro("value").alias("v_u"),
+    in_window = (
+        F.col("vts") >= F.col("pts") - F.expr(f"INTERVAL {RANGE_H} HOURS")
+    ) & (F.col("vts") < F.col("pts"))
+    contribution = [
+        F.col("purchase_id"),
+        F.lit(1).cast("long").alias("n"),
+        FP.micro("value").alias("v"),
+    ]
+
+    def finish(parts: DataFrame) -> DataFrame:
+        return (
+            parts.groupBy("purchase_id")
+            .agg(F.sum("n").alias("n_views"), F.sum("v").alias("v_u"))
+            .select(
+                "purchase_id",
+                "n_views",
+                FP.round_micro("v_u").alias("view_value_sum"),
+            )
         )
-        .select(
-            "purchase_id", "n_views", FP.round_micro("v_u").alias("view_value_sum")
+
+    def pairwise(p: DataFrame, v: DataFrame) -> DataFrame:
+        return (
+            p.withColumn(
+                "p_day",
+                F.explode(
+                    F.sequence(F.date_sub(F.to_date("pts"), 1), F.to_date("pts"))
+                ),
+            )
+            .join(v, (F.col("p_user") == v["user_id"]) & (F.col("p_day") == v["day"]))
+            .filter(in_window)
+            .select(*contribution)
         )
+
+    # The statistics probe: no hot keys -> the pairwise plan, untouched.
+    if hot_users.isEmpty():
+        return finish(pairwise(purchases, views))
+
+    # Cold branch: pairwise day-bucket join (2-row probe fanout).
+    cold = pairwise(
+        purchases.join(
+            F.broadcast(hot_users.withColumnRenamed("user_id", "p_user")),
+            "p_user",
+            "left_anti",
+        ),
+        views.join(F.broadcast(hot_users), "user_id", "left_anti"),
     )
+
+    # Hot path: hour-bucket decomposition (full buckets hit pre-aggregates).
+    hot_views = views.join(F.broadcast(hot_users), "user_id", "left_semi")
+    hot_purch = purchases.join(
+        F.broadcast(hot_users.withColumnRenamed("user_id", "p_user")),
+        "p_user",
+        "left_semi",
+    )
+    vagg = hot_views.groupBy("user_id", "vh").agg(
+        F.count(F.lit(1)).alias("b_n"), FP.sum_micro("value").alias("b_v")
+    )
+    full = (
+        hot_purch.withColumn(
+            "p_vh", F.explode(F.sequence(F.col("ph") - 23, F.col("ph") - 1))
+        )
+        .join(
+            vagg,
+            (F.col("p_user") == vagg["user_id"]) & (F.col("p_vh") == vagg["vh"]),
+        )
+        .select("purchase_id", F.col("b_n").alias("n"), F.col("b_v").alias("v"))
+    )
+    edges = (
+        hot_purch.withColumn(
+            "p_vh", F.explode(F.array(F.col("ph") - 24, F.col("ph")))
+        )
+        .join(
+            hot_views,
+            (F.col("p_user") == hot_views["user_id"])
+            & (F.col("p_vh") == hot_views["vh"]),
+        )
+        .filter(in_window)
+        .select(*contribution)
+    )
+
+    return finish(cold.unionByName(full).unionByName(edges))
 
 
 VIEWS_BEFORE_PURCHASE_ORACLE = f"""

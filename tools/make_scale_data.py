@@ -13,8 +13,16 @@ Schemas are preserved bit-for-bit (pyarrow, single parquet file per table,
 timestamp[ns] intact) so both Spark's and DuckDB's readers see exactly the
 driver layout.
 
+``--skew`` additionally concentrates keys the way production power laws
+do — one hot taxi absorbs ~10% of all positions (events.user_id) and one
+hot source ~50% of all documents (documents.source) — while keys stay
+valid FKs (the hot values are existing ones). This is the stress shape for
+the sessionize window (one giant partition key), the per-source corpus
+ops, and AQE's skew-join handling; SKEW_r4.md records the measured bench
+deltas vs the uniform derivation.
+
 Usage: python tools/make_scale_data.py [factor=10] [src=/root/testdata/sf0.1]
-       [dst=<repo>/.scale_data/sf1]
+       [dst=<repo>/.scale_data/sf1] [--skew]
 """
 
 from __future__ import annotations
@@ -48,7 +56,36 @@ SHIFT_COLS = {
 }
 
 
-def replicate(src: str, dst: str, factor: int) -> None:
+def _apply_skew(table: str, out: pa.Table) -> pa.Table:
+    """Concentrate keys onto one hot value, deterministically by row key.
+
+    events: rows with event_id % 10 == 0 (~10%) move to the hot taxi (the
+    minimum user_id, which exists in customer so the FK holds).
+    documents: rows with doc_id % 2 == 0 (~50%) move to the hot source
+    (the first source value present).
+    """
+    if table == "events":
+        hot = pc.min(out.column("user_id"))
+        mask = pa.array(out.column("event_id").to_numpy() % 10 == 0)
+        newcol = pc.if_else(mask, hot, out.column("user_id"))
+        return out.set_column(
+            out.schema.get_field_index("user_id"),
+            out.schema.field("user_id"),
+            newcol.cast(out.schema.field("user_id").type),
+        )
+    if table == "documents":
+        hot = out.column("source")[0]
+        mask = pa.array(out.column("doc_id").to_numpy() % 2 == 0)
+        newcol = pc.if_else(mask, hot, out.column("source"))
+        return out.set_column(
+            out.schema.get_field_index("source"),
+            out.schema.field("source"),
+            newcol.cast(out.schema.field("source").type),
+        )
+    return out
+
+
+def replicate(src: str, dst: str, factor: int, skew: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     for table, shifts in SHIFT_COLS.items():
         t = pq.read_table(f"{src}/{table}.parquet")
@@ -68,6 +105,8 @@ def replicate(src: str, dst: str, factor: int) -> None:
                     )
                 )
             out = pa.concat_tables(parts)
+        if skew:
+            out = _apply_skew(table, out)
         pq.write_table(out, f"{dst}/{table}.parquet")
         back = pq.read_schema(f"{dst}/{table}.parquet")
         assert back.equals(t.schema), (table, back, t.schema)
@@ -75,15 +114,17 @@ def replicate(src: str, dst: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    factor = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     dst = (
-        sys.argv[3]
-        if len(sys.argv) > 3
+        args[2]
+        if len(args) > 2
         else os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".scale_data",
-            "sf1",
+            "sf1skew" if skew else "sf1",
         )
     )
-    replicate(src, dst, factor)
+    replicate(src, dst, factor, skew)
