@@ -599,42 +599,55 @@ GROUP BY doc_id, n_sh
 # --- near-dup cluster assignment (connected components) ---------------------
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
-    """(doc_id, cluster_id) for every doc in a near-dup component: the
-    connected components of the MinHash-LSH pair graph, labeled by the
-    component's minimum doc_id (the canonical "keep" doc).
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc, lbl) minimum-id component labels for an (a, b) edge relation.
 
-    Min-label propagation: each round every node takes min(own label,
-    neighbors' labels) — the standard large-scale connected components
-    (O(diameter) rounds, each one join + one aggregation shuffled on the
-    node key; no Python per-row work). Near-dup components are shallow
-    (duplicates of a common source), so rounds stay single-digit at any
-    corpus size; the driver only coordinates the fixpoint check (a count,
-    never row data). ``localCheckpoint`` cuts the per-round lineage so plan
-    depth stays O(1) per round rather than O(rounds).
+    Each round combines the two classic large-scale CC moves, all as
+    key-shuffled joins/aggregations (no Python per-row work):
+
+    1. min-label PROPAGATION — every node takes min(own label, neighbors'
+       labels); alone this needs O(diameter) rounds;
+    2. POINTER JUMPING — every node then replaces its label with its
+       label's label (labels always point at real nodes, so the lookup is
+       a self-join). Chains compress doubling-style, so the combination
+       converges in O(log diameter) rounds: max_iter=20 covers components
+       a million hops deep, vs. 20 hops for propagation alone.
+
+    The driver only coordinates the fixpoint check (a count, never row
+    data); ``localCheckpoint`` cuts per-round lineage so plan depth stays
+    O(1) per round rather than O(rounds). Exhausting max_iter raises —
+    non-fixpoint labels would be silently wrong.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a")).toDF("a", "b").persist()
-    )
-    _PERSISTED.append(edges)
     labels = edges.select(F.col("a").alias("doc")).distinct().select(
         "doc", F.col("doc").alias("lbl")
     )
     labels = labels.localCheckpoint()
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["doc"])
             .groupBy(F.col("a").alias("doc2"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        propagated = labels.join(
+            nbr_min, labels["doc"] == nbr_min["doc2"], "left"
+        ).select(
+            "doc",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        # Pointer jump: lbl <- label(lbl). Every lbl is a doc id (initially
+        # itself; afterwards some node's previous label), so the self-join
+        # always resolves; labels are monotone non-increasing either way.
+        lookup = propagated.select(
+            F.col("doc").alias("jd"), F.col("lbl").alias("jlbl")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["doc"] == nbr_min["doc2"], "left")
+            propagated.join(lookup, propagated["lbl"] == lookup["jd"], "left")
             .select(
                 "doc",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
+                F.coalesce(F.col("jlbl"), F.col("lbl")).alias("lbl"),
             )
             .localCheckpoint()
         )
@@ -648,17 +661,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
         if changed == 0:
             break
     else:
-        # Exiting by exhaustion means some component has diameter >
-        # max_iter and the labels are NOT a fixpoint — emitting them
-        # silently would disagree with the transitive-closure oracle only
-        # on deep-chain data. Fail loudly instead; callers with genuinely
-        # deep graphs should raise max_iter (rounds needed = component
-        # diameter, single-digit for near-dup corpora).
         raise RuntimeError(
-            f"dedup_clusters: min-label propagation did not converge in "
-            f"{max_iter} rounds ({changed} labels still changing); a "
-            f"component's diameter exceeds max_iter"
+            f"connected_components: no fixpoint in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter (rounds "
+            f"needed ~ log2(component diameter))"
         )
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a near-dup component: the
+    connected components of the MinHash-LSH pair graph, labeled by the
+    component's minimum doc_id (the canonical "keep" doc).
+
+    Runs ``connected_components`` (propagation + pointer jumping,
+    O(log diameter) rounds of key-shuffled joins) over the symmetrized
+    LSH pair graph. Near-dup components are shallow in practice, but the
+    log-round bound means even pathological chain-shaped components (each
+    doc near-dup only of its neighbors) converge within the default
+    budget at any corpus size.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("a", "b").persist()
+    )
+    _PERSISTED.append(edges)
+    labels = connected_components(edges, max_iter)
     return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -134,3 +134,38 @@ def test_pack_sequences_invariants(spark, sf_dir):
             assert r["pack_id"] == start // textops.PACK_BUDGET, (src, r)
             assert r["pack_offset"] == start % textops.PACK_BUDGET, (src, r)
             start += r["ws_tokens"]
+
+
+def test_connected_components_deep_chain_converges_log_rounds(spark):
+    """A 200-node chain (diameter 199) would need 199 rounds of pure
+    min-label propagation; the pointer-jumping variant must label it
+    within the default 20-round budget (log2(199) ~ 8) — the ADVICE-r3
+    deep-chain failure mode, pinned."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.operators.dedup import connected_components
+
+    n = 200
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    edges = chain.union(chain.select("b", "a")).toDF("a", "b")
+    labels = connected_components(edges, max_iter=20)
+    got = {r["doc"]: r["lbl"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_exhaustion_raises(spark):
+    """Non-fixpoint labels must never be silently emitted."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.operators.dedup import connected_components
+
+    n = 64
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    edges = chain.union(chain.select("b", "a")).toDF("a", "b")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=2)
