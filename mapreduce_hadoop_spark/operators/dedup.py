@@ -730,3 +730,77 @@ SELECT doc_a, doc_b,
 FROM co
 WHERE round(common::DOUBLE / (na + nb - common), 6) >= {JACCARD_THRESHOLD}
 """
+
+
+# --- canonical-doc selection per near-dup cluster ---------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster, the document a dedup pass should KEEP:
+    highest quality score, doc_id as the deterministic tie-break — the
+    decision step that turns cluster labels into an actual dedup action
+    (the common retention policy: keep the best-written copy, drop the
+    rest).
+
+    Composes ``dedup_clusters`` (propagation + pointer-jumping connected
+    components) with the text quality signal (``textops.quality_score``)
+    in one DAG: cluster labels join quality on doc_id (both shuffled on
+    the doc key), then one window pass per cluster picks the keeper.
+    Cluster cardinality rides the same window — no second aggregation.
+    """
+    from mapreduce_hadoop_spark.operators.textops import quality_score
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        "quality",
+        F.row_number()
+        .over(w.orderBy(F.col("quality").desc(), F.col("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc"),
+        "n_members",
+        F.col("quality").alias("best_quality"),
+    )
+
+
+def _dedup_keep_best_oracle() -> str:
+    from mapreduce_hadoop_spark.operators.textops import QUALITY_ORACLE
+
+    return f"""
+WITH RECURSIVE {_minhash_lsh_ctes()},
+pairs AS ({_MINHASH_LSH_SELECT}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+q AS ({QUALITY_ORACLE}),
+ranked AS (
+    SELECT c.cluster_id, c.doc_id, q.quality,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality DESC, c.doc_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members
+    FROM clusters c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS keep_doc, n_members, quality AS best_quality
+FROM ranked WHERE rn = 1
+"""
+
+
+DEDUP_KEEP_BEST_ORACLE = _dedup_keep_best_oracle()

@@ -532,3 +532,55 @@ SELECT doc_id, source, ws_tokens,
        CAST(start % {PACK_BUDGET} AS BIGINT) AS pack_offset
 FROM c
 """
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+# Both patterns restrict themselves to syntax Java regex (Spark) and RE2
+# (DuckDB) interpret identically: plain character classes, bounded repeats,
+# no lookarounds/backrefs. Leftmost non-overlapping matching is the same in
+# both engines, so counts and replacements agree byte-for-byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails then phone numbers from document text, counting each.
+
+    The standard pre-training hygiene pass: deterministic regex redaction
+    with per-document observability (how much was removed), map-only over
+    the corpus — no shuffle, trivially 100 TB-safe. Phones are counted
+    AFTER email redaction in both engines so a digit run inside an email
+    never double-counts; ordering is part of the contract.
+
+    The driver corpus contains no PII (counts are 0, scrub is identity) —
+    the operator's behavior on actual PII is pinned by the synthetic-string
+    unit test (tests/test_formats.py::test_pii_scrub_redacts), the
+    cross-engine agreement by the oracle hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_email = F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("bigint")
+    no_email = F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]")
+    n_phone = F.regexp_count(no_email, F.lit(PII_PHONE_RE)).cast("bigint")
+    scrubbed = F.regexp_replace(no_email, PII_PHONE_RE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+    )
+
+
+PII_SCRUB_ORACLE = f"""
+SELECT
+    doc_id,
+    regexp_replace(
+        regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+        '{PII_PHONE_RE}', '[PHONE]', 'g'
+    ) AS text_scrubbed,
+    CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(
+        regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'), '{PII_PHONE_RE}'
+    )) AS BIGINT) AS n_phones
+FROM documents
+"""

@@ -136,6 +136,10 @@ def _specs() -> dict[str, QuerySpec]:
         # trained variant promoted; contamination n_sh widened to bigint;
         # dedup_clusters non-convergence now raises; streaming trip machine
         # grew a late-drop counter + event-time-timeout variant.
+        # New this round (rule 1): PII redaction pass and the cluster ->
+        # keep-decision composition.
+        "text_pii_scrub": (textops.pii_scrub, textops.PII_SCRUB_ORACLE),
+        "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_ORACLE),
         "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
         # K-means training is not SQL-expressible -> rows-only; recall vs
         # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
@@ -187,16 +191,6 @@ def _specs() -> dict[str, QuerySpec]:
         "shipping_priority": (
             analytics.shipping_priority,
             analytics.SHIPPING_PRIORITY_ORACLE,
-        ),
-        "global_top_orders": (
-            analytics.global_top_orders,
-            analytics.GLOBAL_TOP_ORDERS_ORACLE,
-        ),
-        # spark.sql surface: the same join plan declared as SQL text with
-        # broadcast hints; shares the DataFrame twin's oracle.
-        "sql_revenue_by_nation": (
-            sqlapi.sql_revenue_by_nation,
-            sqlapi.SQL_REVENUE_BY_NATION_ORACLE,
         ),
         # All-pairs cosine baseline (labeled O(n^2); LSH twin is the scale path).
         "similarity_near_dup_cosine": (
@@ -284,6 +278,17 @@ def _specs() -> dict[str, QuerySpec]:
         "events_enriched": (
             stream_joins.enriched_events_batch,
             stream_joins.ENRICHED_EVENTS_ORACLE,
+        ),
+        # Displaced by this round's two new queries (both r3-green).
+        "global_top_orders": (
+            analytics.global_top_orders,
+            analytics.GLOBAL_TOP_ORDERS_ORACLE,
+        ),
+        # spark.sql surface: the same join plan declared as SQL text with
+        # broadcast hints; shares the DataFrame twin's oracle.
+        "sql_revenue_by_nation": (
+            sqlapi.sql_revenue_by_nation,
+            sqlapi.SQL_REVENUE_BY_NATION_ORACLE,
         ),
     }
     return specs

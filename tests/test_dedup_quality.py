@@ -169,3 +169,69 @@ def test_connected_components_exhaustion_raises(spark):
     edges = chain.union(chain.select("b", "a")).toDF("a", "b")
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(edges, max_iter=2)
+
+
+def test_pii_scrub_redacts(spark):
+    """The driver corpus has no PII, so the scrub's actual behavior is
+    pinned here on synthetic strings: emails and phones redact (emails
+    first — a digit run inside an email must not double-count), clean text
+    passes through byte-identical."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.operators.textops import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+
+    rows = [
+        (1, "contact alice.smith+work@example.co.uk or call 415-555-0123 now"),
+        (2, "two phones: +1 415 555 0123 and 4155550123."),
+        (3, "clean text stays clean"),
+        (4, "digits inside an email a123456789b@x.io are not a phone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_email = F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("bigint")
+    no_email = F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]")
+    n_phone = F.regexp_count(no_email, F.lit(PII_PHONE_RE)).cast("bigint")
+    scrubbed = F.regexp_replace(no_email, PII_PHONE_RE, "[PHONE]")
+    got = {
+        r["doc_id"]: (r["s"], r["ne"], r["np"])
+        for r in docs.select(
+            "doc_id", scrubbed.alias("s"), n_email.alias("ne"), n_phone.alias("np")
+        ).collect()
+    }
+    assert got[1] == ("contact [EMAIL] or call [PHONE] now", 1, 1)
+    assert got[2][1:] == (0, 2)
+    assert "[PHONE]" in got[2][0] and "phones:" in got[2][0]
+    assert got[3] == ("clean text stays clean", 0, 0)
+    assert got[4] == ("digits inside an email [EMAIL] are not a phone", 1, 0)
+
+
+def test_dedup_keep_best_is_cluster_quality_argmax(spark, sf_dir):
+    """keep_doc must be the (quality desc, doc_id asc) argmax of each
+    cluster, with n_members matching the cluster's cardinality."""
+    from mapreduce_hadoop_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_best,
+    )
+    from mapreduce_hadoop_spark.operators.textops import quality_score
+
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality"] for r in quality_score(spark, sf_dir).collect()
+    }
+    want: dict[int, tuple] = {}
+    for doc, cl in clusters.items():
+        key = (-quality[doc], doc)
+        if cl not in want or key < want[cl][0]:
+            want[cl] = (key, doc)
+    sizes: dict[int, int] = {}
+    for cl in clusters.values():
+        sizes[cl] = sizes.get(cl, 0) + 1
+    got = dedup_keep_best(spark, sf_dir).collect()
+    assert len(got) == len(want) > 0
+    for r in got:
+        assert r["keep_doc"] == want[r["cluster_id"]][1]
+        assert r["n_members"] == sizes[r["cluster_id"]]
