@@ -227,3 +227,12 @@ def test_hot_paths_whole_stage_codegen(spark, sf_dir):
         plan = executed_plan(df)
         # "*(n)" prefixes are WholeStageCodegen stage ids in plan strings.
         assert "*(" in plan, (q.__name__, plan[:1200])
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    # Redaction is a narrow projection: zero shuffles, scan-bandwidth at
+    # any corpus size.
+    from mapreduce_hadoop_spark.operators.textops import pii_scrub
+
+    c = plan_counts(pii_scrub(spark, sf_dir))
+    assert c["exchange"] == 0, c
