@@ -122,10 +122,12 @@ RANGE_HOT_VIEWS = 1000
 # boolean is cached; when hot keys exist the hot set itself always
 # recomputes in-plan, so staleness can never mislabel a key — it can only
 # cost one unnecessary probe or one conservative routed plan.
-_HOT_PROBE_CACHE: dict[str, bool] = {}
+_HOT_PROBE_CACHE: dict[tuple[str, int], bool] = {}
 
 
-def views_before_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def views_before_purchase_range_join(
+    spark: SparkSession, sf_dir: str, hot_views: int = RANGE_HOT_VIEWS
+) -> DataFrame:
     """View events within the 24 h before each purchase, same user —
     skew-routed interval join.
 
@@ -175,7 +177,7 @@ def views_before_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFr
     hot_users = (
         views.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_v"))
-        .filter(F.col("n_v") > RANGE_HOT_VIEWS)
+        .filter(F.col("n_v") > hot_views)
         .select("user_id")
     )
     in_window = (
@@ -212,10 +214,10 @@ def views_before_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFr
         )
 
     # The statistics probe: no hot keys -> the pairwise plan, untouched.
-    has_hot = _HOT_PROBE_CACHE.get(sf_dir)
+    has_hot = _HOT_PROBE_CACHE.get((sf_dir, hot_views))
     if has_hot is None:
         has_hot = not hot_users.isEmpty()
-        _HOT_PROBE_CACHE[sf_dir] = has_hot
+        _HOT_PROBE_CACHE[sf_dir, hot_views] = has_hot
     if not has_hot:
         return finish(pairwise(purchases, views))
 

@@ -62,3 +62,42 @@ def test_range_join_boundaries(spark):
     assert set(rows) == {100}
     assert rows[100]["n_views"] == 3
     assert rows[100]["view_value_sum"] == 7.0
+
+
+def test_range_join_hot_path_equals_pairwise(spark, sf_dir):
+    """The decomposed hot branch must be byte-identical to the pairwise
+    plan. At driver scales no user crosses the production threshold, so
+    the oracle only ever exercises the cold branch — this test lowers the
+    threshold until real users route hot (and others stay cold) and pins
+    both branches to the same answer."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.operators.temporal import (
+        views_before_purchase_range_join,
+    )
+    from mapreduce_hadoop_spark.sources.tables import load_table
+
+    views_per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .count()
+        .agg(F.expr("percentile(count, 0.5)").alias("med"), F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    # Median-ish threshold: a real mixed workload, both branches populated.
+    threshold = int(views_per_user["med"])
+    assert views_per_user["mx"] > threshold  # hot branch actually runs
+
+    key = ["purchase_id"]
+    want = (
+        views_before_purchase_range_join(spark, sf_dir)  # all-cold (default)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    got = (
+        views_before_purchase_range_join(spark, sf_dir, hot_views=threshold)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        assert (got[c].values == want[c].values).all(), c
