@@ -10,6 +10,7 @@ Equivalent here:
     spark-submit -m mapreduce_hadoop_spark.cli histogram <trips-in> <out>
     spark-submit -m mapreduce_hadoop_spark.cli airport-revenue <segments-in> <out>
     spark-submit -m mapreduce_hadoop_spark.cli corpus-clean <tables-dir> <out>
+    spark-submit -m mapreduce_hadoop_spark.cli pii-scrub <tables-dir> <out>
 
 ``histogram`` reads trip lines and writes `bin \\t count` (sorted, like the
 MR shuffle did). ``airport-revenue`` reads raw segment CSV, reconstructs
@@ -91,6 +92,22 @@ def run_corpus_clean(inp: str, out: str) -> None:
     print(f"CLEAN DOCS : {kept}  TOKENS : {toks}")
 
 
+def run_pii_scrub(inp: str, out: str) -> None:
+    """Redact emails/phones from the documents table under ``inp``; write
+    the scrubbed corpus to <out>/scrubbed_docs (parquet, map-only — no
+    shuffle at any corpus size), print the redaction totals."""
+    from mapreduce_hadoop_spark.operators.textops import pii_scrub
+
+    spark = get_spark("pii-scrub")
+    scrubbed = pii_scrub(spark, inp).cache()
+    scrubbed.write.mode("overwrite").parquet(f"{out}/scrubbed_docs")
+    tot = scrubbed.agg(
+        F.sum("n_emails").alias("e"), F.sum("n_phones").alias("p")
+    ).first()
+    print(f"EMAILS REDACTED : {tot['e']}  PHONES REDACTED : {tot['p']}")
+    scrubbed.unpersist()
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 3 and argv[0] == "histogram":
         run_histogram(argv[1], argv[2])
@@ -100,6 +117,9 @@ def main(argv: list[str]) -> int:
         return 0
     if len(argv) >= 3 and argv[0] == "corpus-clean":
         run_corpus_clean(argv[1], argv[2])
+        return 0
+    if len(argv) >= 3 and argv[0] == "pii-scrub":
+        run_pii_scrub(argv[1], argv[2])
         return 0
     print(__doc__)
     return 2

@@ -74,3 +74,20 @@ def test_corpus_clean_cli_writes_docs_and_stats(tmp_path):
     stats = _read_parts(f"{out}/stats")
     assert stats  # one TSV row per surviving source
     assert all(len(line.split("\t")) == 4 for line in stats)
+
+
+def test_pii_scrub_cli_writes_scrubbed_corpus(tmp_path):
+    out = tmp_path / "out"
+    r = _run(["pii-scrub", "/root/testdata/sf0.001", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    # Driver corpus carries no PII: totals are zero, corpus passes through.
+    assert "EMAILS REDACTED : 0  PHONES REDACTED : 0" in r.stdout
+    files = glob.glob(f"{out}/scrubbed_docs/part-*.parquet")
+    assert files
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{out}/scrubbed_docs")
+    assert t.num_rows > 0
+    assert {"doc_id", "text_scrubbed", "n_emails", "n_phones"} <= set(
+        t.schema.names
+    )
