@@ -281,12 +281,18 @@ ORDER BY user_id
 
 def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase event joined to the same user's latest view event
-    at-or-before it (point-in-time / as-of join).
+    at-or-before it (point-in-time / as-of join). Ties — several views
+    sharing the latest eligible timestamp — resolve to the MAX view_id;
+    an as-of without a pinned tie rule is nondeterministic exactly when
+    the data gets interesting (the sf1-skew gate caught DuckDB's native
+    ASOF picking an arbitrary tied row, GATE_sf1skew_r4.log).
 
     Scalable formulation: union the two streams tagged, one window pass per
-    key carries the last-seen view forward (``last(..., ignorenulls)``).
-    One shuffle on the key, no range-join explosion — the classic
-    time-series as-of shape. (DuckDB verifies with its native ASOF JOIN.)
+    key carries the last-seen view forward (``last(..., ignorenulls)``
+    over (t, is_probe, view_id) order, so the carried view is the max-id
+    tied one). One shuffle on the key, no range-join explosion — the
+    classic time-series as-of shape. The oracle is an independent
+    pairwise formulation with the same explicit tie rule.
     """
     ev = load_table(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select(
@@ -323,15 +329,21 @@ def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PURCHASE_ASOF_ORACLE = """
-SELECT
-    p.event_id AS purchase_id,
-    p.user_id,
-    epoch(p.ts) AS purchase_t,
-    v.event_id AS last_view_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (
-    SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
-) v ON v.user_id = p.user_id AND v.ts <= p.ts
+SELECT purchase_id, user_id, purchase_t, last_view_id FROM (
+    SELECT
+        p.event_id AS purchase_id,
+        p.user_id,
+        epoch(p.ts) AS purchase_t,
+        v.event_id AS last_view_id,
+        row_number() OVER (
+            PARTITION BY p.event_id
+            ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST
+        ) AS rn
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ) v ON v.user_id = p.user_id AND v.ts <= p.ts
+) WHERE rn = 1
 """
 
 
