@@ -26,7 +26,7 @@ same representation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_hadoop_spark.functions import fixedpoint as FP
@@ -351,3 +351,83 @@ SELECT s.event_type,
 FROM spine s LEFT JOIN counts c
   ON c.event_type = s.event_type AND c.day = s.day
 """
+
+
+# --- interval concurrency (sweep line) -------------------------------------
+
+CONCURRENCY_BUCKET_S = 600.0  # compressed-stream seconds per bucket
+
+
+def trips_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many reconstructed trips are active at the end of each time
+    bucket — the classic interval-concurrency (sweep line) question, asked
+    of every fleet ("how many taxis were on a job at 5pm?").
+
+    Scalable sweep without a global sort over events: each trip emits
+    (+1 at start_t, -1 at stop_t); deltas aggregate per fixed bucket
+    (shuffle on the bucket key, map-side combined), and ONLY the
+    bucket-level relation — whose size grows with the time span, never
+    with data volume — takes the cumulative-sum window over a single
+    partition. A trip stopping exactly on a boundary counts as ended in
+    that bucket (start <= end-of-bucket < stop defines "active").
+    """
+    from mapreduce_hadoop_spark.operators.sessionize import trips_window_query
+
+    trips = trips_window_query(spark, sf_dir)
+    bucket = lambda c: F.floor(F.col(c) / F.lit(CONCURRENCY_BUCKET_S)).cast("long")
+    starts = trips.select(
+        bucket("start_t").alias("bucket"),
+        F.lit(1).cast("long").alias("d_start"),
+        F.lit(0).cast("long").alias("d_stop"),
+    )
+    stops = trips.select(
+        bucket("stop_t").alias("bucket"),
+        F.lit(0).cast("long").alias("d_start"),
+        F.lit(1).cast("long").alias("d_stop"),
+    )
+    per_bucket = (
+        starts.unionByName(stops)
+        .groupBy("bucket")
+        .agg(
+            F.sum("d_start").alias("n_started"),
+            F.sum("d_stop").alias("n_stopped"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        "n_started",
+        "n_stopped",
+        F.sum(F.col("n_started") - F.col("n_stopped")).over(w).alias("active_end"),
+    )
+
+
+def _trips_concurrency_oracle() -> str:
+    from mapreduce_hadoop_spark.operators.sessionize import TRIPS_WINDOW_ORACLE
+
+    return f"""
+WITH trips AS ({TRIPS_WINDOW_ORACLE}),
+deltas AS (
+    SELECT CAST(floor(start_t / {CONCURRENCY_BUCKET_S}) AS BIGINT) AS bucket,
+           1 AS d_start, 0 AS d_stop
+    FROM trips
+    UNION ALL
+    SELECT CAST(floor(stop_t / {CONCURRENCY_BUCKET_S}) AS BIGINT) AS bucket,
+           0 AS d_start, 1 AS d_stop
+    FROM trips
+),
+per_bucket AS (
+    SELECT bucket,
+           CAST(sum(d_start) AS BIGINT) AS n_started,
+           CAST(sum(d_stop) AS BIGINT)  AS n_stopped
+    FROM deltas GROUP BY bucket
+)
+SELECT bucket, n_started, n_stopped,
+       CAST(sum(n_started - n_stopped) OVER (
+           ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS active_end
+FROM per_bucket
+"""
+
+
+TRIPS_CONCURRENCY_ORACLE = _trips_concurrency_oracle()

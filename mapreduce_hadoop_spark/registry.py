@@ -136,10 +136,14 @@ def _specs() -> dict[str, QuerySpec]:
         # trained variant promoted; contamination n_sh widened to bigint;
         # dedup_clusters non-convergence now raises; streaming trip machine
         # grew a late-drop counter + event-time-timeout variant.
-        # New this round (rule 1): PII redaction pass and the cluster ->
-        # keep-decision composition.
+        # New this round (rule 1): PII redaction pass, the cluster ->
+        # keep-decision composition, and sweep-line trip concurrency.
         "text_pii_scrub": (textops.pii_scrub, textops.PII_SCRUB_ORACLE),
         "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_ORACLE),
+        "trips_concurrency": (
+            temporal.trips_concurrency,
+            temporal.TRIPS_CONCURRENCY_ORACLE,
+        ),
         "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
         # K-means training is not SQL-expressible -> rows-only; recall vs
         # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
@@ -191,11 +195,6 @@ def _specs() -> dict[str, QuerySpec]:
         "shipping_priority": (
             analytics.shipping_priority,
             analytics.SHIPPING_PRIORITY_ORACLE,
-        ),
-        # All-pairs cosine baseline (labeled O(n^2); LSH twin is the scale path).
-        "similarity_near_dup_cosine": (
-            similarity.near_dup_cosine,
-            similarity.NEAR_DUP_ORACLE,
         ),
         # Text analysis representatives.
         "text_language_id": (textops.language_id, textops.LANGUAGE_ID_ORACLE),
@@ -279,7 +278,12 @@ def _specs() -> dict[str, QuerySpec]:
             stream_joins.enriched_events_batch,
             stream_joins.ENRICHED_EVENTS_ORACLE,
         ),
-        # Displaced by this round's two new queries (both r3-green).
+        # All-pairs cosine baseline (labeled O(n^2); LSH twin is the scale path).
+        "similarity_near_dup_cosine": (
+            similarity.near_dup_cosine,
+            similarity.NEAR_DUP_ORACLE,
+        ),
+        # Displaced by this round's new queries (all r3-green).
         "global_top_orders": (
             analytics.global_top_orders,
             analytics.GLOBAL_TOP_ORDERS_ORACLE,
