@@ -24,8 +24,9 @@ registry holds 72. Ordering rule, fixed from round 4 on:
 
 Round-4 application: the 22 queries displaced in round 3 (multimodal x4,
 similarity LSH/bruteforce/filtered, six text ops, six relational-ext, two
-analytics) rotate into the head; the tail is 22 round-3-green queries
-untouched this round.
+analytics) rotate into the head, as do this round's three new queries
+(text_pii_scrub, dedup_keep_best, trips_concurrency) and every changed
+one; the 25-entry tail is all round-3-green queries untouched this round.
 """
 
 from __future__ import annotations
