@@ -145,6 +145,12 @@ def _specs() -> dict[str, QuerySpec]:
             temporal.trips_concurrency,
             temporal.TRIPS_CONCURRENCY_ORACLE,
         ),
+        # Changed this round (rule 1): rewritten as the skew-routed
+        # interval join (hot-branch decomposition + statistics probe).
+        "views_before_purchase_range_join": (
+            temporal.views_before_purchase_range_join,
+            temporal.VIEWS_BEFORE_PURCHASE_ORACLE,
+        ),
         "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
         # K-means training is not SQL-expressible -> rows-only; recall vs
         # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
@@ -198,7 +204,6 @@ def _specs() -> dict[str, QuerySpec]:
             analytics.SHIPPING_PRIORITY_ORACLE,
         ),
         # Text analysis representatives.
-        "text_language_id": (textops.language_id, textops.LANGUAGE_ID_ORACLE),
         "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
         "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
         # --- Past the 50-entry driver window ------------------------------
@@ -262,10 +267,6 @@ def _specs() -> dict[str, QuerySpec]:
             temporal.events_daily_gapfill,
             temporal.EVENTS_GAPFILL_ORACLE,
         ),
-        "views_before_purchase_range_join": (
-            temporal.views_before_purchase_range_join,
-            temporal.VIEWS_BEFORE_PURCHASE_ORACLE,
-        ),
         # Scalar-function layer, each standalone (SURVEY §7 step 2).
         "fn_distance": (scalars.fn_distance, scalars.FN_DISTANCE_ORACLE),
         "fn_width_bucket": (scalars.fn_width_bucket, scalars.FN_WIDTH_BUCKET_ORACLE),
@@ -285,6 +286,7 @@ def _specs() -> dict[str, QuerySpec]:
             similarity.NEAR_DUP_ORACLE,
         ),
         # Displaced by this round's new queries (all r3-green).
+        "text_language_id": (textops.language_id, textops.LANGUAGE_ID_ORACLE),
         "global_top_orders": (
             analytics.global_top_orders,
             analytics.GLOBAL_TOP_ORDERS_ORACLE,
