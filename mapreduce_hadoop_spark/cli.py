@@ -102,7 +102,8 @@ def run_pii_scrub(inp: str, out: str) -> None:
     scrubbed = pii_scrub(spark, inp).cache()
     scrubbed.write.mode("overwrite").parquet(f"{out}/scrubbed_docs")
     tot = scrubbed.agg(
-        F.sum("n_emails").alias("e"), F.sum("n_phones").alias("p")
+        F.coalesce(F.sum("n_emails"), F.lit(0)).alias("e"),
+        F.coalesce(F.sum("n_phones"), F.lit(0)).alias("p"),
     ).first()
     print(f"EMAILS REDACTED : {tot['e']}  PHONES REDACTED : {tot['p']}")
     scrubbed.unpersist()

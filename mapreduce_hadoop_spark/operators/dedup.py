@@ -602,6 +602,10 @@ GROUP BY doc_id, n_sh
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """(doc, lbl) minimum-id component labels for an (a, b) edge relation.
 
+    ``edges`` may be directed/deduplicated (each pair once, either order):
+    the relation is symmetrized internally, so propagation flows both ways
+    and every endpoint gets a label row — passing a raw pair list is safe.
+
     Each round combines the two classic large-scale CC moves, all as
     key-shuffled joins/aggregations (no Python per-row work):
 
@@ -618,6 +622,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     O(1) per round rather than O(rounds). Exhausting max_iter raises —
     non-fixpoint labels would be silently wrong.
     """
+    edges = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     labels = edges.select(F.col("a").alias("doc")).distinct().select(
         "doc", F.col("doc").alias("lbl")
     )
@@ -681,12 +688,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> Data
     doc near-dup only of its neighbors) converge within the default
     budget at any corpus size.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a")).toDF("a", "b").persist()
-    )
-    _PERSISTED.append(edges)
-    labels = connected_components(edges, max_iter)
+    pairs = (
+        minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").toDF("a", "b")
+    ).persist()
+    _PERSISTED.append(pairs)
+    labels = connected_components(pairs, max_iter)
     return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -118,11 +118,19 @@ RANGE_HOT_VIEWS = 1000
 
 # Probe decisions per dataset path — table statistics, cached exactly like
 # the fitted IVF centroids: recomputed once per corpus, reused across
-# repeated queries (bench, gate) in a session. Only the no-hot-keys
-# boolean is cached; when hot keys exist the hot set itself always
-# recomputes in-plan, so staleness can never mislabel a key — it can only
-# cost one unnecessary probe or one conservative routed plan.
+# repeated queries (bench, gate) in a session. The hot-user SET always
+# recomputes in-plan (never cached), but the cached boolean CAN go stale
+# if the dataset mutates in place: a stale True only costs a conservative
+# routed plan, while a stale False re-enables the pairwise hot-key blowup
+# until the cache is cleared. Fine for immutable snapshot directories
+# (this engine's data contract); pipelines that append in place should
+# call clear_stats_cache() at ingest boundaries.
 _HOT_PROBE_CACHE: dict[tuple[str, int], bool] = {}
+
+
+def clear_stats_cache() -> None:
+    """Drop cached probe decisions (call after mutating a dataset dir)."""
+    _HOT_PROBE_CACHE.clear()
 
 
 def views_before_purchase_range_join(
@@ -232,13 +240,13 @@ def views_before_purchase_range_join(
     )
 
     # Hot path: hour-bucket decomposition (full buckets hit pre-aggregates).
-    hot_views = views.join(F.broadcast(hot_users), "user_id", "left_semi")
+    hot_view_rows = views.join(F.broadcast(hot_users), "user_id", "left_semi")
     hot_purch = purchases.join(
         F.broadcast(hot_users.withColumnRenamed("user_id", "p_user")),
         "p_user",
         "left_semi",
     )
-    vagg = hot_views.groupBy("user_id", "vh").agg(
+    vagg = hot_view_rows.groupBy("user_id", "vh").agg(
         F.count(F.lit(1)).alias("b_n"), FP.sum_micro("value").alias("b_v")
     )
     full = (
@@ -256,9 +264,9 @@ def views_before_purchase_range_join(
             "p_vh", F.explode(F.array(F.col("ph") - 24, F.col("ph")))
         )
         .join(
-            hot_views,
-            (F.col("p_user") == hot_views["user_id"])
-            & (F.col("p_vh") == hot_views["vh"]),
+            hot_view_rows,
+            (F.col("p_user") == hot_view_rows["user_id"])
+            & (F.col("p_vh") == hot_view_rows["vh"]),
         )
         .filter(in_window)
         .select(*contribution)

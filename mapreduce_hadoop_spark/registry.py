@@ -10,17 +10,18 @@ by name before hashing values.
 Driver-window rotation policy
 -----------------------------
 The correctness driver checks only the FIRST 50 registry entries; the
-registry holds 72. Ordering rule, fixed from round 4 on:
+registry holds 75 (the counts below track the current registry — the
+rule, not the numbers, is what's fixed). Ordering rule, from round 4 on:
 
 1. Any query whose code, oracle, or output changed this round MUST be in
    the head-50 (a fresh driver row is the only acceptable evidence).
 2. The remaining head slots go to the queries whose last driver row is
    oldest, so no query ever goes more than one round without a driver
    row (2-round cadence worst case).
-3. The 22 tail entries must each carry a green (or documented rows-only)
+3. Every tail entry must carry a green (or documented rows-only)
    driver row from the IMMEDIATELY PRECEDING round, and
-   tools/check_oracle.py still gates all 72 locally every round
-   (committed GATE_*.log artifacts).
+   tools/check_oracle.py still gates the full registry locally every
+   round (committed GATE_*.log artifacts).
 
 Round-4 application: the 22 queries displaced in round 3 (multimodal x4,
 similarity LSH/bruteforce/filtered, six text ops, six relational-ext, two

@@ -146,10 +146,11 @@ def test_connected_components_deep_chain_converges_log_rounds(spark):
     from mapreduce_hadoop_spark.operators.dedup import connected_components
 
     n = 200
-    chain = spark.range(n - 1).select(
+    # Directed pair list (each edge once) — the helper symmetrizes
+    # internally, so nodes appearing only as `b` still get labeled.
+    edges = spark.range(n - 1).select(
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
     )
-    edges = chain.union(chain.select("b", "a")).toDF("a", "b")
     labels = connected_components(edges, max_iter=20)
     got = {r["doc"]: r["lbl"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
@@ -163,10 +164,9 @@ def test_connected_components_exhaustion_raises(spark):
     from mapreduce_hadoop_spark.operators.dedup import connected_components
 
     n = 64
-    chain = spark.range(n - 1).select(
+    edges = spark.range(n - 1).select(
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
     )
-    edges = chain.union(chain.select("b", "a")).toDF("a", "b")
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(edges, max_iter=2)
 

@@ -158,10 +158,24 @@ def test_late_positions_are_counted(spark, tmp_path):
     pq.write_table(early, f"{src}/events2.parquet")
     run_stream()
 
-    # Every early row whose taxi appeared in the late half is late; taxis
-    # seen only in the early half start from a fresh carrier (prev_t=0).
-    late_taxis = set(late.column("user_id").to_pylist())
-    expected = sum(1 for u in early.column("user_id").to_pylist() if u in late_taxis)
+    # A replayed early row drops iff its t is STRICTLY below the taxi's
+    # carrier (= the taxi's max late-half t); taxis only in the early half
+    # start from a fresh carrier (prev_t=0) and keep everything. Computing
+    # the bound per taxi (not just membership) keeps the expectation exact
+    # even if a duplicate timestamp ever straddles the split.
+    max_late_ts: dict[int, int] = {}
+    for u, ts in zip(
+        late.column("user_id").to_pylist(), late.column("ts").to_pylist()
+    ):
+        if u not in max_late_ts or ts > max_late_ts[u]:
+            max_late_ts[u] = ts
+    expected = sum(
+        1
+        for u, ts in zip(
+            early.column("user_id").to_pylist(), early.column("ts").to_pylist()
+        )
+        if u in max_late_ts and ts < max_late_ts[u]
+    )
     assert expected > 0
     assert acc.value == expected
 
