@@ -750,22 +750,25 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes ``dedup_clusters`` (propagation + pointer-jumping connected
     components) with the text quality signal (``textops.quality_score``)
-    in one DAG: cluster labels join quality on doc_id (both shuffled on
-    the doc key), then one window pass per cluster picks the keeper.
+    in one DAG: cluster labels LEFT-join quality on doc_id (both shuffled
+    on the doc key), then one window pass per cluster picks the keeper.
     Cluster cardinality rides the same window — no second aggregation.
+    The join is LEFT (not inner) so ``n_members`` stays the true cluster
+    size even if the quality operator ever filters its row set; docs
+    without a quality row rank last (NULLS LAST, doc_id tie-break).
     """
     from mapreduce_hadoop_spark.operators.textops import quality_score
 
     clusters = dedup_clusters(spark, sf_dir)
     quality = quality_score(spark, sf_dir).select("doc_id", "quality")
-    joined = clusters.join(quality, "doc_id")
+    joined = clusters.join(quality, "doc_id", "left")
     w = Window.partitionBy("cluster_id")
     ranked = joined.select(
         "cluster_id",
         "doc_id",
         "quality",
         F.row_number()
-        .over(w.orderBy(F.col("quality").desc(), F.col("doc_id")))
+        .over(w.orderBy(F.col("quality").desc_nulls_last(), F.col("doc_id")))
         .alias("rn"),
         F.count(F.lit(1)).over(w).alias("n_members"),
     )
@@ -800,9 +803,9 @@ q AS ({QUALITY_ORACLE}),
 ranked AS (
     SELECT c.cluster_id, c.doc_id, q.quality,
            row_number() OVER (PARTITION BY c.cluster_id
-                              ORDER BY q.quality DESC, c.doc_id) AS rn,
+                              ORDER BY q.quality DESC NULLS LAST, c.doc_id) AS rn,
            CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members
-    FROM clusters c JOIN q ON q.doc_id = c.doc_id
+    FROM clusters c LEFT JOIN q ON q.doc_id = c.doc_id
 )
 SELECT cluster_id, doc_id AS keep_doc, n_members, quality AS best_quality
 FROM ranked WHERE rn = 1

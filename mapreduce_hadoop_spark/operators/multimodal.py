@@ -7,12 +7,15 @@ grouping, metadata math) stays JVM-side.
 
 The driver testdata has no real media, so ``media_table`` synthesizes a
 binary column from `documents.text` (utf-8 bytes) with a deterministic mime
-split. The decode step is STUBBED: ``decode_media`` computes deterministic
-fake dimensions from the byte stream (real decoders — PIL/ffmpeg — are not
-in this container; ``real_decode=True`` raises NotImplementedError at the
-exact point a deployment would call them). The Spark-side plumbing —
-schema, binary handling, Arrow batching, multi-row-per-input frame
-sampling — is real and oracle-/unit-tested.
+split, and ``decode_media``'s DEFAULT path computes deterministic fake
+dimensions from the byte stream so the full mapInPandas plumbing stays
+oracle-checkable. ``real_decode=True`` is REAL for metadata: a pure-stdlib
+container-header parse (PNG IHDR / JPEG SOFn / GIF logical screen) reads
+width x height from the actual bytes — no PIL needed; payloads that are
+not a recognized image container yield NULL dimensions. Codec-quality
+PIXEL decode (and so real resizing) still requires PIL/ffmpeg, absent in
+this container; ``resize_media(real_resize=True)`` raises at the exact
+point a deployment would wire the resampler.
 """
 
 from __future__ import annotations
@@ -74,28 +77,92 @@ def _fake_dimensions(payload: bytes) -> tuple[int, int]:
     return width, height
 
 
-def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
-    """Arrow-batched 'decode' over (doc_id, mime, payload).
+# JPEG "start of frame" markers carrying dimensions: SOF0-SOF15 minus the
+# non-frame DHT/JPG/DAC markers (0xC4/0xC8/0xCC).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
-    The real decoder hook is the marked stub; the fake path keeps the full
-    Spark plumbing live (binary in Arrow batches, multi-column typed output).
+
+def _parse_image_header(payload: bytes) -> "tuple[int, int] | None":
+    """(width, height) from a real image container header, stdlib-only.
+
+    Supports PNG (IHDR), JPEG (first SOFn segment), and GIF (logical
+    screen descriptor). Returns None for anything else — including the
+    truncated/garbage bytes a 100 TB crawl inevitably contains, which a
+    decode stage must tolerate, never throw on.
+    """
+    # PNG: 8-byte signature, then the IHDR chunk (len + 'IHDR' + w + h, BE).
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        if payload[12:16] == b"IHDR":
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return (w, h) if w > 0 and h > 0 else None
+        return None
+    # JPEG: walk marker segments until the first SOFn (precision byte,
+    # then height and width, big-endian).
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 3 < n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill bytes before a marker
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers: no length field
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return (w, h) if w > 0 and h > 0 else None
+            i += 2 + seg_len
+        return None
+    # GIF: 6-byte version, then the logical screen w/h, little-endian.
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return (w, h) if w > 0 and h > 0 else None
+    return None
+
+
+def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Arrow-batched decode over (doc_id, mime, payload).
+
+    ``real_decode=False`` (default): deterministic fake dimensions from
+    byte stats, keeping the full Spark plumbing live AND oracle-checkable
+    (the driver corpus has no real media). ``real_decode=True``: parse
+    width x height from the actual PNG/JPEG/GIF container header —
+    stdlib-only, no PIL — with NULL dimensions for unrecognized payloads.
+    Codec-quality pixel decode would replace ``_parse_image_header`` with
+    a real decoder; only that last step needs PIL/ffmpeg.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if real_decode:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg, absent in this "
-                    "container; wire the decoder here"
-                )
-            dims = [_fake_dimensions(p) for p in pdf["payload"]]
+                dims = [_parse_image_header(bytes(p)) for p in pdf["payload"]]
+            else:
+                dims = [_fake_dimensions(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": pdf["mime"],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_pixels": [d[0] * d[1] for d in dims],
+                    # Nullable dtypes: Arrow maps pd.NA -> SQL NULL; plain
+                    # int lists would coerce to float64 on any None.
+                    "width": pd.array(
+                        [d[0] if d else None for d in dims], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[1] if d else None for d in dims], dtype="Int32"
+                    ),
+                    "n_pixels": pd.array(
+                        [d[0] * d[1] if d else None for d in dims], dtype="Int64"
+                    ),
                 }
             )
 
@@ -191,8 +258,9 @@ def resize_media(media: DataFrame, real_resize: bool = False) -> DataFrame:
         for pdf in it:
             if real_resize:
                 raise NotImplementedError(
-                    "real resizing requires PIL/ffmpeg, absent in this "
-                    "container; wire the resampler here"
+                    "real resizing needs pixel decode (PIL/ffmpeg), absent "
+                    "in this container; header metadata IS real — see "
+                    "decode_media(real_decode=True). Wire the resampler here"
                 )
             rows = []
             for doc_id, mime, payload in zip(

@@ -28,6 +28,8 @@ cosines; results are rounded to 6 decimals at the output edge.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -376,8 +378,18 @@ IVF_NPROBE = 8
 
 # Fitted k-means centroids per sf_dir: model parameters (k x dim doubles),
 # legitimately driver-sized. Cached so repeated calls (bench, gate, tests)
-# time the probe plan, not the training.
+# time the probe plan, not the training. Keys are realpath-normalized;
+# like temporal._HOT_PROBE_CACHE, the cache assumes immutable snapshot
+# directories — a dataset dir regenerated in place would keep serving
+# centroids fitted on the old corpus (and topk_ivf_trained is rows-only,
+# so no oracle hash would catch it). Call clear_stats_cache() after any
+# in-place rewrite (tools/make_scale_data.py does).
 _KMEANS_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+
+
+def clear_stats_cache() -> None:
+    """Drop cached fitted centroids (call after mutating a dataset dir)."""
+    _KMEANS_CACHE.clear()
 
 
 def _ivf_centroids(emb: DataFrame) -> DataFrame:
@@ -465,7 +477,8 @@ def topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated calls (bench, gate) time the probe plan, not the training —
     exactly how a deployed index works: train once, probe forever.
     """
-    cents_rows = _KMEANS_CACHE.get(sf_dir)
+    cache_key = os.path.realpath(sf_dir)
+    cents_rows = _KMEANS_CACHE.get(cache_key)
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     if cents_rows is None:
         from pyspark.ml.clustering import KMeans
@@ -476,7 +489,7 @@ def topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_rows = [
             (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
         ]
-        _KMEANS_CACHE[sf_dir] = cents_rows
+        _KMEANS_CACHE[cache_key] = cents_rows
     cents = (
         spark.createDataFrame(cents_rows, "cent_id int, cv array<double>")
         .select(

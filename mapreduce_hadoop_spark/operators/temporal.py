@@ -26,6 +26,8 @@ same representation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -118,13 +120,15 @@ RANGE_HOT_VIEWS = 1000
 
 # Probe decisions per dataset path — table statistics, cached exactly like
 # the fitted IVF centroids: recomputed once per corpus, reused across
-# repeated queries (bench, gate) in a session. The hot-user SET always
-# recomputes in-plan (never cached), but the cached boolean CAN go stale
-# if the dataset mutates in place: a stale True only costs a conservative
-# routed plan, while a stale False re-enables the pairwise hot-key blowup
-# until the cache is cleared. Fine for immutable snapshot directories
-# (this engine's data contract); pipelines that append in place should
-# call clear_stats_cache() at ingest boundaries.
+# repeated queries (bench, gate) in a session. Keys are realpath-normalized
+# so 'sf1' vs 'sf1/' vs a symlinked spelling share one entry. The hot-user
+# SET always recomputes in-plan (never cached), but the cached boolean CAN
+# go stale if the dataset mutates in place: a stale True only costs a
+# conservative routed plan, while a stale False re-enables the pairwise
+# hot-key blowup until the cache is cleared. Fine for immutable snapshot
+# directories (this engine's data contract); pipelines that append in
+# place must call clear_stats_cache() at ingest boundaries
+# (tools/make_scale_data.py does).
 _HOT_PROBE_CACHE: dict[tuple[str, int], bool] = {}
 
 
@@ -222,10 +226,11 @@ def views_before_purchase_range_join(
         )
 
     # The statistics probe: no hot keys -> the pairwise plan, untouched.
-    has_hot = _HOT_PROBE_CACHE.get((sf_dir, hot_views))
+    cache_key = (os.path.realpath(sf_dir), hot_views)
+    has_hot = _HOT_PROBE_CACHE.get(cache_key)
     if has_hot is None:
         has_hot = not hot_users.isEmpty()
-        _HOT_PROBE_CACHE[sf_dir, hot_views] = has_hot
+        _HOT_PROBE_CACHE[cache_key] = has_hot
     if not has_hot:
         return finish(pairwise(purchases, views))
 
@@ -378,24 +383,37 @@ def trips_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     with data volume — takes the cumulative-sum window over a single
     partition. A trip stopping exactly on a boundary counts as ended in
     that bucket (start <= end-of-bucket < stop defines "active").
+
+    Both deltas are emitted in ONE pass over the trips relation (explode
+    of a 2-struct array), so the expensive sessionize subtree — scan,
+    clean, shuffle, per-taxi window, session aggregation — plans and
+    executes exactly once; a start/stop UNION of two selects would plan
+    it twice (ReuseExchange dedupes only the shuffle, not the window
+    sort + aggregation above it).
     """
     from mapreduce_hadoop_spark.operators.sessionize import trips_window_query
 
     trips = trips_window_query(spark, sf_dir)
     bucket = lambda c: F.floor(F.col(c) / F.lit(CONCURRENCY_BUCKET_S)).cast("long")
-    starts = trips.select(
-        bucket("start_t").alias("bucket"),
-        F.lit(1).cast("long").alias("d_start"),
-        F.lit(0).cast("long").alias("d_stop"),
-    )
-    stops = trips.select(
-        bucket("stop_t").alias("bucket"),
-        F.lit(0).cast("long").alias("d_start"),
-        F.lit(1).cast("long").alias("d_stop"),
-    )
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    deltas = trips.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    bucket("start_t").alias("bucket"),
+                    one.alias("d_start"),
+                    zero.alias("d_stop"),
+                ),
+                F.struct(
+                    bucket("stop_t").alias("bucket"),
+                    zero.alias("d_start"),
+                    one.alias("d_stop"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.bucket", "d.d_start", "d.d_stop")
     per_bucket = (
-        starts.unionByName(stops)
-        .groupBy("bucket")
+        deltas.groupBy("bucket")
         .agg(
             F.sum("d_start").alias("n_started"),
             F.sum("d_stop").alias("n_stopped"),

@@ -541,7 +541,27 @@ FROM c
 # no lookarounds/backrefs. Leftmost non-overlapping matching is the same in
 # both engines, so counts and replacements agree byte-for-byte.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE_RE = r"\+?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+# Phone: NANP-style numbers with optional +CC prefix —
+#   415-555-0123 / 415.555.0123 / 415 555 0123 / 4155550123
+#   (415) 555-0123 / (415)555-0123
+#   +1 415 555 0123 / +1-415-555-0123 / +14155550123
+# Neither engine's shared regex subset has lookarounds, so the digit-run
+# boundary guards (a 10-digit substring of a longer ID/card number must NOT
+# match) are CONSUMED guard groups: group 1 = preceding non-digit (or ^),
+# group 5 = following non-digit (or $), restored in the replacement via
+# group references ($1/$5 in Java, \1/\5 in RE2). Known limits, by design:
+# two phones separated by a single character redact only the first (the
+# separator is consumed by the first match's trailing guard), and
+# non-NANP groupings (e.g. +44 20 7946 0958) don't match.
+PII_PHONE_RE = (
+    r"(^|[^0-9])"  # leading digit-run guard (group 1)
+    r"((\+[0-9]{1,2}[-. ]?)?"  # optional +CC prefix (groups 2-3)
+    r"(\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ]?)"  # area code, () or bare (group 4)
+    r"[0-9]{3}[-. ]?[0-9]{4})"
+    r"([^0-9]|$)"  # trailing digit-run guard (group 5)
+)
+_PHONE_REPL_SPARK = "$1[PHONE]$5"
+_PHONE_REPL_SQL = r"\1[PHONE]\5"
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,7 +571,9 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-document observability (how much was removed), map-only over
     the corpus — no shuffle, trivially 100 TB-safe. Phones are counted
     AFTER email redaction in both engines so a digit run inside an email
-    never double-counts; ordering is part of the contract.
+    never double-counts; ordering is part of the contract. Supported phone
+    formats and the consumed-guard adjacency limit are documented at
+    ``PII_PHONE_RE``.
 
     The driver corpus contains no PII (counts are 0, scrub is identity) —
     the operator's behavior on actual PII is pinned by the synthetic-string
@@ -562,7 +584,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_email = F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("bigint")
     no_email = F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]")
     n_phone = F.regexp_count(no_email, F.lit(PII_PHONE_RE)).cast("bigint")
-    scrubbed = F.regexp_replace(no_email, PII_PHONE_RE, "[PHONE]")
+    scrubbed = F.regexp_replace(no_email, PII_PHONE_RE, _PHONE_REPL_SPARK)
     return docs.select(
         "doc_id",
         scrubbed.alias("text_scrubbed"),
@@ -576,7 +598,7 @@ SELECT
     doc_id,
     regexp_replace(
         regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
-        '{PII_PHONE_RE}', '[PHONE]', 'g'
+        '{PII_PHONE_RE}', '{_PHONE_REPL_SQL}', 'g'
     ) AS text_scrubbed,
     CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
     CAST(len(regexp_extract_all(

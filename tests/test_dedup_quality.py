@@ -179,21 +179,26 @@ def test_pii_scrub_redacts(spark):
     from pyspark.sql import functions as F
 
     from mapreduce_hadoop_spark.operators.textops import (
+        _PHONE_REPL_SPARK,
         PII_EMAIL_RE,
         PII_PHONE_RE,
     )
 
     rows = [
         (1, "contact alice.smith+work@example.co.uk or call 415-555-0123 now"),
-        (2, "two phones: +1 415 555 0123 and 4155550123."),
+        (2, "two phones: +1 415 555 0123 and also 4155550123."),
         (3, "clean text stays clean"),
         (4, "digits inside an email a123456789b@x.io are not a phone"),
+        (5, "parenthesized (415) 555-0123 and tight (415)555-0123 match"),
+        (6, "id 12345678901234567 contains no phone; order #4155550123999"),
+        (7, "dotted 415.555.0123 and dashed +1-415-555-0123"),
+        (8, "4155550123"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     n_email = F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("bigint")
     no_email = F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]")
     n_phone = F.regexp_count(no_email, F.lit(PII_PHONE_RE)).cast("bigint")
-    scrubbed = F.regexp_replace(no_email, PII_PHONE_RE, "[PHONE]")
+    scrubbed = F.regexp_replace(no_email, PII_PHONE_RE, _PHONE_REPL_SPARK)
     got = {
         r["doc_id"]: (r["s"], r["ne"], r["np"])
         for r in docs.select(
@@ -205,6 +210,14 @@ def test_pii_scrub_redacts(spark):
     assert "[PHONE]" in got[2][0] and "phones:" in got[2][0]
     assert got[3] == ("clean text stays clean", 0, 0)
     assert got[4] == ("digits inside an email [EMAIL] are not a phone", 1, 0)
+    # Parenthesized area codes (the formats the round-4 pattern missed).
+    assert got[5] == ("parenthesized [PHONE] and tight [PHONE] match", 0, 2)
+    # Digit-run boundary guards: 10-digit substrings of longer runs must
+    # NOT partially redact.
+    assert got[6] == (rows[5][1], 0, 0)
+    assert got[7] == ("dotted [PHONE] and dashed [PHONE]", 0, 2)
+    # Whole-string phone: both guards match empty (^ / $).
+    assert got[8] == ("[PHONE]", 0, 1)
 
 
 def test_dedup_keep_best_is_cluster_quality_argmax(spark, sf_dir):

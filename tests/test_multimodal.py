@@ -1,14 +1,50 @@
-"""Multimodal binary plumbing: mapInPandas shapes + the decode stub gate."""
+"""Multimodal binary plumbing: mapInPandas shapes + real header decode."""
 
 from __future__ import annotations
 
 import pytest
 
 from mapreduce_hadoop_spark.operators.multimodal import (
+    _parse_image_header,
     decode_media,
     media_table,
+    resize_media,
     sample_frames,
 )
+
+# Real container headers, byte-for-byte per spec (width x height noted).
+PNG_640x480 = (
+    b"\x89PNG\r\n\x1a\n"  # signature
+    + (13).to_bytes(4, "big")  # IHDR chunk length
+    + b"IHDR"
+    + (640).to_bytes(4, "big")
+    + (480).to_bytes(4, "big")
+    + b"\x08\x02\x00\x00\x00"  # bit depth, color type, c/f/i methods
+    + b"\x00\x00\x00\x00"  # (unchecked) CRC
+)
+JPEG_320x240 = (
+    b"\xff\xd8"  # SOI
+    + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)  # APP0
+    + b"\xff\xc0"  # SOF0 (baseline)
+    + (17).to_bytes(2, "big")  # segment length
+    + b"\x08"  # precision
+    + (240).to_bytes(2, "big")  # height
+    + (320).to_bytes(2, "big")  # width
+    + bytes(10)  # component specs
+)
+GIF_99x12 = b"GIF89a" + (99).to_bytes(2, "little") + (12).to_bytes(2, "little")
+
+
+def test_parse_image_header_real_formats():
+    assert _parse_image_header(PNG_640x480) == (640, 480)
+    assert _parse_image_header(JPEG_320x240) == (320, 240)
+    assert _parse_image_header(GIF_99x12) == (99, 12)
+    # Garbage / truncated / non-image payloads yield None, never raise.
+    assert _parse_image_header(b"") is None
+    assert _parse_image_header(b"plain text bytes") is None
+    assert _parse_image_header(PNG_640x480[:15]) is None
+    assert _parse_image_header(b"\xff\xd8\xff\xe0\x00") is None
+    assert _parse_image_header(b"RIFF....WAVE") is None
 
 
 def test_media_table_binary_column(spark, sf_dir):
@@ -27,9 +63,28 @@ def test_decode_media_fake_dimensions(spark, sf_dir):
         assert r["n_pixels"] == r["width"] * r["height"]
 
 
-def test_decode_media_real_path_is_stubbed(spark, sf_dir):
-    df = decode_media(media_table(spark, sf_dir), real_decode=True)
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+def test_decode_media_real_header_decode(spark):
+    """real_decode=True reads dimensions from actual container bytes via
+    the Spark mapInPandas path; unrecognized payloads get NULL dims."""
+    rows = [
+        (1, "image/png", bytearray(PNG_640x480)),
+        (2, "image/jpeg", bytearray(JPEG_320x240)),
+        (3, "image/gif", bytearray(GIF_99x12)),
+        (4, "audio/wav", bytearray(b"RIFF....WAVEnot an image")),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, mime string, payload binary"
+    )
+    got = {r["doc_id"]: r for r in decode_media(media, real_decode=True).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_pixels"]) == (640, 480, 640 * 480)
+    assert (got[2]["width"], got[2]["height"]) == (320, 240)
+    assert (got[3]["width"], got[3]["height"]) == (99, 12)
+    assert got[4]["width"] is None and got[4]["n_pixels"] is None
+
+
+def test_resize_media_real_path_is_stubbed(spark, sf_dir):
+    df = resize_media(media_table(spark, sf_dir), real_resize=True)
+    with pytest.raises(Exception, match="NotImplementedError|real resizing"):
         df.collect()
 
 

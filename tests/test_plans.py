@@ -236,3 +236,19 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
 
     c = plan_counts(pii_scrub(spark, sf_dir))
     assert c["exchange"] == 0, c
+
+
+def test_concurrency_plans_sessionize_once(spark, sf_dir):
+    # Both sweep-line deltas come from ONE pass over the trips relation
+    # (explode of a 2-struct array): the sessionize subtree (2 Window
+    # nodes over 1 taxi shuffle) plans exactly once, plus the bucket
+    # groupBy exchange and the single-partition cumsum window. A start/
+    # stop union of two selects would double the sessionize subtree
+    # (>=5 Window nodes) — the regression this test pins out.
+    from mapreduce_hadoop_spark.operators.temporal import trips_concurrency
+
+    df = trips_concurrency(spark, sf_dir)
+    df.collect()  # finalize AQE so the executed plan is the real one
+    c = plan_counts(df)
+    assert c["window"] == 3, c
+    assert c["exchange"] == 3, c

@@ -111,6 +111,16 @@ def replicate(src: str, dst: str, factor: int, skew: bool = False) -> None:
         back = pq.read_schema(f"{dst}/{table}.parquet")
         assert back.equals(t.schema), (table, back, t.schema)
         print(f"{table}: {t.num_rows} -> {out.num_rows} rows")
+    # The dataset under dst may have been rewritten in place: drop any
+    # per-dataset statistics cached in this process (hot-key probe
+    # decisions, fitted IVF centroids) so queries re-probe the new data.
+    try:
+        from mapreduce_hadoop_spark.operators import similarity, temporal
+
+        temporal.clear_stats_cache()
+        similarity.clear_stats_cache()
+    except ImportError:
+        pass  # standalone use outside the repo: nothing cached to clear
 
 
 if __name__ == "__main__":
