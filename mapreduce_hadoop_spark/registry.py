@@ -9,12 +9,12 @@ by name before hashing values.
 
 Driver-window rotation policy
 -----------------------------
-The correctness driver checks only the FIRST 50 registry entries; the
-registry holds 75 (the counts below track the current registry — the
-rule, not the numbers, is what's fixed). Ordering rule, from round 4 on:
+The correctness driver checks only the FIRST ``DRIVER_WINDOW`` registry
+entries; the registry holds more. Ordering rule, from round 4 on:
 
 1. Any query whose code, oracle, or output changed this round MUST be in
-   the head-50 (a fresh driver row is the only acceptable evidence).
+   the head (a fresh driver row is the only acceptable evidence). This
+   round's set is ``CHANGED_THIS_ROUND`` below.
 2. The remaining head slots go to the queries whose last driver row is
    oldest, so no query ever goes more than one round without a driver
    row (2-round cadence worst case).
@@ -23,11 +23,17 @@ rule, not the numbers, is what's fixed). Ordering rule, from round 4 on:
    tools/check_oracle.py still gates the full registry locally every
    round (committed GATE_*.log artifacts).
 
-Round-4 application: the 22 queries displaced in round 3 (multimodal x4,
-similarity LSH/bruteforce/filtered, six text ops, six relational-ext, two
-analytics) rotate into the head, as do this round's three new queries
-(text_pii_scrub, dedup_keep_best, trips_concurrency) and every changed
-one; the 25-entry tail is all round-3-green queries untouched this round.
+The split is machine-checked: tests/test_registry_rotation.py asserts the
+head size, that every CHANGED_THIS_ROUND entry is in the head, and that
+every tail entry has a row in the newest committed CORRECTNESS_r*.json —
+so a forgotten rotation fails the suite instead of aging silently.
+
+Round-5 application: the 25 round-3-green tail entries rotate back into
+the head (their r3 rows would otherwise age past the policy bound), as do
+the seven queries touched this round (concurrency single-pass rewrite,
+keep-best left-join, PII pattern broadening, range-join/IVF cache keying,
+multimodal decode/resize internals). The reference surface stays
+in-window as always; the tail is 25 unchanged round-4-green queries.
 """
 
 from __future__ import annotations
@@ -37,6 +43,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
+
+# How many leading registry entries the driver's correctness check covers.
+DRIVER_WINDOW = 50
+
+# Rotation rule 1, this round: queries whose code, oracle, or output
+# changed and therefore require a fresh driver row.
+CHANGED_THIS_ROUND = (
+    "trips_concurrency",  # single-pass delta emission (explode)
+    "dedup_keep_best",  # left-join quality + NULLS LAST tie rule
+    "text_pii_scrub",  # broadened phone pattern + guard groups
+    "views_before_purchase_range_join",  # realpath-keyed probe cache
+    "similarity_topk_ivf_trained",  # realpath-keyed centroid cache
+    "multimodal_decode_stub",  # nullable-dtype batch construction
+    "multimodal_resize_stub",  # stub message references header decode
+)
 
 
 def _specs() -> dict[str, QuerySpec]:
@@ -60,158 +81,8 @@ def _specs() -> dict[str, QuerySpec]:
     from mapreduce_hadoop_spark.streaming import sessions, trips
 
     specs: dict[str, QuerySpec] = {
-        # --- Driver-window head (first 50) --------------------------------
-        # Rotated in this round: no driver row since round 2 (rule 2).
-        "events_daily_by_type": (
-            analytics.events_daily_by_type,
-            analytics.EVENTS_DAILY_ORACLE,
-        ),
-        "market_segment_balance": (
-            analytics.market_segment_balance,
-            analytics.MARKET_SEGMENT_ORACLE,
-        ),
-        "text_language_id_ngram": (
-            textops.language_id_ngram,
-            textops.LANGUAGE_ID_NGRAM_ORACLE,
-        ),
-        "text_fingerprints": (textops.fingerprints, textops.FINGERPRINTS_ORACLE),
-        "text_tfidf_top_terms": (textops.tfidf_top_terms, textops.TFIDF_ORACLE),
-        "text_document_chunks": (textops.document_chunks, textops.DOCUMENT_CHUNKS_ORACLE),
-        "text_normalize": (textops.text_normalize, textops.TEXT_NORMALIZE_ORACLE),
-        "text_repetition_score": (textops.repetition_score, textops.REPETITION_ORACLE),
-        # Similarity search (north-star extension).
-        "similarity_topk_bruteforce": (
-            similarity.topk_bruteforce,
-            similarity.TOPK_BRUTEFORCE_ORACLE,
-        ),
-        "similarity_topk_filtered": (
-            similarity.topk_filtered,
-            similarity.TOPK_FILTERED_ORACLE,
-        ),
-        "similarity_topk_lsh": (similarity.topk_lsh, similarity.TOPK_LSH_ORACLE),
-        "similarity_near_dup_lsh": (
-            similarity.near_dup_cosine_lsh,
-            similarity.NEAR_DUP_LSH_ORACLE,
-        ),
-        # Multimodal binary-column plumbing (north-star extension).
-        "multimodal_metadata": (multimodal.media_metadata, multimodal.MEDIA_METADATA_ORACLE),
-        "multimodal_decode_stub": (
-            multimodal.media_decode_query,
-            multimodal.MEDIA_DECODE_ORACLE,
-        ),
-        "multimodal_resize_stub": (
-            multimodal.media_resize_query,
-            multimodal.MEDIA_RESIZE_ORACLE,
-        ),
-        "multimodal_frame_sample": (
-            multimodal.frame_sample_query,
-            multimodal.FRAME_SAMPLE_ORACLE,
-        ),
-        # Extended relational surface (rollup / as-of / JSON / sketches / set ops).
-        "events_rollup": (
-            relational_ext.events_rollup,
-            relational_ext.EVENTS_ROLLUP_ORACLE,
-        ),
-        "purchase_asof_view": (
-            relational_ext.purchase_asof_view,
-            relational_ext.PURCHASE_ASOF_ORACLE,
-        ),
-        "event_props_json": (
-            relational_ext.event_props_stats,
-            relational_ext.EVENT_PROPS_ORACLE,
-        ),
-        "distinct_users_daily": (
-            relational_ext.distinct_users_daily,
-            relational_ext.DISTINCT_USERS_ORACLE,
-        ),
-        # HLL sketch: estimates are engine-specific -> rows-only check;
-        # tests/test_relational_ext.py bounds the error vs the exact twin.
-        "approx_distinct_users_daily": (
-            relational_ext.approx_distinct_users_daily,
-            None,
-        ),
-        "segment_customer_setops": (
-            relational_ext.segment_customer_setops,
-            relational_ext.SETOPS_ORACLE,
-        ),
-        # Changed this round (rule 1): IVF defaults re-tuned (nprobe knee),
-        # trained variant promoted; contamination n_sh widened to bigint;
-        # dedup_clusters non-convergence now raises; streaming trip machine
-        # grew a late-drop counter + event-time-timeout variant.
-        # New this round (rule 1): PII redaction pass, the cluster ->
-        # keep-decision composition, and sweep-line trip concurrency.
-        "text_pii_scrub": (textops.pii_scrub, textops.PII_SCRUB_ORACLE),
-        "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_ORACLE),
-        "trips_concurrency": (
-            temporal.trips_concurrency,
-            temporal.TRIPS_CONCURRENCY_ORACLE,
-        ),
-        # Changed this round (rule 1): rewritten as the skew-routed
-        # interval join (hot-branch decomposition + statistics probe).
-        "views_before_purchase_range_join": (
-            temporal.views_before_purchase_range_join,
-            temporal.VIEWS_BEFORE_PURCHASE_ORACLE,
-        ),
-        "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
-        # K-means training is not SQL-expressible -> rows-only; recall vs
-        # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
-        "similarity_topk_ivf_trained": (similarity.topk_ivf_trained, None),
-        "contamination_check": (dedup.contamination_check, dedup.CONTAMINATION_ORACLE),
-        "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_ORACLE),
-        # Streaming trip machine, batch-twin form: replays the reducer
-        # carrier across simulated micro-batch boundaries. Order-dependent
-        # stateful fold -> rows-only; bit-identity to the parity path (and
-        # its committed golden fixture) pinned in tests/test_streaming_trips.py.
-        "airport_trips_microbatch": (trips.airport_trips_microbatch, None),
-        # Reference surface (O1-O23) — the engine's core; always in-window.
-        "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),
-        "segments_clean_positions": (segments.clean_positions_query, segments.ORACLE_SQL),
-        "trips_sessionize_window": (
-            sessionize.trips_window_query,
-            sessionize.TRIPS_WINDOW_ORACLE,
-        ),
-        "airport_trips_window": (
-            sessionize.airport_trips_query,
-            sessionize.AIRPORT_TRIPS_ORACLE,
-        ),
-        # O15 parity path: exact state-machine replay (order-dependent
-        # speed-drop semantics; not SQL-expressible -> rows-only check,
-        # unit fixtures in tests/test_sessionize.py).
-        "airport_trips_parity": (sessionize.airport_trips_parity_query, None),
-        "daily_revenue": (revenue.daily_revenue_query, revenue.DAILY_ORACLE),
-        "total_revenue": (revenue.total_revenue_query, revenue.TOTAL_ORACLE),
-        # Deduplication + composed corpus pipeline.
-        "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
-        "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
-        "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
-        "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE),
-        "corpus_clean_stats": (corpus.corpus_clean_stats, corpus.CORPUS_CLEAN_ORACLE),
-        # Generic gap sessionization via Spark's native session_window
-        # (batch surface; streaming twin in streaming/sessions.py).
-        "events_session_window": (sessions.session_agg, sessions.SESSION_AGG_ORACLE),
-        # Relational breadth beyond the reference (joins / window top-N /
-        # grouped rollups) — SURVEY.md §2.4 "available for extensions".
-        "pricing_summary": (analytics.pricing_summary, analytics.PRICING_SUMMARY_ORACLE),
-        "revenue_by_nation": (
-            analytics.revenue_by_nation,
-            analytics.REVENUE_BY_NATION_ORACLE,
-        ),
-        "top_orders_per_customer": (
-            analytics.top_orders_per_customer,
-            analytics.TOP_ORDERS_ORACLE,
-        ),
-        "shipping_priority": (
-            analytics.shipping_priority,
-            analytics.SHIPPING_PRIORITY_ORACLE,
-        ),
-        # Text analysis representatives.
-        "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
-        "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
-        # --- Past the 50-entry driver window ------------------------------
-        # Everything below is UNCHANGED this round and carries a green (or
-        # documented rows-only) CORRECTNESS_r03 row; tools/check_oracle.py
-        # still gates all of it locally every round (committed GATE_*.log).
-        # Per the rotation policy these rotate back into the head next round.
+        # --- Driver-window head (first DRIVER_WINDOW) ---------------------
+        # Rotated in this round: last driver row is round 3 (rule 2).
         "events_cube": (relational_ext.events_cube, relational_ext.EVENTS_CUBE_ORACLE),
         "customer_balance_windows": (
             relational_ext.customer_balance_windows,
@@ -255,7 +126,7 @@ def _specs() -> dict[str, QuerySpec]:
             relational_ext.events_salted_agg,
             relational_ext.EVENTS_SALTED_ORACLE,
         ),
-        # Temporal windows + range join (north-star extension).
+        # Temporal windows (north-star extension).
         "events_tumbling_window": (
             temporal.events_tumbling_window,
             temporal.EVENTS_TUMBLING_ORACLE,
@@ -286,7 +157,6 @@ def _specs() -> dict[str, QuerySpec]:
             similarity.near_dup_cosine,
             similarity.NEAR_DUP_ORACLE,
         ),
-        # Displaced by this round's new queries (all r3-green).
         "text_language_id": (textops.language_id, textops.LANGUAGE_ID_ORACLE),
         "global_top_orders": (
             analytics.global_top_orders,
@@ -298,6 +168,143 @@ def _specs() -> dict[str, QuerySpec]:
             sqlapi.sql_revenue_by_nation,
             sqlapi.SQL_REVENUE_BY_NATION_ORACLE,
         ),
+        # Changed this round (rule 1) — see CHANGED_THIS_ROUND.
+        "trips_concurrency": (
+            temporal.trips_concurrency,
+            temporal.TRIPS_CONCURRENCY_ORACLE,
+        ),
+        "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_ORACLE),
+        "text_pii_scrub": (textops.pii_scrub, textops.PII_SCRUB_ORACLE),
+        "views_before_purchase_range_join": (
+            temporal.views_before_purchase_range_join,
+            temporal.VIEWS_BEFORE_PURCHASE_ORACLE,
+        ),
+        # K-means training is not SQL-expressible -> rows-only; recall vs
+        # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
+        "similarity_topk_ivf_trained": (similarity.topk_ivf_trained, None),
+        "multimodal_decode_stub": (
+            multimodal.media_decode_query,
+            multimodal.MEDIA_DECODE_ORACLE,
+        ),
+        "multimodal_resize_stub": (
+            multimodal.media_resize_query,
+            multimodal.MEDIA_RESIZE_ORACLE,
+        ),
+        # Reference surface (O1-O23) — the engine's core; always in-window.
+        "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),
+        "segments_clean_positions": (segments.clean_positions_query, segments.ORACLE_SQL),
+        "trips_sessionize_window": (
+            sessionize.trips_window_query,
+            sessionize.TRIPS_WINDOW_ORACLE,
+        ),
+        "airport_trips_window": (
+            sessionize.airport_trips_query,
+            sessionize.AIRPORT_TRIPS_ORACLE,
+        ),
+        # O15 parity path: exact state-machine replay (order-dependent
+        # speed-drop semantics; not SQL-expressible -> rows-only check,
+        # unit fixtures in tests/test_sessionize.py).
+        "airport_trips_parity": (sessionize.airport_trips_parity_query, None),
+        "daily_revenue": (revenue.daily_revenue_query, revenue.DAILY_ORACLE),
+        "total_revenue": (revenue.total_revenue_query, revenue.TOTAL_ORACLE),
+        # Remaining head slots (rule 2 fill, all round-4 rows).
+        "pricing_summary": (analytics.pricing_summary, analytics.PRICING_SUMMARY_ORACLE),
+        "revenue_by_nation": (
+            analytics.revenue_by_nation,
+            analytics.REVENUE_BY_NATION_ORACLE,
+        ),
+        "top_orders_per_customer": (
+            analytics.top_orders_per_customer,
+            analytics.TOP_ORDERS_ORACLE,
+        ),
+        "shipping_priority": (
+            analytics.shipping_priority,
+            analytics.SHIPPING_PRIORITY_ORACLE,
+        ),
+        "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
+        "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
+        "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
+        "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
+        "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
+        "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE),
+        "corpus_clean_stats": (corpus.corpus_clean_stats, corpus.CORPUS_CLEAN_ORACLE),
+        # --- Past the DRIVER_WINDOW ---------------------------------------
+        # Everything below is UNCHANGED this round and carries a green (or
+        # documented rows-only) CORRECTNESS_r04 row; tools/check_oracle.py
+        # still gates all of it locally every round (committed GATE_*.log).
+        # Per the rotation policy these rotate back into the head next round.
+        "events_daily_by_type": (
+            analytics.events_daily_by_type,
+            analytics.EVENTS_DAILY_ORACLE,
+        ),
+        "market_segment_balance": (
+            analytics.market_segment_balance,
+            analytics.MARKET_SEGMENT_ORACLE,
+        ),
+        "text_language_id_ngram": (
+            textops.language_id_ngram,
+            textops.LANGUAGE_ID_NGRAM_ORACLE,
+        ),
+        "text_fingerprints": (textops.fingerprints, textops.FINGERPRINTS_ORACLE),
+        "text_tfidf_top_terms": (textops.tfidf_top_terms, textops.TFIDF_ORACLE),
+        "text_document_chunks": (textops.document_chunks, textops.DOCUMENT_CHUNKS_ORACLE),
+        "text_normalize": (textops.text_normalize, textops.TEXT_NORMALIZE_ORACLE),
+        "text_repetition_score": (textops.repetition_score, textops.REPETITION_ORACLE),
+        "similarity_topk_bruteforce": (
+            similarity.topk_bruteforce,
+            similarity.TOPK_BRUTEFORCE_ORACLE,
+        ),
+        "similarity_topk_filtered": (
+            similarity.topk_filtered,
+            similarity.TOPK_FILTERED_ORACLE,
+        ),
+        "similarity_topk_lsh": (similarity.topk_lsh, similarity.TOPK_LSH_ORACLE),
+        "similarity_near_dup_lsh": (
+            similarity.near_dup_cosine_lsh,
+            similarity.NEAR_DUP_LSH_ORACLE,
+        ),
+        "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
+        "multimodal_metadata": (multimodal.media_metadata, multimodal.MEDIA_METADATA_ORACLE),
+        "multimodal_frame_sample": (
+            multimodal.frame_sample_query,
+            multimodal.FRAME_SAMPLE_ORACLE,
+        ),
+        "events_rollup": (
+            relational_ext.events_rollup,
+            relational_ext.EVENTS_ROLLUP_ORACLE,
+        ),
+        "purchase_asof_view": (
+            relational_ext.purchase_asof_view,
+            relational_ext.PURCHASE_ASOF_ORACLE,
+        ),
+        "event_props_json": (
+            relational_ext.event_props_stats,
+            relational_ext.EVENT_PROPS_ORACLE,
+        ),
+        "distinct_users_daily": (
+            relational_ext.distinct_users_daily,
+            relational_ext.DISTINCT_USERS_ORACLE,
+        ),
+        # HLL sketch: estimates are engine-specific -> rows-only check;
+        # tests/test_relational_ext.py bounds the error vs the exact twin.
+        "approx_distinct_users_daily": (
+            relational_ext.approx_distinct_users_daily,
+            None,
+        ),
+        "segment_customer_setops": (
+            relational_ext.segment_customer_setops,
+            relational_ext.SETOPS_ORACLE,
+        ),
+        "contamination_check": (dedup.contamination_check, dedup.CONTAMINATION_ORACLE),
+        "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_ORACLE),
+        # Streaming trip machine, batch-twin form: replays the reducer
+        # carrier across simulated micro-batch boundaries. Order-dependent
+        # stateful fold -> rows-only; bit-identity to the parity path (and
+        # its committed golden fixture) pinned in tests/test_streaming_trips.py.
+        "airport_trips_microbatch": (trips.airport_trips_microbatch, None),
+        # Generic gap sessionization via Spark's native session_window
+        # (batch surface; streaming twin in streaming/sessions.py).
+        "events_session_window": (sessions.session_agg, sessions.SESSION_AGG_ORACLE),
     }
     return specs
 
