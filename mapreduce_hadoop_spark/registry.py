@@ -57,6 +57,7 @@ CHANGED_THIS_ROUND = (
     "similarity_topk_ivf_trained",  # realpath-keyed centroid cache
     "multimodal_decode_stub",  # nullable-dtype batch construction
     "multimodal_resize_stub",  # stub message references header decode
+    "airport_trips_timeout",  # NEW: timeout variant's batch twin
 )
 
 
@@ -190,6 +191,14 @@ def _specs() -> dict[str, QuerySpec]:
             multimodal.media_resize_query,
             multimodal.MEDIA_RESIZE_ORACLE,
         ),
+        # NEW this round: batch twin of the event-time-timeout trip stream
+        # (the production variant: bounded state, trailing trips flushed at
+        # the end-of-input watermark). Deterministic — the flush decision
+        # depends only on the final watermark, not on micro-batch splits —
+        # but an order-dependent stateful fold, so rows-only; parity rows
+        # bit-match the no-timeout path and the flush semantics are pinned
+        # in tests/test_streaming_trips.py.
+        "airport_trips_timeout": (trips.airport_trips_timeout_batch, None),
         # Reference surface (O1-O23) — the engine's core; always in-window.
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),
         "segments_clean_positions": (segments.clean_positions_query, segments.ORACLE_SQL),
@@ -226,7 +235,6 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
         "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
         "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
-        "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE),
         "corpus_clean_stats": (corpus.corpus_clean_stats, corpus.CORPUS_CLEAN_ORACLE),
         # --- Past the DRIVER_WINDOW ---------------------------------------
         # Everything below is UNCHANGED this round and carries a green (or
@@ -297,6 +305,7 @@ def _specs() -> dict[str, QuerySpec]:
         ),
         "contamination_check": (dedup.contamination_check, dedup.CONTAMINATION_ORACLE),
         "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_ORACLE),
+        "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE),
         # Streaming trip machine, batch-twin form: replays the reducer
         # carrier across simulated micro-batch boundaries. Order-dependent
         # stateful fold -> rows-only; bit-identity to the parity path (and

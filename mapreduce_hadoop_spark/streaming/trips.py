@@ -294,6 +294,55 @@ def _make_timeout_fn(kwargs: dict, idle_gap_s: float, dropped_acc=None):
     return fn
 
 
+def airport_trips_timeout_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    idle_gap_s: float = C.MAX_SEGMENT_DELTA_TIME_S,
+    **kwargs,
+) -> DataFrame:
+    """Driver-checkable batch twin of ``airport_trips_stream_timeout`` —
+    the PRODUCTION trip semantics (bounded state, trailing trips emitted),
+    as a deterministic batch job.
+
+    Models a finite run of the event-time-timeout stream at its
+    end-of-input watermark: each taxi's positions replay in (t, event_id)
+    order through ``replay_core`` (bit-identical machine to the parity
+    path, ``AirportTripsRevenue.java:275-407`` semantics), then any taxi
+    idle longer than ``idle_gap_s`` against the global end-of-input
+    watermark (max t over ALL taxis — one broadcast scalar) has its open
+    trip force-closed through the machine's own M->E flush
+    (``_flush_carrier``), exactly what the stream's timeout does when the
+    final watermark passes ``prev_t + idle_gap_s``. Taxis still active
+    within the gap at end-of-input keep their trip open — same as the
+    store would.
+
+    Unlike the no-timeout paths, the output is NOT order-dependent across
+    micro-batch splits (the flush decision depends only on the final
+    watermark), so this twin is fully deterministic for the driver's
+    rows-only check; the flush semantics are pinned against the real
+    stream by ``tests/test_streaming_trips.py`` (fixture + equivalence).
+    Not SQL-expressible (stateful fold) -> no oracle entry.
+    """
+    kwargs.setdefault("airport_radius_km", gps.DEMO_AIRPORT_RADIUS_KM)
+    pos = gps.positions(spark, sf_dir)
+    bounds = pos.agg(F.max("t").alias("wm_t"))
+    pos = pos.crossJoin(F.broadcast(bounds))
+
+    def fn(key: Any, pdf: pd.DataFrame) -> pd.DataFrame:
+        (taxi,) = key
+        wm_t = float(pdf["wm_t"].iloc[0])
+        chunk = pdf.sort_values(["t", "event_id"])
+        rows = chunk[["t", "lat", "lon", "status", "event_date"]].itertuples(
+            index=False, name=None
+        )
+        out, carrier = replay_core(int(taxi), rows, fresh_carrier(), **kwargs)
+        if wm_t > carrier["prev_t"] + idle_gap_s:
+            out.extend(_flush_carrier(int(taxi), carrier, kwargs))
+        return pd.DataFrame(out, columns=PARITY_COLUMNS)
+
+    return pos.groupBy("taxi").applyInPandas(fn, PARITY_SCHEMA)
+
+
 def airport_trips_stream_timeout(
     spark: SparkSession,
     sf_dir: str,

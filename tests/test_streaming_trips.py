@@ -7,6 +7,7 @@ from mapreduce_hadoop_spark.streaming.trips import (
     airport_trips_microbatch,
     airport_trips_stream,
     airport_trips_stream_timeout,
+    airport_trips_timeout_batch,
 )
 
 
@@ -39,6 +40,67 @@ def test_stream_trips_match_batch_parity(spark, sf_dir):
     assert len(got) == len(want) > 0
     for c in want.columns:
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_timeout_batch_twin_is_parity_plus_flushes(spark, sf_dir):
+    """The timeout twin's output is exactly the parity rows PLUS a flushed
+    trailing trip for idle taxis: every parity row appears bit-identical,
+    and every extra row is a force-close at the taxi's last-seen fix
+    (start_t == stop_t is not required — only that it is a trailing trip
+    the no-timeout path never emitted)."""
+    key = ["taxi", "start_t"]
+    got = airport_trips_timeout_batch(spark, sf_dir).toPandas()
+    want = airport_trips_parity_query(spark, sf_dir).toPandas()
+    gk = {tuple(r) for r in got[key].itertuples(index=False, name=None)}
+    wk = {tuple(r) for r in want[key].itertuples(index=False, name=None)}
+    assert wk <= gk, "timeout twin lost parity trips"
+    merged = want.merge(got, on=key, suffixes=("_w", "_g"))
+    for c in [c for c in want.columns if c not in key]:
+        assert (merged[f"{c}_w"].values == merged[f"{c}_g"].values).all(), c
+    extras = got[~got.apply(lambda r: (r["taxi"], r["start_t"]) in wk, axis=1)]
+    # Each taxi can gain at most one flushed trailing trip.
+    assert extras["taxi"].is_unique
+
+
+def test_timeout_batch_twin_flushes_idle_only(spark):
+    """Hand fixture: taxi 1 idle (open trip flushed at last fix), taxi 2
+    active at end-of-input (trip stays open, nothing emitted)."""
+    t0 = 1_600_000_000 / 40.0  # stream-time seconds
+    rows = [
+        # taxi 1: E then two Ms -> open trip; last fix far before wm.
+        (1, t0, 0.0, 0.0, "E", "2020-09-13"),
+        (1, t0 + 10, 0.0, 0.0, "M", "2020-09-13"),
+        (1, t0 + 20, 0.0, 0.0, "M", "2020-09-13"),
+        # taxi 2: same shape but last fix AT the watermark -> no flush.
+        (2, t0 + 500, 0.0, 0.0, "E", "2020-09-13"),
+        (2, t0 + 510, 0.0, 0.0, "M", "2020-09-13"),
+        (2, t0 + 520, 0.0, 0.0, "M", "2020-09-13"),
+    ]
+    import pandas as pd
+
+    pos = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["taxi", "t", "lat", "lon", "status", "event_date"]
+        ).assign(event_id=range(len(rows)))
+    )
+    from unittest.mock import patch
+
+    from mapreduce_hadoop_spark.operators import gps
+    from mapreduce_hadoop_spark.streaming import trips as T
+
+    with patch.object(gps, "positions", lambda s, d: pos):
+        got = T.airport_trips_timeout_batch(
+            spark,
+            "ignored",
+            idle_gap_s=210.0,
+            min_trip_km=0.0,
+            airport_radius_km=1e9,
+        ).toPandas()
+    # wm = t0+520; taxi 1 idle 500 s > 210 -> flushed at its last fix;
+    # taxi 2 idle 0 s -> trip stays open, not emitted.
+    assert list(got["taxi"]) == [1]
+    assert got.iloc[0]["start_t"] == t0 + 10
+    assert got.iloc[0]["stop_t"] == t0 + 20
 
 
 def test_microbatch_twin_matches_parity(spark, sf_dir):
