@@ -178,3 +178,184 @@ FROM documents d JOIN r USING (source)
 WHERE ({md5_long_sql("CAST(doc_id AS VARCHAR)")}) % {_MIX_MOD}
       < CAST(floor(rate * {_MIX_MOD}.0) AS BIGINT)
 """
+
+
+# --- weighted sampling (Efraimidis-Spirakis A-Res) --------------------------
+
+SAMPLE_K = 100
+# Weight floor: a zero-quality doc must still be sampleable (and 1/w finite).
+_W_FLOOR = 0.001
+_U_MOD = 1_000_000
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``SAMPLE_K`` quality-weighted sample of the corpus —
+    Efraimidis-Spirakis A-Res reservoir sampling, derandomized.
+
+    Data curation samples documents proportional to a weight (here the
+    quality score) rather than uniformly. A-Res draws u ~ U(0,1) per doc
+    and keeps the K largest u^(1/w) — equivalently the K largest
+    ln(u)/w, computed in the log domain for numeric range. Here u is a
+    pure function of the key (md5(doc_id), same derandomization contract
+    as events_hash_sample / corpus_domain_mix), so the sample is
+    reproducible across engines, retries, and partitionings; the rank key
+    is rounded to 9 dp so a last-ulp ln() difference between libm
+    implementations cannot flip the selection boundary (same stance as
+    the 6-dp cosine rounding in similarity.py).
+
+    100 TB shape: the weight join is doc-keyed and the global top-K plans
+    as TakeOrderedAndProject — per-partition heaps of K rows, then a
+    K-row merge on the driver side of the exchange; no global sort, no
+    single-partition window. K is model-sample-sized, not data-sized.
+    """
+    from mapreduce_hadoop_spark.operators.textops import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    u = (
+        md5_long(F.col("doc_id").cast("string")) % _U_MOD + F.lit(0.5)
+    ) / F.lit(float(_U_MOD))
+    w = F.greatest(F.col("quality"), F.lit(_W_FLOOR))
+    key = F.round(F.log(u) / w, 9)
+    return (
+        docs.join(q, "doc_id")
+        .select("doc_id", "source", "quality", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+        .limit(SAMPLE_K)
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from mapreduce_hadoop_spark.operators.textops import QUALITY_ORACLE
+
+    u = f"(({md5_long_sql('CAST(d.doc_id AS VARCHAR)')}) % {_U_MOD} + 0.5) / {_U_MOD}.0"
+    return f"""
+WITH q AS ({QUALITY_ORACLE}),
+keyed AS (
+    SELECT d.doc_id, d.source, q.quality,
+           round(ln({u}) / greatest(q.quality, {_W_FLOOR}), 9) AS sample_key
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+)
+SELECT doc_id, source, quality, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
+WEIGHTED_SAMPLE_ORACLE = _weighted_sample_oracle()
+
+
+# --- deterministic train/val/test split -------------------------------------
+
+# Percent-of-hash-space boundaries: [0,90) train, [90,95) val, [95,100) test.
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95
+
+
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, split) document and token counts for a deterministic
+    90/5/5 train/val/test split.
+
+    Split membership is a pure function of md5(doc_id) — the production
+    requirement for dataset splits: stable under re-runs, ingestion order,
+    partitioning, and engine, and consistent for a given doc across every
+    derived artifact (a doc can never drift from test into train between
+    pipeline versions). Map-only assignment plus one partial-aggregated
+    shuffle on (source, split); output is |sources| x 3 rows.
+    """
+    from mapreduce_hadoop_spark.operators.textops import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    toks = quality_score(spark, sf_dir).select("doc_id", "n_tokens")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.join(toks, "doc_id")
+        .select("source", split.alias("split"), "n_tokens")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def _train_split_oracle() -> str:
+    from mapreduce_hadoop_spark.operators.textops import QUALITY_ORACLE
+
+    b = f"({md5_long_sql('CAST(d.doc_id AS VARCHAR)')}) % 100"
+    return f"""
+WITH q AS ({QUALITY_ORACLE}),
+assigned AS (
+    SELECT d.source,
+           CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {b} < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           q.n_tokens
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+)
+SELECT source, split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY source, split
+"""
+
+
+TRAIN_SPLIT_ORACLE = _train_split_oracle()
+
+
+# --- per-domain quality quota ------------------------------------------------
+
+QUOTA_N = 20  # keep the N best-quality docs per source
+
+
+def corpus_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``QUOTA_N`` best-quality documents per source — quota curation
+    by rank rather than rate (``corpus_domain_mix`` is the rate twin:
+    downsample uniformly to a share; this keeps the BEST N, the shape used
+    for premium-domain upsampling).
+
+    One shuffle on source; the per-source top-N is a window row_number,
+    which at 100 TB is bounded by the largest single domain (the same
+    partition the rate twin also has to scan) — not by corpus size.
+    Deterministic tie-break on doc_id.
+    """
+    from pyspark.sql import Window
+
+    from mapreduce_hadoop_spark.operators.textops import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        docs.join(q, "doc_id")
+        .select(
+            "doc_id", "source", "quality", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= QUOTA_N)
+    )
+
+
+def _domain_quota_oracle() -> str:
+    from mapreduce_hadoop_spark.operators.textops import QUALITY_ORACLE
+
+    return f"""
+WITH q AS ({QUALITY_ORACLE}),
+ranked AS (
+    SELECT d.doc_id, d.source, q.quality,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY q.quality DESC, d.doc_id) AS rk
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+)
+SELECT doc_id, source, quality, rk FROM ranked WHERE rk <= {QUOTA_N}
+"""
+
+
+DOMAIN_QUOTA_ORACLE = _domain_quota_oracle()

@@ -58,6 +58,9 @@ CHANGED_THIS_ROUND = (
     "multimodal_decode_stub",  # nullable-dtype batch construction
     "multimodal_resize_stub",  # stub message references header decode
     "airport_trips_timeout",  # NEW: timeout variant's batch twin
+    "corpus_weighted_sample",  # NEW: derandomized A-Res weighted sample
+    "corpus_train_split",  # NEW: deterministic 90/5/5 hash split
+    "corpus_domain_quota",  # NEW: per-source quality top-N quota
 )
 
 
@@ -199,6 +202,18 @@ def _specs() -> dict[str, QuerySpec]:
         # bit-match the no-timeout path and the flush semantics are pinned
         # in tests/test_streaming_trips.py.
         "airport_trips_timeout": (trips.airport_trips_timeout_batch, None),
+        # NEW this round: corpus-curation sampling trio — derandomized
+        # Efraimidis-Spirakis weighted sampling, the deterministic
+        # train/val/test hash split, and per-domain quality top-N quota.
+        "corpus_weighted_sample": (
+            corpus.corpus_weighted_sample,
+            corpus.WEIGHTED_SAMPLE_ORACLE,
+        ),
+        "corpus_train_split": (corpus.corpus_train_split, corpus.TRAIN_SPLIT_ORACLE),
+        "corpus_domain_quota": (
+            corpus.corpus_domain_quota,
+            corpus.DOMAIN_QUOTA_ORACLE,
+        ),
         # Reference surface (O1-O23) — the engine's core; always in-window.
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),
         "segments_clean_positions": (segments.clean_positions_query, segments.ORACLE_SQL),
@@ -230,9 +245,6 @@ def _specs() -> dict[str, QuerySpec]:
             analytics.shipping_priority,
             analytics.SHIPPING_PRIORITY_ORACLE,
         ),
-        "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
-        "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
-        "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
         "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
         "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
         "corpus_clean_stats": (corpus.corpus_clean_stats, corpus.CORPUS_CLEAN_ORACLE),
@@ -306,6 +318,9 @@ def _specs() -> dict[str, QuerySpec]:
         "contamination_check": (dedup.contamination_check, dedup.CONTAMINATION_ORACLE),
         "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_ORACLE),
         "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE),
+        "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
+        "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
+        "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
         # Streaming trip machine, batch-twin form: replays the reducer
         # carrier across simulated micro-batch boundaries. Order-dependent
         # stateful fold -> rows-only; bit-identity to the parity path (and

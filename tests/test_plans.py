@@ -238,6 +238,36 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
     assert c["exchange"] == 0, c
 
 
+def test_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
+    # The K-row weighted sample must plan as TakeOrderedAndProject
+    # (per-partition heaps + K-row merge), never a full global sort or a
+    # single-partition window over the corpus.
+    from mapreduce_hadoop_spark.operators.corpus import corpus_weighted_sample
+    from mapreduce_hadoop_spark.plans.checks import executed_plan
+
+    df = corpus_weighted_sample(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    c = plan_counts(df)
+    assert c["window"] == 0, c
+
+
+def test_domain_quota_single_window_pass(spark, sf_dir):
+    # Per-source top-N: one source shuffle, one Window pass — and Spark's
+    # rank-limit pushdown (WindowGroupLimit Partial before the exchange)
+    # must hold, so each map task ships at most N rows per source instead
+    # of its whole partition.
+    from mapreduce_hadoop_spark.operators.corpus import corpus_domain_quota
+    from mapreduce_hadoop_spark.plans.checks import executed_plan
+
+    df = corpus_domain_quota(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["exchange"] == 1, c
+    assert c["cartesian"] == 0 and c["nested_loop_join"] == 0, c
+    plan = executed_plan(df)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 def test_concurrency_plans_sessionize_once(spark, sf_dir):
     # Both sweep-line deltas come from ONE pass over the trips relation
     # (explode of a 2-struct array): the sessionize subtree (2 Window
