@@ -175,6 +175,101 @@ def media_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media_table(spark, sf_dir))
 
 
+# --- real round-trip: synthesize valid media bytes, decode them back --------
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    """A complete, spec-valid PNG (signature, IHDR, IDAT, IEND, real CRCs)
+    of the given dimensions — 8-bit grayscale, all-zero pixels, stdlib
+    only. Any compliant decoder (PIL included) opens it; ~80 bytes."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif_bytes(width: int, height: int) -> bytes:
+    """A complete, spec-valid GIF89a (logical screen, 2-color table, one
+    1-bit LZW-coded frame, trailer) of the given dimensions, stdlib only."""
+    import struct
+
+    header = b"GIF89a" + struct.pack("<HH", width, height) + b"\x80\x00\x00"
+    palette = b"\x00\x00\x00\xff\xff\xff"
+    descriptor = b"," + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    # Minimal LZW stream: min code size 2, one clear code + EOI.
+    image = b"\x02\x02\x44\x01\x00"
+    return header + palette + descriptor + image + b";"
+
+
+def media_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container bytes, decoded for REAL — the driver-verifiable twin
+    of ``decode_media(real_decode=True)``.
+
+    Synthesizes a spec-valid PNG (even doc_id) or GIF89a (odd doc_id) with
+    dimensions derived from doc_id, then parses width x height back out of
+    the actual bytes with the stdlib header parser. Both steps run in ONE
+    Arrow-batched ``mapInPandas`` pass (encode -> parse, no Python
+    round-trip through the driver), so what the driver hash-checks is the
+    real byte-level decode path on real files — the oracle predicts the
+    dimensions from doc_id alone and agrees only if encoder and parser are
+    both correct. Byte-level encoder integrity (lengths, CRCs, and that a
+    strict third-party decoder accepts the files) is pinned in
+    tests/test_multimodal.py, where zlib is available to check.
+
+    100 TB shape: map-only over doc_ids (narrow scan of one column), no
+    shuffle; payloads live and die inside each Arrow batch.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = (d % 64) + 16
+                h = (d // 64) % 64 + 16
+                payload = _png_bytes(w, h) if d % 2 == 0 else _gif_bytes(w, h)
+                dims = _parse_image_header(payload)
+                rows.append(
+                    (
+                        d,
+                        "image/png" if d % 2 == 0 else "image/gif",
+                        dims[0] if dims else None,
+                        dims[1] if dims else None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "width", "height"])
+
+    return docs.mapInPandas(
+        batches, schema="doc_id bigint, mime string, width int, height int"
+    )
+
+
+MEDIA_REAL_ROUNDTRIP_ORACLE = """
+SELECT
+    doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS mime,
+    CAST((doc_id % 64) + 16 AS INT) AS width,
+    CAST(((doc_id // 64) % 64) + 16 AS INT) AS height
+FROM documents
+"""
+
+
 # The fake decoder is pure byte-length arithmetic, so the oracle can verify
 # the whole mapInPandas path end-to-end.
 MEDIA_DECODE_ORACLE = """

@@ -61,6 +61,7 @@ CHANGED_THIS_ROUND = (
     "corpus_weighted_sample",  # NEW: derandomized A-Res weighted sample
     "corpus_train_split",  # NEW: deterministic 90/5/5 hash split
     "corpus_domain_quota",  # NEW: per-source quality top-N quota
+    "multimodal_real_roundtrip",  # NEW: valid PNG/GIF encode -> real decode
 )
 
 
@@ -214,6 +215,13 @@ def _specs() -> dict[str, QuerySpec]:
             corpus.corpus_domain_quota,
             corpus.DOMAIN_QUOTA_ORACLE,
         ),
+        # NEW this round: spec-valid PNG/GIF synthesis -> stdlib header
+        # decode in one Arrow pass; the oracle predicts dimensions from
+        # doc_id, so the hash verifies the REAL byte-level decode path.
+        "multimodal_real_roundtrip": (
+            multimodal.media_real_roundtrip,
+            multimodal.MEDIA_REAL_ROUNDTRIP_ORACLE,
+        ),
         # Reference surface (O1-O23) — the engine's core; always in-window.
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),
         "segments_clean_positions": (segments.clean_positions_query, segments.ORACLE_SQL),
@@ -240,10 +248,6 @@ def _specs() -> dict[str, QuerySpec]:
         "top_orders_per_customer": (
             analytics.top_orders_per_customer,
             analytics.TOP_ORDERS_ORACLE,
-        ),
-        "shipping_priority": (
-            analytics.shipping_priority,
-            analytics.SHIPPING_PRIORITY_ORACLE,
         ),
         "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
         "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
@@ -319,6 +323,10 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_ORACLE),
         "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE),
         "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
+        "shipping_priority": (
+            analytics.shipping_priority,
+            analytics.SHIPPING_PRIORITY_ORACLE,
+        ),
         "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
         "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
         # Streaming trip machine, batch-twin form: replays the reducer

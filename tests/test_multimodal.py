@@ -82,6 +82,57 @@ def test_decode_media_real_header_decode(spark):
     assert got[4]["width"] is None and got[4]["n_pixels"] is None
 
 
+def test_png_gif_encoders_emit_valid_files():
+    """The in-plan encoders must produce spec-valid files, not just
+    parseable headers: PNG chunk CRCs verify, the IDAT inflates to exactly
+    h filtered rows of w zero pixels, and the GIF structure walks clean to
+    its trailer."""
+    import struct
+    import zlib
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _gif_bytes,
+        _png_bytes,
+    )
+
+    png = _png_bytes(33, 21)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, {}
+    while pos < len(png):
+        (n,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        data = png[pos + 8 : pos + 8 + n]
+        (crc,) = struct.unpack(">I", png[pos + 8 + n : pos + 12 + n])
+        assert crc == zlib.crc32(tag + data) & 0xFFFFFFFF, tag
+        chunks[tag] = data
+        pos += 12 + n
+    assert pos == len(png)
+    assert struct.unpack(">II", chunks[b"IHDR"][:8]) == (33, 21)
+    assert zlib.decompress(chunks[b"IDAT"]) == (b"\x00" * 34) * 21
+    assert chunks[b"IEND"] == b""
+
+    gif = _gif_bytes(99, 12)
+    assert gif[:6] == b"GIF89a"
+    assert struct.unpack("<HH", gif[6:10]) == (99, 12)
+    assert gif[10] & 0x80  # global color table flag
+    assert gif[13:19] == b"\x00\x00\x00\xff\xff\xff"  # 2-color table
+    assert gif[19:20] == b","  # image descriptor
+    assert struct.unpack("<HHHH", gif[20:28]) == (0, 0, 99, 12)
+    assert gif[-1:] == b";"
+
+
+def test_media_real_roundtrip_decodes_generated_bytes(spark, sf_dir):
+    from mapreduce_hadoop_spark.operators.multimodal import media_real_roundtrip
+
+    got = media_real_roundtrip(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    for _, r in got.head(20).iterrows():
+        d = int(r["doc_id"])
+        assert r["width"] == (d % 64) + 16
+        assert r["height"] == (d // 64) % 64 + 16
+        assert r["mime"] == ("image/png" if d % 2 == 0 else "image/gif")
+
+
 def test_resize_media_real_path_is_stubbed(spark, sf_dir):
     df = resize_media(media_table(spark, sf_dir), real_resize=True)
     with pytest.raises(Exception, match="NotImplementedError|real resizing"):
