@@ -349,3 +349,55 @@ SELECT c_mktsegment, n_name, n_customers,
 FROM g
 ORDER BY 1, 2
 """
+
+
+# --- full-outer reconciliation ----------------------------------------------
+
+
+def customer_activity_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order vs event activity, FULL OUTER joined — the data-
+    quality reconciliation shape ("which customers ordered but never show
+    in the event log, and vice versa?"). Each side pre-aggregates to one
+    row per key BEFORE the join (the 100 TB rule for full outer: join the
+    aggregates, never the facts — both inputs shrink to |customers| and
+    the join shuffles key-count rows, not fact rows), then presence flags
+    come from the join's own NULL pattern.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("cust_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    status = (
+        F.when(F.col("n_orders").isNull(), F.lit("events_only"))
+        .when(F.col("n_events").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+    )
+    return orders.join(events, "cust_id", "full_outer").select(
+        "cust_id",
+        status.alias("status"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+CUSTOMER_RECONCILE_ORACLE = """
+WITH o AS (
+    SELECT o_custkey AS cust_id, count(*) AS n_orders FROM orders GROUP BY 1
+),
+e AS (
+    SELECT user_id AS cust_id, count(*) AS n_events FROM events GROUP BY 1
+)
+SELECT coalesce(o.cust_id, e.cust_id) AS cust_id,
+       CASE WHEN o.n_orders IS NULL THEN 'events_only'
+            WHEN e.n_events IS NULL THEN 'orders_only'
+            ELSE 'both' END AS status,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(e.n_events, 0) AS n_events
+FROM o FULL OUTER JOIN e ON o.cust_id = e.cust_id
+"""

@@ -64,3 +64,34 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same result contract as the DataFrame twin => same oracle.
 SQL_REVENUE_BY_NATION_ORACLE = REVENUE_BY_NATION_ORACLE
+
+
+# --- correlated scalar subquery (decorrelation surface) ---------------------
+
+# Orders priced above their customer's average order value. Written as the
+# textbook CORRELATED scalar subquery on purpose: Catalyst must decorrelate
+# it (RewriteCorrelatedScalarSubquery) into an aggregate + join — the
+# difference between a plan that runs one subquery PER ROW (how a naive
+# engine executes this shape; quadratic, dead at any scale) and one
+# aggregation plus one join (linear). tests/test_plans.py pins the
+# decorrelated shape. Fixed-point micro-unit comparison so the predicate
+# is exact on both engines.
+_SQL_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey,
+       cast(round(o_totalprice * 1e6) as bigint) AS price_u
+FROM orders o
+WHERE cast(round(o_totalprice * 1e6) as bigint) > (
+    SELECT avg(cast(round(o2.o_totalprice * 1e6) as bigint))
+    FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+def sql_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_ABOVE_AVG)
+
+
+# DuckDB decorrelates the identical text natively — same SQL, same result.
+SQL_ABOVE_AVG_ORACLE = _SQL_ABOVE_AVG

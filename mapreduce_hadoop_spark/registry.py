@@ -62,6 +62,8 @@ CHANGED_THIS_ROUND = (
     "corpus_train_split",  # NEW: deterministic 90/5/5 hash split
     "corpus_domain_quota",  # NEW: per-source quality top-N quota
     "multimodal_real_roundtrip",  # NEW: valid PNG/GIF encode -> real decode
+    "customer_activity_reconcile",  # NEW: full-outer aggregate reconcile
+    "sql_orders_above_customer_avg",  # NEW: correlated scalar subquery
 )
 
 
@@ -222,6 +224,17 @@ def _specs() -> dict[str, QuerySpec]:
             multimodal.media_real_roundtrip,
             multimodal.MEDIA_REAL_ROUNDTRIP_ORACLE,
         ),
+        # NEW this round: FULL OUTER reconciliation (aggregate-then-join)
+        # and the correlated-scalar-subquery SQL surface (Catalyst
+        # decorrelation pinned by plan test).
+        "customer_activity_reconcile": (
+            analytics.customer_activity_reconcile,
+            analytics.CUSTOMER_RECONCILE_ORACLE,
+        ),
+        "sql_orders_above_customer_avg": (
+            sqlapi.sql_orders_above_customer_avg,
+            sqlapi.SQL_ABOVE_AVG_ORACLE,
+        ),
         # Reference surface (O1-O23) — the engine's core; always in-window.
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),
         "segments_clean_positions": (segments.clean_positions_query, segments.ORACLE_SQL),
@@ -240,14 +253,9 @@ def _specs() -> dict[str, QuerySpec]:
         "daily_revenue": (revenue.daily_revenue_query, revenue.DAILY_ORACLE),
         "total_revenue": (revenue.total_revenue_query, revenue.TOTAL_ORACLE),
         # Remaining head slots (rule 2 fill, all round-4 rows).
-        "pricing_summary": (analytics.pricing_summary, analytics.PRICING_SUMMARY_ORACLE),
         "revenue_by_nation": (
             analytics.revenue_by_nation,
             analytics.REVENUE_BY_NATION_ORACLE,
-        ),
-        "top_orders_per_customer": (
-            analytics.top_orders_per_customer,
-            analytics.TOP_ORDERS_ORACLE,
         ),
         "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
         "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
@@ -323,6 +331,11 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_ORACLE),
         "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE),
         "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
+        "pricing_summary": (analytics.pricing_summary, analytics.PRICING_SUMMARY_ORACLE),
+        "top_orders_per_customer": (
+            analytics.top_orders_per_customer,
+            analytics.TOP_ORDERS_ORACLE,
+        ),
         "shipping_priority": (
             analytics.shipping_priority,
             analytics.SHIPPING_PRIORITY_ORACLE,

@@ -238,6 +238,34 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
     assert c["exchange"] == 0, c
 
 
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    # The correlated scalar subquery must compile to ONE aggregate + ONE
+    # join over orders (Catalyst decorrelation) — a per-row subquery would
+    # surface as a nested-loop/cartesian and die at scale.
+    from mapreduce_hadoop_spark.operators.sqlapi import (
+        sql_orders_above_customer_avg,
+    )
+
+    c = plan_counts(sql_orders_above_customer_avg(spark, sf_dir))
+    assert c["cartesian"] == 0 and c["nested_loop_join"] == 0, c
+    assert c["hash_aggregate"] >= 1, c
+    assert c["broadcast_hash_join"] + c["sort_merge_join"] == 1, c
+
+
+def test_reconcile_joins_aggregates_not_facts(spark, sf_dir):
+    # Full-outer reconciliation: both fact tables aggregate to one row
+    # per key BEFORE the join — the join input must be the aggregates
+    # (4 HashAggregates: partial+final per side), and full outer on
+    # equal-sized keyed inputs plans as a sort-merge join.
+    from mapreduce_hadoop_spark.operators.analytics import (
+        customer_activity_reconcile,
+    )
+
+    c = plan_counts(customer_activity_reconcile(spark, sf_dir))
+    assert c["hash_aggregate"] == 4, c
+    assert c["cartesian"] == 0 and c["nested_loop_join"] == 0, c
+
+
 def test_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
     # The K-row weighted sample must plan as TakeOrderedAndProject
     # (per-partition heaps + K-row merge), never a full global sort or a
