@@ -11,6 +11,7 @@ Equivalent here:
     spark-submit -m mapreduce_hadoop_spark.cli airport-revenue <segments-in> <out>
     spark-submit -m mapreduce_hadoop_spark.cli corpus-clean <tables-dir> <out>
     spark-submit -m mapreduce_hadoop_spark.cli pii-scrub <tables-dir> <out>
+    spark-submit -m mapreduce_hadoop_spark.cli train-split <tables-dir> <out>
 
 ``histogram`` reads trip lines and writes `bin \\t count` (sorted, like the
 MR shuffle did). ``airport-revenue`` reads raw segment CSV, reconstructs
@@ -109,6 +110,46 @@ def run_pii_scrub(inp: str, out: str) -> None:
     scrubbed.unpersist()
 
 
+def run_train_split(inp: str, out: str) -> None:
+    """Materialize the deterministic 90/5/5 train/val/test split of the
+    documents table under ``inp``: doc_id manifests to
+    <out>/split=<name>/ (parquet, partitioned by split so a trainer reads
+    its split via partition pruning alone) and the per-(source, split)
+    counts to <out>/counts (TSV). Assignment is a pure function of
+    md5(doc_id) — re-running on a grown corpus never moves an existing
+    doc across splits."""
+    from mapreduce_hadoop_spark.functions.hashing import md5_long
+    from mapreduce_hadoop_spark.operators.corpus import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        corpus_train_split,
+    )
+    from mapreduce_hadoop_spark.sources.tables import load_table
+
+    spark = get_spark("train-split")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    docs = load_table(spark, inp, "documents").select(
+        "doc_id", "source", split.alias("split")
+    )
+    docs.write.mode("overwrite").partitionBy("split").parquet(f"{out}/manifest")
+    counts = corpus_train_split(spark, inp).orderBy("source", "split")
+    write_tsv(counts, f"{out}/counts")
+    by_split = {
+        r["split"]: r["n"]
+        for r in docs.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(
+        "SPLIT train={} val={} test={}".format(
+            by_split.get("train", 0), by_split.get("val", 0), by_split.get("test", 0)
+        )
+    )
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 3 and argv[0] == "histogram":
         run_histogram(argv[1], argv[2])
@@ -121,6 +162,9 @@ def main(argv: list[str]) -> int:
         return 0
     if len(argv) >= 3 and argv[0] == "pii-scrub":
         run_pii_scrub(argv[1], argv[2])
+        return 0
+    if len(argv) >= 3 and argv[0] == "train-split":
+        run_train_split(argv[1], argv[2])
         return 0
     print(__doc__)
     return 2

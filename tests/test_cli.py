@@ -91,3 +91,20 @@ def test_pii_scrub_cli_writes_scrubbed_corpus(tmp_path):
     assert {"doc_id", "text_scrubbed", "n_emails", "n_phones"} <= set(
         t.schema.names
     )
+
+
+def test_train_split_cli_writes_partitioned_manifest(tmp_path):
+    out = tmp_path / "out"
+    r = _run(["train-split", "/root/testdata/sf0.001", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SPLIT train=" in r.stdout
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{out}/manifest")
+    assert t.num_rows == pq.read_metadata(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).num_rows
+    # Partitioned layout: a trainer prunes to its split by directory.
+    assert glob.glob(f"{out}/manifest/split=train/part-*.parquet")
+    counts = _read_parts(f"{out}/counts")
+    assert counts and all(len(line.split("\t")) == 4 for line in counts)
