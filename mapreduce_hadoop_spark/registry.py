@@ -32,8 +32,10 @@ Round-5 application: the 25 round-3-green tail entries rotate back into
 the head (their r3 rows would otherwise age past the policy bound), as do
 the seven queries touched this round (concurrency single-pass rewrite,
 keep-best left-join, PII pattern broadening, range-join/IVF cache keying,
-multimodal decode/resize internals). The reference surface stays
-in-window as always; the tail is 25 unchanged round-4-green queries.
+multimodal decode/resize internals) and the six NEW queries (timeout-twin
+trip stream, curation-sampling trio, real media round-trip, full-outer
+reconcile, correlated-subquery SQL). The reference surface stays
+in-window as always; the tail is unchanged round-4-green queries.
 """
 
 from __future__ import annotations
