@@ -11,7 +11,9 @@ oracle twin:
 - fingerprinting: full-text 60-bit hash + min-shingle-hash (winnowing-style)
 
 At 100 TB these are embarrassingly parallel single-pass scans: no shuffle at
-all (narrow select), so they run at storage bandwidth.
+all (narrow select), so they run at storage bandwidth. The one exception is
+the corpus-level vocabulary (``vocab_topk``), which aggregates across
+documents — one token-keyed shuffle with map-side combine.
 """
 
 from __future__ import annotations
@@ -605,4 +607,52 @@ SELECT
         regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'), '{PII_PHONE_RE}'
     )) AS BIGINT) AS n_phones
 FROM documents
+"""
+
+
+# --- corpus-level vocabulary (tokenizer-prep) -------------------------------
+
+VOCAB_TOP_K = 200
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``VOCAB_TOP_K`` most frequent tokens across the corpus, with
+    corpus count and document frequency — the table a tokenizer-training
+    (BPE/unigram) prep stage starts from.
+
+    100 TB shape: explode -> two-phase aggregation on the token key. The
+    map-side partial combine absorbs Zipf's law for the corpus count (the
+    "the" key leaves each map task as ONE row regardless of how many
+    billions of occurrences it has), so the shuffle carries at most
+    |vocab| rows per task and the hot-token skew never reaches the wire;
+    doc frequency rides the same shuffle via count(distinct-per-doc) on an
+    exploded distinct token set. The final top-K is TakeOrderedAndProject
+    (per-partition heaps), not a global sort. Deterministic tie-break
+    (count desc, token asc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    per_token = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return per_token.orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(VOCAB_TOP_K)
+
+
+VOCAB_TOPK_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+)
+SELECT token,
+       count(*) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM tok
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {VOCAB_TOP_K}
 """

@@ -66,6 +66,7 @@ CHANGED_THIS_ROUND = (
     "multimodal_real_roundtrip",  # NEW: valid PNG/GIF encode -> real decode
     "customer_activity_reconcile",  # NEW: full-outer aggregate reconcile
     "sql_orders_above_customer_avg",  # NEW: correlated scalar subquery
+    "corpus_vocab_topk",  # NEW: tokenizer-prep vocabulary table
 )
 
 
@@ -237,6 +238,9 @@ def _specs() -> dict[str, QuerySpec]:
             sqlapi.sql_orders_above_customer_avg,
             sqlapi.SQL_ABOVE_AVG_ORACLE,
         ),
+        # NEW this round: corpus-level token vocabulary (tokenizer prep);
+        # partial combine absorbs the Zipf hot tokens map-side.
+        "corpus_vocab_topk": (textops.vocab_topk, textops.VOCAB_TOPK_ORACLE),
         # Reference surface (O1-O23) — the engine's core; always in-window.
         "trip_length_histogram": (histogram.histogram_query, histogram.ORACLE_SQL),
         "segments_clean_positions": (segments.clean_positions_query, segments.ORACLE_SQL),
@@ -255,10 +259,6 @@ def _specs() -> dict[str, QuerySpec]:
         "daily_revenue": (revenue.daily_revenue_query, revenue.DAILY_ORACLE),
         "total_revenue": (revenue.total_revenue_query, revenue.TOTAL_ORACLE),
         # Remaining head slots (rule 2 fill, all round-4 rows).
-        "revenue_by_nation": (
-            analytics.revenue_by_nation,
-            analytics.REVENUE_BY_NATION_ORACLE,
-        ),
         "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
         "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
         "corpus_clean_stats": (corpus.corpus_clean_stats, corpus.CORPUS_CLEAN_ORACLE),
@@ -333,6 +333,10 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_ORACLE),
         "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE),
         "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_ORACLE),
+        "revenue_by_nation": (
+            analytics.revenue_by_nation,
+            analytics.REVENUE_BY_NATION_ORACLE,
+        ),
         "pricing_summary": (analytics.pricing_summary, analytics.PRICING_SUMMARY_ORACLE),
         "top_orders_per_customer": (
             analytics.top_orders_per_customer,

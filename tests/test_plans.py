@@ -238,6 +238,22 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
     assert c["exchange"] == 0, c
 
 
+def test_vocab_topk_is_heap_not_sort(spark, sf_dir):
+    # Corpus vocabulary: the final top-K must be TakeOrderedAndProject
+    # (per-partition heaps), and the token aggregation must have a
+    # map-side partial phase so Zipf-hot tokens never cross the shuffle
+    # as raw occurrences.
+    from mapreduce_hadoop_spark.operators.textops import vocab_topk
+    from mapreduce_hadoop_spark.plans.checks import executed_plan
+
+    df = vocab_topk(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    c = plan_counts(df)
+    assert c["hash_aggregate"] >= 2, c  # partial + final at minimum
+    assert c["window"] == 0, c
+
+
 def test_correlated_subquery_decorrelates(spark, sf_dir):
     # The correlated scalar subquery must compile to ONE aggregate + ONE
     # join over orders (Catalyst decorrelation) — a per-row subquery would

@@ -38,7 +38,7 @@ def test_head_window_size_and_total():
     names = _names()
     assert len(names) >= registry.DRIVER_WINDOW, len(names)
     # The registered surface only grows; update alongside new queries.
-    assert len(names) == 82, len(names)
+    assert len(names) == 83, len(names)
 
 
 def test_changed_queries_are_in_driver_window():
