@@ -29,13 +29,15 @@ every tail entry has a row in the newest committed CORRECTNESS_r*.json —
 so a forgotten rotation fails the suite instead of aging silently.
 
 Round-5 application: the 25 round-3-green tail entries rotate back into
-the head (their r3 rows would otherwise age past the policy bound), as do
-the seven queries touched this round (concurrency single-pass rewrite,
-keep-best left-join, PII pattern broadening, range-join/IVF cache keying,
-multimodal decode/resize internals) and the six NEW queries (timeout-twin
-trip stream, curation-sampling trio, real media round-trip, full-outer
-reconcile, correlated-subquery SQL). The reference surface stays
-in-window as always; the tail is unchanged round-4-green queries.
+the head (their r3 rows would otherwise age past the policy bound), as
+does everything in CHANGED_THIS_ROUND — the eight queries touched this
+round (concurrency single-pass rewrite, keep-best left-join, PII pattern
+broadening, trigram-probe rewrite, range-join/IVF cache keying,
+multimodal decode/resize internals) and the eight NEW queries
+(timeout-twin trip stream, curation-sampling trio, real media
+round-trip, full-outer reconcile, correlated-subquery SQL, vocabulary).
+The reference surface stays in-window as always; the tail is unchanged
+round-4-green queries.
 """
 
 from __future__ import annotations
@@ -48,6 +50,12 @@ QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
 # How many leading registry entries the driver's correctness check covers.
 DRIVER_WINDOW = 50
+
+# The build round this registry ordering was arranged FOR. Bump this when
+# rotating at the start of each round — the freshness test then demands
+# tail rows from the new preceding round, so an un-rotated registry fails
+# the suite the moment the round number moves.
+ROUND = 5
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row.

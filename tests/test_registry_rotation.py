@@ -21,17 +21,14 @@ def _names() -> list[str]:
     return list(registry.queries())
 
 
-def _latest_correctness() -> "tuple[str, set[str]]":
-    """(filename, query names) of the newest committed CORRECTNESS_r*.json."""
+def _correctness_rounds() -> dict[int, str]:
     rounds = {}
     for fn in os.listdir(REPO_ROOT):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
         if m:
             rounds[int(m.group(1))] = fn
     assert rounds, "no CORRECTNESS_r*.json committed"
-    fn = rounds[max(rounds)]
-    with open(os.path.join(REPO_ROOT, fn)) as f:
-        return fn, set(json.load(f))
+    return rounds
 
 
 def test_head_window_size_and_total():
@@ -51,11 +48,26 @@ def test_changed_queries_are_in_driver_window():
 
 def test_tail_entries_have_preceding_round_rows():
     """Rotation rule 3: every entry past the driver window must carry a
-    driver row from the immediately preceding round (the newest committed
-    CORRECTNESS file). When a new round's CORRECTNESS lands, this fails
-    until the registry rotates — by design: that IS the reminder.
+    driver row from registry.ROUND's immediately preceding round (or any
+    later round). Keyed to registry.ROUND rather than the newest file on
+    disk because the driver drops CORRECTNESS_r{ROUND} — which covers
+    only the head — at round close, before the registry can possibly be
+    re-rotated. Each round's builder bumps registry.ROUND when rotating;
+    the bump is what arms this check for the new round.
     """
-    fn, covered = _latest_correctness()
+    rounds = _correctness_rounds()
+    eligible = [r for r in rounds if r >= registry.ROUND - 1]
+    assert eligible, (
+        f"no CORRECTNESS file from round >= {registry.ROUND - 1}; "
+        f"have {sorted(rounds)}"
+    )
+    covered: set[str] = set()
+    for r in eligible:
+        with open(os.path.join(REPO_ROOT, rounds[r])) as f:
+            covered |= set(json.load(f))
     tail = _names()[registry.DRIVER_WINDOW :]
     stale = [q for q in tail if q not in covered]
-    assert not stale, f"tail entries with no row in {fn}: {stale}"
+    assert not stale, (
+        f"tail entries with no driver row since round {registry.ROUND - 1}: "
+        f"{stale} — rotate them into the head"
+    )
