@@ -12,9 +12,9 @@ Four families over `documents`, each SQL-expressible for the DuckDB oracle:
 - ``simhash``: 32-bit simhash from shingle hashes; candidate pairs via
   4 x 8-bit block join (pigeonhole: hamming <= 3 guarantees a shared
   block), emitted with hamming <= 6.
-- ``ngram_jaccard``: exact Jaccard over the shingle inverted index —
-  pairs co-counted by shared shingle, with a document-frequency cap on
-  shingles to bound bucket fan-out at scale.
+- ``ngram_jaccard``: Jaccard over the shingle inverted index — shingles
+  hashed to 60-bit longs, bucketed in one shuffle, pairs generated in-row
+  per bucket, with a document-frequency cap to bound fan-out at scale.
 
 Scale notes (100 TB): every family is shuffle-on-key (shingle, band
 signature, hash block) — none is O(n^2) in documents. Hot keys are bounded
@@ -491,36 +491,58 @@ SIMHASH_ORACLE = _simhash_oracle()
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard >= 0.5 pairs via the shingle inverted index.
+    """Jaccard >= 0.5 pairs via the shingle inverted index.
 
-    Pairs are generated only through shared shingles (shuffle on shingle),
-    with a document-frequency cap to bound hot-shingle fan-out: at scale the
-    cap turns a quadratic blowup on boilerplate shingles into a bounded
-    join, at the cost of missing pairs whose entire overlap is boilerplate.
+    One shuffle total: shingles are hashed to 60-bit longs in-row (8-byte
+    shuffle keys instead of ~20-byte strings), bucketed by
+    ``groupBy(shingle).collect_list``, and pairs are generated inside each
+    bucket with array expressions — no joins at all. The document-frequency
+    cap is the ``size(ds) <= NGRAM_DF_CAP`` filter on the bucket itself
+    (replacing the old separate DF-count aggregation + two join shuffles),
+    bounding hot-shingle fan-out to cap*(cap-1)/2 structs per bucket; pairs
+    whose entire overlap is boilerplate are lost, as before.
+
+    Hashing makes the Jaccard 60-bit-exact rather than string-exact: two
+    distinct shingles colliding in 2^60 space would inflate ``common`` by 1.
+    At 10^7 distinct shingles the expected number of colliding *pairs* is
+    ~10^14/2^61 < 1e-4 — and the oracle hashes identically, so parity holds
+    regardless. (Was: string self-join, 199 s at sf1; this form 45 s.)
     """
     sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
-    df_ok = (
-        ex.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= F.lit(NGRAM_DF_CAP))
-        .select("shingle")
+    ex = sh.select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.explode(F.transform("sh", lambda s: md5_long(s))).alias("shingle"),
     )
-    ex = ex.join(df_ok, "shingle")
-    a, b = ex.alias("a"), ex.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+    # collect_list order is nondeterministic; sort_array on (doc_id, n_sh)
+    # structs canonicalizes each bucket (doc_id is unique within a shingle
+    # because _doc_shingles emits distinct shingles per doc), which both
+    # guarantees doc_a < doc_b below and keeps the plan deterministic.
+    buckets = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds").between(2, NGRAM_DF_CAP))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            x["n_sh"].alias("na"),
+                            y["n_sh"].alias("nb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    co = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("common")
     )
     jac = F.round(
         F.col("common").cast("double")
@@ -722,7 +744,7 @@ DEDUP_CLUSTERS_ORACLE = _dedup_clusters_oracle()
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH sh AS ({DOC_SHINGLES_SQL}),
-ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+ex AS (SELECT doc_id, len(sh) AS n_sh, {md5_long_sql('unnest(sh)')} AS shingle FROM sh),
 df_ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}),
 exf AS (SELECT ex.* FROM ex JOIN df_ok USING (shingle)),
 co AS (
