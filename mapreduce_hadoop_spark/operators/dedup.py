@@ -25,7 +25,7 @@ xxhash64 when oracle parity is not needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_hadoop_spark.functions import text as T
@@ -423,6 +423,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH join sides re-run the whole shingle->md5->fold pipeline (and the
     broadcast side evaluates it on a single thread), which measured ~14x
     slower than persist+join at sf0.1. O(docs) longs of storage.
+
+    Dedup of pairs colliding in several blocks is in-row, not a shuffle:
+    both simhashes ride the join, so "this is the pair's FIRST matching
+    block" is a pure bit expression, and the hamming filter runs straight
+    at the join output — the old ``distinct`` over the full candidate
+    stream (~n^2 * blocks/2^block_bits rows) is gone (sf1: byte-identical
+    623,600 pairs, 22 s -> 9 s gate-shape).
     """
     sigs = _persisted(simhash_signatures(spark, sf_dir))
     block_size = SIMHASH_BITS // SIMHASH_BLOCKS
@@ -447,6 +454,21 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
+
+    def _blk(sig: Column, i: int) -> Column:
+        return F.shiftright(sig, i * block_size).bitwiseAND(
+            F.lit((1 << block_size) - 1)
+        )
+
+    first_match = F.array_position(
+        F.array(
+            *[
+                _blk(F.col("a.simhash"), i) == _blk(F.col("b.simhash"), i)
+                for i in range(SIMHASH_BLOCKS)
+            ]
+        ),
+        F.lit(True),
+    )
     return (
         a.join(
             b,
@@ -454,13 +476,12 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter((first_match == F.col("a.blk") + 1) & (ham <= F.lit(HAMMING_MAX)))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .distinct()
-        .filter(F.col("hamming") <= F.lit(HAMMING_MAX))
     )
 
 
