@@ -378,7 +378,24 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-list_filter-per-bit formulation, whose plan/codegen latency
     dominated cold runs.
     """
-    hs = _shingle_hashes(spark, sf_dir).filter(F.size("hs") > 0)
+    return _simhash_from_hs(_shingle_hashes(spark, sf_dir))
+
+
+def simhash_signatures_from(docs: DataFrame) -> DataFrame:
+    """Signatures from any (doc_id, text) relation; see
+    ``simhash_signatures``."""
+    return _simhash_from_hs(
+        docs.select(
+            "doc_id",
+            F.transform(
+                T.shingles("text"), lambda s: md5_long(s) % F.lit(P)
+            ).alias("hs"),
+        )
+    )
+
+
+def _simhash_from_hs(hs_rel: DataFrame) -> DataFrame:
+    hs = hs_rel.filter(F.size("hs") > 0)
     n = F.size("hs")
     masks = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
     counts = F.aggregate(
@@ -428,10 +445,19 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both simhashes ride the join, so "this is the pair's FIRST matching
     block" is a pure bit expression, and the hamming filter runs straight
     at the join output — the old ``distinct`` over the full candidate
-    stream (~n^2 * blocks/2^block_bits rows) is gone (sf1: byte-identical
-    623,600 pairs, 22 s -> 9 s gate-shape).
+    stream (~n^2 * blocks/2^block_bits rows) is gone. Locally neutral at
+    sf1 (the distinct's map-side partial agg was absorbing the
+    duplicates), but at cluster scale it removes the per-partition pair
+    hash state and the candidate exchange entirely; output byte-identical
+    (623,600 pairs at sf1).
     """
-    sigs = _persisted(simhash_signatures(spark, sf_dir))
+    return simhash_pairs_from(_persisted(simhash_signatures(spark, sf_dir)))
+
+
+def simhash_pairs_from(sigs: DataFrame) -> DataFrame:
+    """Block-join pair generation from a (doc_id, simhash) relation; see
+    ``simhash_pairs`` (callers persist ``sigs`` — both join sides scan it).
+    """
     block_size = SIMHASH_BITS // SIMHASH_BLOCKS
     blocks = sigs.select(
         "doc_id",
@@ -644,6 +670,94 @@ SELECT doc_id, n_sh, count(*) AS n_hits,
        round(count(*)::DOUBLE / n_sh, 6) AS contam_ratio
 FROM corpus JOIN bench USING (shingle)
 GROUP BY doc_id, n_sh
+"""
+
+
+# --- cross-document span dedup (C4-style) -----------------------------------
+
+# Non-overlapping span width for cross-document span dedup, in tokens.
+# C4 deduplicates exact lines across documents; this corpus is single-line,
+# so the unit of repetition is a fixed token window instead.
+SPAN_TOKENS = 16
+# ord = doc_id * SPAN_ORD_BASE + span_id must be collision-free: holds for
+# any document under SPAN_ORD_BASE * SPAN_TOKENS tokens (16M here).
+SPAN_ORD_BASE = 1_000_000
+
+
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus span duplication: (doc_id, n_spans,
+    n_dup_spans, dup_frac), where a span is a non-overlapping SPAN_TOKENS
+    window and a span is a duplicate unless it is the corpus-wide FIRST
+    occurrence of its text (ordered by (doc_id, span_id)) — the C4 /
+    RefinedWeb "remove repeated spans across documents" hygiene pass,
+    reduced to its stats so the row count stays per-document.
+
+    Scale shape: spans are hashed to 60-bit longs in-row (no span strings
+    leave the map side), then ONE shuffle on span hash feeds a window min
+    of the encoded (doc_id, span_id) order; the per-doc rollup is the only
+    other exchange. No joins, no collects; hot spans (boilerplate repeated
+    corpus-wide) concentrate on single hash keys, but each key's state is
+    a single running min — O(1) per key, skew-safe.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_dedup_stats_from(docs)
+
+
+def span_dedup_stats_from(docs: DataFrame) -> DataFrame:
+    """Span-dedup stats from any (doc_id, text) relation; see
+    ``span_dedup_stats``."""
+    toks = T.tokens("text")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(SPAN_TOKENS))
+    spans = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(starts).alias("pos", "start"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("span_id"),
+        md5_long(
+            F.array_join(F.slice(F.col("toks"), F.col("start"), SPAN_TOKENS), " ")
+        ).alias("span_h"),
+    )
+    ord_ = F.col("doc_id") * F.lit(SPAN_ORD_BASE) + F.col("span_id")
+    w = Window.partitionBy("span_h")
+    marked = spans.select(
+        "doc_id",
+        F.when(F.min(ord_).over(w) != ord_, F.lit(1)).otherwise(F.lit(0)).alias("d"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("d").cast("bigint").alias("n_dup_spans"),
+        F.round(
+            F.sum("d").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_frac"),
+    )
+
+
+SPAN_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents),
+s AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks), {SPAN_TOKENS})) AS start
+    FROM t
+),
+sp AS (
+    SELECT doc_id,
+           CAST((start - 1) / {SPAN_TOKENS} AS BIGINT) + 1 AS span_id,
+           {md5_long_sql(f"array_to_string(list_slice(toks, start, start + {SPAN_TOKENS - 1}), ' ')")} AS span_h
+    FROM s
+),
+m AS (
+    SELECT doc_id,
+           CASE WHEN min(doc_id * {SPAN_ORD_BASE} + span_id)
+                     OVER (PARTITION BY span_h)
+                <> doc_id * {SPAN_ORD_BASE} + span_id THEN 1 ELSE 0 END AS d
+    FROM sp
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(d) AS BIGINT) AS n_dup_spans,
+       round(sum(d)::DOUBLE / count(*), 6) AS dup_frac
+FROM m GROUP BY doc_id
 """
 
 

@@ -655,3 +655,129 @@ GROUP BY token
 ORDER BY n_occurrences DESC, token
 LIMIT {VOCAB_TOP_K}
 """
+
+
+# --- Gopher quality rules ---------------------------------------------------
+
+# Rule thresholds after Gopher (Rae et al. 2021, "Scaling Language Models",
+# table A1) — the published heuristic filter suite for web-scale pretraining
+# corpora. Word-count bounds are scaled to this corpus's short synthetic
+# documents (Gopher used 50..100k on web pages; the rule machinery, not the
+# constants, is the operator).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_DUP3_FRAC = 0.50
+# Required-stopword list: Gopher counts distinct hits from a designated
+# 8-word list ({the, be, to, of, and, that, have, with}); this corpus's
+# 31-token synthetic vocabulary contains only {the, a} of common English
+# stopwords, so the designated list here is the repo-wide STOPWORDS_EN
+# (same rule machinery, corpus-adapted constants — see the note above).
+GOPHER_STOPWORDS = list(T.STOPWORDS_EN)
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule evaluation: the five published heuristics
+    (word count bounds, mean word length bounds, alphabetic-word fraction,
+    required-stopword hits, duplicate-3-gram fraction) as named boolean
+    columns plus the conjunction ``keep`` — the standard pre-training
+    quality gate, kept per-rule so downstream can audit WHY a document was
+    dropped (the operational requirement Gopher's appendix calls out).
+
+    Map-only: every signal folds over the in-row token array (aggregate /
+    filter / size — no explode, no shuffle, whole-stage codegen). Rules
+    compare on the round(x, 6) value both here and in the oracle so the
+    boolean never hinges on a sub-ulp difference between engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules_from(docs)
+
+
+def gopher_rules_from(docs: DataFrame) -> DataFrame:
+    """Gopher rule evaluation over any (doc_id, text) relation; see
+    ``gopher_rules``."""
+    toks = T.tokens("text")
+    n = F.size(toks).cast("bigint")
+    nd = n.cast("double")
+    mwl = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / nd,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / nd, 6
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    ).cast("bigint")
+    n_sh_total = F.greatest(n - F.lit(2), F.lit(0).cast("bigint"))
+    dup3 = F.when(
+        n_sh_total > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(T.shingles("text")).cast("double") / n_sh_total.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    r_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r_mwl = (mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX)
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    r_rep = dup3 <= GOPHER_MAX_DUP3_FRAC
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        dup3.alias("dup3_frac"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_mwl & r_alpha & r_stop & r_rep).alias("keep"),
+    )
+
+
+GOPHER_RULES_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS} AS toks,
+           greatest(CAST(len({_TOKS}) AS BIGINT) - 2, 0) AS n_sh_total
+    FROM documents
+),
+sig AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+                 / len(toks), 6) AS mean_word_len,
+           round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                 / len(toks), 6) AS alpha_frac,
+           CAST(len(list_filter({GOPHER_STOPWORDS!r}, w -> list_contains(toks, w)))
+                AS BIGINT) AS stop_hits,
+           CASE WHEN n_sh_total > 0
+                THEN round(1.0 - len({T.shingles_sql('text')})::DOUBLE / n_sh_total, 6)
+                ELSE 0.0 END AS dup3_frac
+    FROM t JOIN documents USING (doc_id)
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits, dup3_frac,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS r_word_count,
+       mean_word_len BETWEEN {GOPHER_MWL_MIN} AND {GOPHER_MWL_MAX} AS r_mean_word_len,
+       alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS r_alpha,
+       stop_hits >= {GOPHER_MIN_STOP_HITS} AS r_stopwords,
+       dup3_frac <= {GOPHER_MAX_DUP3_FRAC} AS r_repetition,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+       AND (mean_word_len BETWEEN {GOPHER_MWL_MIN} AND {GOPHER_MWL_MAX})
+       AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+       AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+       AND dup3_frac <= {GOPHER_MAX_DUP3_FRAC} AS keep
+FROM sig
+"""

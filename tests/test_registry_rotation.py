@@ -35,7 +35,45 @@ def test_head_window_size_and_total():
     names = _names()
     assert len(names) >= registry.DRIVER_WINDOW, len(names)
     # The registered surface only grows; update alongside new queries.
-    assert len(names) == 83, len(names)
+    assert len(names) == 85, len(names)
+
+
+def test_hash_identical_rewrites_pinned():
+    """Rule 1a: a rewrite may stay in the tail only while its output is
+    provably unchanged — the committed sf0.01 gate log (regenerated after
+    the rewrite) must still carry the exact pre-rewrite value hashes below,
+    which were read from the log as committed BEFORE the rewrites landed
+    (git history of GATE_sf0.01_r5.log). If an optimization ever changes
+    output bytes, this fails and the query must move to the driver head.
+    """
+    pre_rewrite = {
+        "dedup_ngram_jaccard": "cc6600e4843093d1",
+        "contamination_check": "4fc915fb0d2fd249",
+        "similarity_near_dup_lsh": "5e24e299b692c3af",
+    }
+    assert set(pre_rewrite) == set(registry.REWRITTEN_HASH_IDENTICAL)
+    with open(os.path.join(REPO_ROOT, "GATE_sf0.01_r5.log")) as f:
+        log = f.read()
+    for q, h in pre_rewrite.items():
+        m = re.search(rf"PASS {q}: rows=\d+ hash=([0-9a-f]+)", log)
+        assert m, f"{q} missing from GATE_sf0.01_r5.log"
+        assert m.group(1) == h, f"{q}: output changed ({m.group(1)} != {h})"
+
+
+def test_staged_entries_are_new_and_in_tail():
+    """Rule 1b: STAGED_NEXT_ROUND entries must be genuinely new (no driver
+    row in ANY committed round — once one exists they leave the tuple) and
+    must sit in the tail (they did not fit this round's head window).
+    """
+    rounds = _correctness_rounds()
+    seen: set[str] = set()
+    for fn in rounds.values():
+        with open(os.path.join(REPO_ROOT, fn)) as f:
+            seen |= set(json.load(f))
+    tail = set(_names()[registry.DRIVER_WINDOW :])
+    for q in registry.STAGED_NEXT_ROUND:
+        assert q in tail, f"staged entry {q} not in the tail"
+        assert q not in seen, f"{q} has a driver row; remove it from STAGED"
 
 
 def test_changed_queries_are_in_driver_window():
@@ -66,7 +104,8 @@ def test_tail_entries_have_preceding_round_rows():
         with open(os.path.join(REPO_ROOT, rounds[r])) as f:
             covered |= set(json.load(f))
     tail = _names()[registry.DRIVER_WINDOW :]
-    stale = [q for q in tail if q not in covered]
+    staged = set(registry.STAGED_NEXT_ROUND)  # rule 1b: no row yet by design
+    stale = [q for q in tail if q not in covered and q not in staged]
     assert not stale, (
         f"tail entries with no driver row since round {registry.ROUND - 1}: "
         f"{stale} — rotate them into the head"
