@@ -326,3 +326,25 @@ def test_concurrency_plans_sessionize_once(spark, sf_dir):
     c = plan_counts(df)
     assert c["window"] == 3, c
     assert c["exchange"] == 3, c
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    # Every Gopher signal folds over the in-row token array: zero
+    # shuffles, scan bandwidth at any corpus size.
+    from mapreduce_hadoop_spark.operators.textops import gopher_rules
+
+    c = plan_counts(gopher_rules(spark, sf_dir))
+    assert c["exchange"] == 0, c
+
+
+def test_span_dedup_two_shuffles_no_joins(spark, sf_dir):
+    # One exchange on span hash (first-occurrence window) + one for the
+    # per-doc rollup; spans are hashed longs before either, and there is
+    # no join anywhere in the plan.
+    from mapreduce_hadoop_spark.operators.dedup import span_dedup_stats
+
+    df = span_dedup_stats(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["exchange"] == 2, c
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
