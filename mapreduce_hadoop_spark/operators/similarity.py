@@ -654,3 +654,55 @@ SELECT query_id, vec_id, cosine, rank FROM (
     FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+# --- int8 scalar quantization ----------------------------------------------
+
+QUANT_LEVELS = 127  # symmetric int8 code range [-127, 127]
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard
+    compression step before a large-scale ANN index (4x smaller vectors,
+    SIMD-friendly integer dot products): per vector, scale = max|x| / 127,
+    code_i = round(x_i / scale), exploded to (vec_id, i, code, scale) so
+    the driver hashes scalars, not arrays.
+
+    Map-only until the final explode (which is the OUTPUT, not an
+    intermediate — a production pipeline would keep the code array in-row
+    and write parquet at scan bandwidth). Rounding is the cross-engine
+    ``floor(x + 0.5)`` form (round-half-up, three IEEE ops — see the
+    README determinism rules); an all-zero vector quantizes to scale 0.0
+    and all-zero codes rather than dividing by zero.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _dvec("embedding")
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(float(QUANT_LEVELS))
+    codes = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.posexplode(codes).alias("pos", "code"),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "code", "scale")
+
+
+EMBEDDING_QUANTIZE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / {QUANT_LEVELS} AS scale
+    FROM e
+),
+x AS (
+    SELECT vec_id, v, scale,
+           unnest(generate_series(1, len(v))) AS i
+    FROM s
+)
+SELECT vec_id, CAST(i AS INT) AS i,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(floor(v[i] / scale + 0.5) AS INT) END AS code,
+       round(scale, 6) AS scale
+FROM x
+"""

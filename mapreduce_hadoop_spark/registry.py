@@ -110,6 +110,7 @@ REWRITTEN_HASH_IDENTICAL = (
 STAGED_NEXT_ROUND = (
     "text_span_dedup",
     "text_gopher_rules",
+    "embedding_quantize_int8",
 )
 
 
@@ -407,6 +408,10 @@ def _specs() -> dict[str, QuerySpec]:
         # Gopher per-rule quality gate.
         "text_span_dedup": (dedup.span_dedup_stats, dedup.SPAN_DEDUP_ORACLE),
         "text_gopher_rules": (textops.gopher_rules, textops.GOPHER_RULES_ORACLE),
+        "embedding_quantize_int8": (
+            similarity.embedding_quantize_int8,
+            similarity.EMBEDDING_QUANTIZE_ORACLE,
+        ),
     }
     return specs
 

@@ -162,3 +162,46 @@ def test_simhash_multi_block_collision_emitted_once(spark):
     dedup.unpersist_intermediates()
     assert len(out) == 1
     assert (out[0]["doc_a"], out[0]["doc_b"], out[0]["hamming"]) == (1, 2, 0)
+
+
+# --- int8 quantization ------------------------------------------------------
+
+
+def test_quantize_int8_saturation_zero_vector_and_roundtrip(spark, sf_dir):
+    from mapreduce_hadoop_spark.operators.similarity import (
+        QUANT_LEVELS,
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    for vid, rs in by_vec.items():
+        codes = [r["code"] for r in rs]
+        scale = rs[0]["scale"]
+        # symmetric code range, and the max-|x| dim must hit the rail
+        assert all(-QUANT_LEVELS <= c <= QUANT_LEVELS for c in codes), vid
+        if scale > 0:
+            assert max(abs(c) for c in codes) == QUANT_LEVELS, vid
+
+    # synthetic edge: an all-zero vector quantizes to scale 0 / codes 0
+    from pyspark.sql import functions as F
+
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id: bigint, embedding: array<float>"
+    )
+    import mapreduce_hadoop_spark.operators.similarity as S
+    import mapreduce_hadoop_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf_dir, name: zero  # type: ignore
+        S.load_table = tables.load_table
+        out = S.embedding_quantize_int8(spark, "unused").collect()
+    finally:
+        tables.load_table = orig
+        S.load_table = orig
+    assert len(out) == 64
+    assert all(r["code"] == 0 and r["scale"] == 0.0 for r in out)
