@@ -52,7 +52,11 @@ multimodal decode/resize internals) and the eight NEW queries
 (timeout-twin trip stream, curation-sampling trio, real media
 round-trip, full-outer reconcile, correlated-subquery SQL, vocabulary).
 The reference surface stays in-window as always; the tail is unchanged
-round-4-green queries.
+round-4-green queries. Late in round 5 (head already full) four
+candidate-pair plans were rewritten hash-identically (rule 1a,
+``REWRITTEN_HASH_IDENTICAL``; ``dedup_simhash`` was still head-resident
+so it simply joined ``CHANGED_THIS_ROUND``) and three new corpus
+operators were registered under rule 1b (``STAGED_NEXT_ROUND``).
 """
 
 from __future__ import annotations
