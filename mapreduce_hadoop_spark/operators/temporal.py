@@ -457,3 +457,109 @@ FROM per_bucket
 
 
 TRIPS_CONCURRENCY_ORACLE = _trips_concurrency_oracle()
+
+
+# --- event funnel -----------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view -> click -> purchase): for each
+    user, the first view, the first click STRICTLY AFTER that view, and
+    the first purchase strictly after that click; output is the classic
+    funnel report — (stage, stage_idx, n_users, conv_from_prev), 3 rows.
+
+    One shuffle: the three stage timestamps are stacked conditional
+    window-mins over the SAME user partitioning (no order-by, no sort),
+    then a single per-user row feeds a global conditional count. Ordered
+    semantics (not "has all three types") is what makes it a funnel:
+    a purchase before the first view does not convert.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))).over(w)
+    ev = ev.select("*", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STAGES[1]) & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    ev = ev.select("*", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STAGES[2]) & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        ev.select("user_id", "t1", "t2", t3.alias("t3"))
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.lit(i + 1).alias("stage_idx"),
+                F.col(f"n{i + 1}").alias("n_users"),
+                F.round(
+                    F.col(f"n{i + 1}").cast("double")
+                    / F.when(
+                        F.col("n_total" if i == 0 else f"n{i}") > 0,
+                        F.col("n_total" if i == 0 else f"n{i}"),
+                    ).cast("double"),
+                    6,
+                ).alias("conv_from_prev"),
+            )
+            for i, name in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    return tot.select(F.explode(stages).alias("s")).select("s.*")
+
+
+EVENTS_FUNNEL_ORACLE = f"""
+WITH t1 AS (
+    SELECT user_id, min(ts) FILTER (event_type = '{FUNNEL_STAGES[0]}') AS t1
+    FROM events GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id,
+           min(e.ts) FILTER (e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > t1.t1) AS t2
+    FROM events e JOIN t1 ON e.user_id = t1.user_id
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id,
+           min(e.ts) FILTER (e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > t2.t2) AS t3
+    FROM events e JOIN t2 ON e.user_id = t2.user_id
+    GROUP BY e.user_id
+),
+u AS (
+    SELECT t1.user_id, t1.t1, t2.t2, t3.t3
+    FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)
+),
+c AS (
+    SELECT count(*) AS n_total,
+           CAST(count(t1) AS BIGINT) AS n1,
+           CAST(count(t2) AS BIGINT) AS n2,
+           CAST(count(t3) AS BIGINT) AS n3
+    FROM u
+)
+SELECT s.stage, s.stage_idx, s.n_users, s.conv_from_prev
+FROM c, LATERAL (VALUES
+    ('{FUNNEL_STAGES[0]}', 1, n1,
+     round(n1::DOUBLE / CASE WHEN n_total > 0 THEN n_total END, 6)),
+    ('{FUNNEL_STAGES[1]}', 2, n2,
+     round(n2::DOUBLE / CASE WHEN n1 > 0 THEN n1 END, 6)),
+    ('{FUNNEL_STAGES[2]}', 3, n3,
+     round(n3::DOUBLE / CASE WHEN n2 > 0 THEN n2 END, 6))
+) AS s(stage, stage_idx, n_users, conv_from_prev)
+"""

@@ -115,6 +115,7 @@ STAGED_NEXT_ROUND = (
     "text_span_dedup",
     "text_gopher_rules",
     "embedding_quantize_int8",
+    "events_funnel",
 )
 
 
@@ -416,6 +417,7 @@ def _specs() -> dict[str, QuerySpec]:
             similarity.embedding_quantize_int8,
             similarity.EMBEDDING_QUANTIZE_ORACLE,
         ),
+        "events_funnel": (temporal.events_funnel, temporal.EVENTS_FUNNEL_ORACLE),
     }
     return specs
 

@@ -205,3 +205,79 @@ def test_quantize_int8_saturation_zero_vector_and_roundtrip(spark, sf_dir):
         S.load_table = orig
     assert len(out) == 64
     assert all(r["code"] == 0 and r["scale"] == 0.0 for r in out)
+
+
+# --- funnel semantics + span-dedup property test ----------------------------
+
+
+def test_funnel_orders_stages_strictly(spark):
+    import datetime as dt
+
+    from mapreduce_hadoop_spark.operators import temporal
+
+    def ev(uid, typ, sec):
+        return (uid, typ, dt.datetime(2024, 1, 1, 0, 0, sec))
+
+    rows = [
+        # u1 converts fully in order
+        ev(1, "view", 1), ev(1, "click", 2), ev(1, "purchase", 3),
+        # u2: purchase BEFORE view -> reaches only stage 1
+        ev(2, "purchase", 1), ev(2, "view", 2),
+        # u3: click at the same ts as view (not strictly after) -> stage 1
+        ev(3, "view", 5), ev(3, "click", 5),
+        # u4: no view at all -> no stage
+        ev(4, "click", 1), ev(4, "purchase", 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id: bigint, event_type: string, ts: timestamp")
+    import mapreduce_hadoop_spark.operators.temporal as T
+    import mapreduce_hadoop_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf_dir, name: df  # type: ignore
+        T.load_table = tables.load_table
+        out = {r["stage"]: r for r in T.events_funnel(spark, "unused").collect()}
+    finally:
+        tables.load_table = orig
+        T.load_table = orig
+    assert out["view"]["n_users"] == 3  # u1, u2, u3
+    assert out["click"]["n_users"] == 1  # only u1 (u3's click not strictly after)
+    assert out["purchase"]["n_users"] == 1  # only u1
+    assert out["view"]["conv_from_prev"] == 0.75  # 3 of 4 users
+    assert out["purchase"]["conv_from_prev"] == 1.0
+
+
+def test_span_dedup_matches_python_reference(spark):
+    # Property-style cross-check against a direct Python implementation on
+    # a deterministic pseudo-random corpus with a tiny vocabulary (forces
+    # real cross-document span collisions).
+    import random
+
+    from mapreduce_hadoop_spark.operators.dedup import SPAN_TOKENS, span_dedup_stats_from
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3 * SPAN_TOKENS))))
+        for i in range(40)
+    ]
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in rows:  # doc_id ascending = corpus order
+        toks = text.split(" ")
+        spans = [
+            " ".join(toks[s : s + SPAN_TOKENS])
+            for s in range(0, len(toks), SPAN_TOKENS)
+        ]
+        dups = 0
+        for sp in spans:
+            if sp in seen:
+                dups += 1
+            else:
+                seen.add(sp)
+        expected[doc_id] = (len(spans), dups)
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in span_dedup_stats_from(_docs(spark, rows)).collect()
+    }
+    assert got == expected

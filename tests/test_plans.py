@@ -348,3 +348,13 @@ def test_span_dedup_two_shuffles_no_joins(spark, sf_dir):
     assert c["exchange"] == 2, c
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_events_funnel_single_user_shuffle(spark, sf_dir):
+    # The three stage window-mins and the per-user rollup all share one
+    # user_id exchange; the only other exchange is the final 3-row report.
+    from mapreduce_hadoop_spark.operators.temporal import events_funnel
+
+    c = plan_counts(events_funnel(spark, sf_dir))
+    assert c["exchange"] == 2, c
+    assert c["window"] == 3, c
