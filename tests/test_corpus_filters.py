@@ -281,3 +281,76 @@ def test_span_dedup_matches_python_reference(spark):
         for r in span_dedup_stats_from(_docs(spark, rows)).collect()
     }
     assert got == expected
+
+
+def test_ngram_jaccard_matches_python_reference(spark):
+    # Direct Python replication of the full pipeline (distinct 3-token
+    # shingles, 60-bit md5 identity, DF cap, Jaccard >= 0.5) on a
+    # pseudo-random tiny-vocab corpus that produces real shared shingles.
+    import hashlib
+    import itertools
+    import random
+
+    from mapreduce_hadoop_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        NGRAM_DF_CAP,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = ["x", "y"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 8))))
+        for i in range(30)
+    ]
+
+    def shingle_hashes(text):
+        toks = text.split(" ")
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+        return {int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh}
+
+    hs = {d: shingle_hashes(t) for d, t in rows}
+
+    def reference_pairs(cap):
+        # Faithful replication: the DF cap filters shingles BEFORE pair
+        # generation, so `common` counts only surviving shared shingles
+        # (exactly what the bucket co-count produces), while the
+        # denominators use each doc's FULL shingle count.
+        df_count: dict[int, int] = {}
+        for s in itertools.chain.from_iterable(hs.values()):
+            df_count[s] = df_count.get(s, 0) + 1
+        ok = {s for s, c in df_count.items() if c <= cap}
+        out = {}
+        for (a, sa), (b, sb) in itertools.combinations(sorted(hs.items()), 2):
+            common = len(sa & sb & ok)
+            if common == 0:
+                continue
+            j = round(common / (len(sa) + len(sb) - common), 6)
+            if j >= JACCARD_THRESHOLD:
+                out[(a, b)] = j
+        return out
+
+    import mapreduce_hadoop_spark.operators.dedup as D
+    import mapreduce_hadoop_spark.sources.tables as tables
+
+    df = _docs(spark, rows)
+    orig = tables.load_table
+    orig_cap = D.NGRAM_DF_CAP
+    try:
+        tables.load_table = lambda spark, sf_dir, name: df  # type: ignore
+        D.load_table = tables.load_table
+        for cap in (NGRAM_DF_CAP, 5):  # default (never trips) and tripping
+            D.NGRAM_DF_CAP = cap
+            got = {
+                (r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(spark, "unused").collect()
+            }
+            expected = reference_pairs(cap)
+            assert got == expected, (cap, len(got), len(expected))
+        assert reference_pairs(5) != reference_pairs(NGRAM_DF_CAP)  # cap bit
+    finally:
+        tables.load_table = orig
+        D.load_table = orig
+        D.NGRAM_DF_CAP = orig_cap
