@@ -220,8 +220,13 @@ def test_hot_paths_whole_stage_codegen(spark, sf_dir):
     from mapreduce_hadoop_spark.operators.analytics import pricing_summary
     from mapreduce_hadoop_spark.plans.checks import executed_plan
 
+    from mapreduce_hadoop_spark.operators.dedup import span_dedup_stats
+    from mapreduce_hadoop_spark.operators.similarity import embedding_quantize_int8
+    from mapreduce_hadoop_spark.operators.textops import gopher_rules
+
     for q in (histogram.histogram_query, analytics.pricing_summary,
-              sessionize.trips_window_query):
+              sessionize.trips_window_query, gopher_rules,
+              span_dedup_stats, embedding_quantize_int8):
         df = q(spark, sf_dir)
         df.collect()  # AQE prints codegen stage markers only once final
         plan = executed_plan(df)
