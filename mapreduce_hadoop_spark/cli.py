@@ -12,6 +12,7 @@ Equivalent here:
     spark-submit -m mapreduce_hadoop_spark.cli corpus-clean <tables-dir> <out>
     spark-submit -m mapreduce_hadoop_spark.cli pii-scrub <tables-dir> <out>
     spark-submit -m mapreduce_hadoop_spark.cli train-split <tables-dir> <out>
+    spark-submit -m mapreduce_hadoop_spark.cli quality-filter <tables-dir> <out>
 
 ``histogram`` reads trip lines and writes `bin \\t count` (sorted, like the
 MR shuffle did). ``airport-revenue`` reads raw segment CSV, reconstructs
@@ -150,6 +151,57 @@ def run_train_split(inp: str, out: str) -> None:
     )
 
 
+def run_quality_filter(inp: str, out: str) -> None:
+    """The standard corpus-cleaning pass: Gopher rule gate + cross-document
+    span dedup in one DAG. Writes the kept corpus to <out>/kept_docs
+    (parquet), the per-document audit (all rule booleans + dup_frac +
+    drop_reason) to <out>/audit, and prints the drop breakdown. A document
+    is kept iff every Gopher rule passes AND its cross-corpus duplicate-
+    span fraction is <= SPAN_DUP_MAX; drop_reason is the FIRST failing
+    rule in the published order, so the breakdown is a partition (sums to
+    the corpus size)."""
+    from mapreduce_hadoop_spark.operators.dedup import span_dedup_stats
+    from mapreduce_hadoop_spark.operators.textops import gopher_rules
+    from mapreduce_hadoop_spark.sources.tables import load_table
+
+    SPAN_DUP_MAX = 0.5
+
+    spark = get_spark("quality-filter")
+    g = gopher_rules(spark, inp)
+    sp = span_dedup_stats(spark, inp).select("doc_id", "dup_frac")
+    audit = g.join(sp, "doc_id").select(
+        "*",
+        F.when(~F.col("r_word_count"), F.lit("word_count"))
+        .when(~F.col("r_mean_word_len"), F.lit("mean_word_len"))
+        .when(~F.col("r_alpha"), F.lit("alpha"))
+        .when(~F.col("r_stopwords"), F.lit("stopwords"))
+        .when(~F.col("r_repetition"), F.lit("repetition"))
+        .when(F.col("dup_frac") > F.lit(SPAN_DUP_MAX), F.lit("span_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("drop_reason"),
+    )
+    audit = audit.cache()
+    audit.write.mode("overwrite").parquet(f"{out}/audit")
+    docs = load_table(spark, inp, "documents")
+    kept = docs.join(
+        audit.filter(F.col("drop_reason") == "kept").select("doc_id"), "doc_id", "semi"
+    )
+    kept.write.mode("overwrite").parquet(f"{out}/kept_docs")
+    breakdown = {
+        r["drop_reason"]: r["n"]
+        for r in audit.groupBy("drop_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    audit.unpersist()
+    total = sum(breakdown.values())
+    kept_n = breakdown.get("kept", 0)
+    parts = " ".join(
+        f"{k}={v}" for k, v in sorted(breakdown.items()) if k != "kept"
+    )
+    print(f"KEPT : {kept_n} / {total}  DROPPED : {parts}")
+
+
 def main(argv: list[str]) -> int:
     if len(argv) >= 3 and argv[0] == "histogram":
         run_histogram(argv[1], argv[2])
@@ -165,6 +217,9 @@ def main(argv: list[str]) -> int:
         return 0
     if len(argv) >= 3 and argv[0] == "train-split":
         run_train_split(argv[1], argv[2])
+        return 0
+    if len(argv) >= 3 and argv[0] == "quality-filter":
+        run_quality_filter(argv[1], argv[2])
         return 0
     print(__doc__)
     return 2

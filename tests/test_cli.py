@@ -108,3 +108,21 @@ def test_train_split_cli_writes_partitioned_manifest(tmp_path):
     assert glob.glob(f"{out}/manifest/split=train/part-*.parquet")
     counts = _read_parts(f"{out}/counts")
     assert counts and all(len(line.split("\t")) == 4 for line in counts)
+
+
+def test_quality_filter_cli_partitions_corpus_by_drop_reason(tmp_path):
+    out = tmp_path / "out"
+    r = _run(["quality-filter", "/root/testdata/sf0.001", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "KEPT : " in r.stdout
+    import pyarrow.parquet as pq
+
+    audit = pq.read_table(f"{out}/audit")
+    n_docs = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
+    assert audit.num_rows == n_docs  # breakdown is a partition of the corpus
+    kept = pq.read_table(f"{out}/kept_docs")
+    n_kept = sum(
+        1 for v in audit.column("drop_reason").to_pylist() if v == "kept"
+    )
+    assert kept.num_rows == n_kept
+    assert 0 < n_kept < n_docs  # gate actually discriminates on this corpus
