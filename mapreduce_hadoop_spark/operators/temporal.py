@@ -563,3 +563,64 @@ FROM c, LATERAL (VALUES
      round(n3::DOUBLE / CASE WHEN n2 > 0 THEN n2 END, 6))
 ) AS s(stage, stage_idx, n_users, conv_from_prev)
 """
+
+
+# --- cohort retention -------------------------------------------------------
+
+WEEK_S = 7 * 24 * 3600
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the week of
+    their FIRST ``signup`` event; a cohort member is retained in week
+    offset k if they have ANY event in cohort_week + k. Output is the
+    classic retention triangle — (cohort_week, week_offset, n_users) —
+    with offset 0 counting the cohort itself (every member has at least
+    the signup event there).
+
+    Scale shape: the signup-min aggregation and the activity join share
+    the user_id key (one co-partitioned shuffle pair), the per-(user,
+    cohort, offset) distinct folds map-side into its own aggregation, and
+    the final matrix is cohort-cardinality-sized. Pre-signup activity
+    (offset < 0) is excluded — retention counts forward from the cohort
+    week only.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    week = lambda c: F.floor(c.cast("double") / F.lit(float(WEEK_S)))  # noqa: E731
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .select("user_id", week(F.col("t0")).alias("cohort_week"))
+    )
+    act = (
+        ev.join(su, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+EVENTS_COHORT_ORACLE = f"""
+WITH su AS (
+    SELECT user_id,
+           CAST(floor(epoch(min(ts)) / {WEEK_S}) AS BIGINT) AS cohort_week
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+    SELECT DISTINCT e.user_id, su.cohort_week,
+           CAST(floor(epoch(e.ts) / {WEEK_S}) AS BIGINT) - su.cohort_week
+               AS week_offset
+    FROM events e JOIN su USING (user_id)
+)
+SELECT cohort_week, week_offset, count(*) AS n_users
+FROM act WHERE week_offset >= 0
+GROUP BY cohort_week, week_offset
+"""

@@ -116,6 +116,7 @@ STAGED_NEXT_ROUND = (
     "text_gopher_rules",
     "embedding_quantize_int8",
     "events_funnel",
+    "events_cohort_retention",
 )
 
 
@@ -418,6 +419,10 @@ def _specs() -> dict[str, QuerySpec]:
             similarity.EMBEDDING_QUANTIZE_ORACLE,
         ),
         "events_funnel": (temporal.events_funnel, temporal.EVENTS_FUNNEL_ORACLE),
+        "events_cohort_retention": (
+            temporal.events_cohort_retention,
+            temporal.EVENTS_COHORT_ORACLE,
+        ),
     }
     return specs
 

@@ -354,3 +354,47 @@ def test_ngram_jaccard_matches_python_reference(spark):
         tables.load_table = orig
         D.load_table = orig
         D.NGRAM_DF_CAP = orig_cap
+
+
+def test_cohort_retention_semantics(spark):
+    import datetime as dt
+
+    from mapreduce_hadoop_spark.operators import temporal
+
+    W = temporal.WEEK_S
+    base = dt.datetime(2024, 1, 4)  # mid-week; week index constant nearby
+
+    def ev(uid, typ, weeks):
+        return (uid, typ, base + dt.timedelta(seconds=int(weeks * W)))
+
+    rows = [
+        # u1 signs up week 0, active weeks 0, 1 and 3 (two events in week 1
+        # must count once)
+        ev(1, "signup", 0), ev(1, "click", 1.1), ev(1, "view", 1.2), ev(1, "click", 3.0),
+        # u2: pre-signup activity (offset < 0) is excluded; two signups ->
+        # cohort = first
+        ev(2, "click", -1.5), ev(2, "signup", 0.1), ev(2, "signup", 2.0),
+        # u3: never signs up -> not in any cohort
+        ev(3, "click", 0.2),
+    ]
+    df = spark.createDataFrame(rows, "user_id: bigint, event_type: string, ts: timestamp")
+    import mapreduce_hadoop_spark.operators.temporal as T
+    import mapreduce_hadoop_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf_dir, name: df  # type: ignore
+        T.load_table = tables.load_table
+        out = {
+            (r["cohort_week"] - rows[0][2].timestamp() // W, r["week_offset"]): r["n_users"]
+            for r in T.events_cohort_retention(spark, "unused").collect()
+        }
+    finally:
+        tables.load_table = orig
+        T.load_table = orig
+    # u1 and u2 share cohort week 0 (both first-signups fall in it)
+    assert out[(0, 0)] == 2
+    assert out[(0, 1)] == 1  # u1 only, week-1 double activity counted once
+    assert out[(0, 2)] == 1  # u2's second signup is week-2 activity
+    assert out[(0, 3)] == 1  # u1
+    assert (0, -2) not in out and all(k[1] >= 0 for k in out)

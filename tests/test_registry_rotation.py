@@ -35,7 +35,7 @@ def test_head_window_size_and_total():
     names = _names()
     assert len(names) >= registry.DRIVER_WINDOW, len(names)
     # The registered surface only grows; update alongside new queries.
-    assert len(names) == 87, len(names)
+    assert len(names) == 88, len(names)
 
 
 def test_hash_identical_rewrites_pinned():
