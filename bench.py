@@ -138,7 +138,10 @@ def main() -> None:
                 "note": (
                     "r4 trip-pipeline regression not reproducible: 3 passes "
                     "totaled 18.299/18.858/17.505s, suspect queries within "
-                    "~1.2x of r3 (e.g. histogram 0.36 vs r4's 0.92); VM noise"
+                    "~1.2x of r3 (e.g. histogram 0.36 vs r4's 0.92); VM noise. "
+                    "Late r5: ngram-jaccard/contamination/near-dup-LSH/simhash "
+                    "pair plans rewritten hash-identically (3.2x/9x/2x/neutral "
+                    "at sf1); only dedup_simhash is in this headline set"
                 ),
             }
         )
