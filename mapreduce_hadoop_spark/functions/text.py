@@ -60,3 +60,24 @@ def occurrence_count(toks: Column, words: list[str]) -> Column:
 def occurrence_count_sql(toks_expr: str, words: list[str]) -> str:
     lit_list = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter({toks_expr}, t -> t IN ({lit_list})))"
+
+
+_ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def contains_letter(tok: Column) -> Column:
+    """True iff the token contains an ASCII letter — value-identical to
+    ``tok.rlike("[A-Za-z]")`` but via ``translate`` (a table lookup per
+    char) instead of a regex engine invocation per token."""
+    return F.translate(tok, _ASCII_LETTERS, "") != tok
+
+
+def distinct_shingle_count(text: Column | str, k: int = 3) -> Column:
+    """len(distinct k-shingles) — value-identical to ``size(shingles(...))``
+    but skips the canonical ``array_sort`` (a count does not need order;
+    measured ~20% of the shingle pipeline's cost)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.when(n >= F.lit(k), F.size(F.array_distinct(sh))).otherwise(F.lit(0))

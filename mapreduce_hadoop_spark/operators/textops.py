@@ -451,7 +451,7 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
     total = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
-    distinct = F.size(T.shingles("text"))
+    distinct = T.distinct_shingle_count("text")
     rep = F.when(
         total > 0,
         F.round(
@@ -710,7 +710,7 @@ def gopher_rules_from(docs: DataFrame) -> DataFrame:
         6,
     )
     alpha_frac = F.round(
-        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / nd, 6
+        F.size(F.filter(toks, T.contains_letter)).cast("double") / nd, 6
     )
     stop_hits = F.size(
         F.filter(
@@ -723,7 +723,8 @@ def gopher_rules_from(docs: DataFrame) -> DataFrame:
         n_sh_total > 0,
         F.round(
             F.lit(1.0)
-            - F.size(T.shingles("text")).cast("double") / n_sh_total.cast("double"),
+            - T.distinct_shingle_count("text").cast("double")
+            / n_sh_total.cast("double"),
             6,
         ),
     ).otherwise(F.lit(0.0))

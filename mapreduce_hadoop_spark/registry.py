@@ -106,6 +106,7 @@ REWRITTEN_HASH_IDENTICAL = (
     "dedup_ngram_jaccard",  # one-shuffle hashed-shingle buckets (3.2x at sf1)
     "contamination_check",  # hash-before-explode (9x at sf1)
     "similarity_near_dup_lsh",  # in-row first-band dedup (2x at sf1)
+    "text_repetition_score",  # sort-free distinct-shingle count (same hash)
 )
 
 # Rule 1b: registered after the round-5 head filled; no driver row yet,

@@ -50,6 +50,7 @@ def test_hash_identical_rewrites_pinned():
         "dedup_ngram_jaccard": "cc6600e4843093d1",
         "contamination_check": "4fc915fb0d2fd249",
         "similarity_near_dup_lsh": "5e24e299b692c3af",
+        "text_repetition_score": "288c28eb238a2fd1",
     }
     assert set(pre_rewrite) == set(registry.REWRITTEN_HASH_IDENTICAL)
     with open(os.path.join(REPO_ROOT, "GATE_sf0.01_r5.log")) as f:
