@@ -677,13 +677,27 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = _dvec("embedding")
-    scale = F.array_max(F.transform(v, F.abs)) / F.lit(float(QUANT_LEVELS))
-    codes = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
-        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
-    )
-    return emb.select(
+    # Bind the scale to a column BEFORE the code lambda references it: an
+    # aggregate expression inlined into transform() re-evaluates per
+    # element (64 array_max passes per vector here — measured 10x the
+    # whole operator's cost at sf10). Columns bound in a prior projection
+    # evaluate once per row.
+    scaled = emb.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
+        v.alias("v"),
+        (F.array_max(F.transform(v, F.abs)) / F.lit(float(QUANT_LEVELS))).alias(
+            "scale_raw"
+        ),
+    )
+    sc = F.col("scale_raw")
+    codes = F.when(
+        sc == 0.0, F.transform(F.col("v"), lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(F.col("v"), lambda x: F.floor(x / sc + F.lit(0.5)).cast("int"))
+    )
+    return scaled.select(
+        "vec_id",
+        F.round(sc, 6).alias("scale"),
         F.posexplode(codes).alias("pos", "code"),
     ).select("vec_id", (F.col("pos") + 1).alias("i"), "code", "scale")
 
