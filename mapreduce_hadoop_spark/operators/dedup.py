@@ -588,6 +588,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+    # Strict-inequality guard: if two distinct shingles within the SAME
+    # document ever collided in 60-bit space, the bucket would hold that
+    # doc_id twice and sorted-adjacent pair generation would emit a
+    # doc_a == doc_b self-pair — which the oracle's self-join (strict
+    # doc_id inequality) can never produce. ~2^-60 per shingle pair, but
+    # the filter is free (doc_a <= doc_b already holds from the sort).
+    pairs = pairs.filter(F.col("doc_a") != F.col("doc_b"))
     co = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
         F.count(F.lit(1)).alias("common")
     )
@@ -679,9 +686,6 @@ GROUP BY doc_id, n_sh
 # C4 deduplicates exact lines across documents; this corpus is single-line,
 # so the unit of repetition is a fixed token window instead.
 SPAN_TOKENS = 16
-# ord = doc_id * SPAN_ORD_BASE + span_id must be collision-free: holds for
-# any document under SPAN_ORD_BASE * SPAN_TOKENS tokens (16M here).
-SPAN_ORD_BASE = 1_000_000
 
 
 def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,7 +698,7 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: spans are hashed to 60-bit longs in-row (no span strings
     leave the map side), then ONE shuffle on span hash feeds a window min
-    of the encoded (doc_id, span_id) order; the per-doc rollup is the only
+    of the (doc_id, span_id) struct order; the per-doc rollup is the only
     other exchange. No joins, no collects; hot spans (boilerplate repeated
     corpus-wide) concentrate on single hash keys, but each key's state is
     a single running min — O(1) per key, skew-safe.
@@ -719,7 +723,13 @@ def span_dedup_stats_from(docs: DataFrame) -> DataFrame:
             F.array_join(F.slice(F.col("toks"), F.col("start"), SPAN_TOKENS), " ")
         ).alias("span_h"),
     )
-    ord_ = F.col("doc_id") * F.lit(SPAN_ORD_BASE) + F.col("span_id")
+    # First occurrence = window min of the (doc_id, span_id) STRUCT —
+    # structs order lexicographically in both engines, so correctness does
+    # not hinge on any encoded-integer document-length invariant (an
+    # earlier doc_id * 10^6 + span_id encoding silently mis-ranked
+    # documents past 16M tokens; pathological documents occur at corpus
+    # scale, so the unchecked bound had to go).
+    ord_ = F.struct(F.col("doc_id"), F.col("span_id"))
     w = Window.partitionBy("span_h")
     marked = spans.select(
         "doc_id",
@@ -749,9 +759,8 @@ sp AS (
 ),
 m AS (
     SELECT doc_id,
-           CASE WHEN min(doc_id * {SPAN_ORD_BASE} + span_id)
-                     OVER (PARTITION BY span_h)
-                <> doc_id * {SPAN_ORD_BASE} + span_id THEN 1 ELSE 0 END AS d
+           CASE WHEN min(ROW(doc_id, span_id)) OVER (PARTITION BY span_h)
+                <> ROW(doc_id, span_id) THEN 1 ELSE 0 END AS d
     FROM sp
 )
 SELECT doc_id, count(*) AS n_spans,

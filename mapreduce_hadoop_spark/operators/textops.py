@@ -661,9 +661,9 @@ LIMIT {VOCAB_TOP_K}
 
 # Rule thresholds after Gopher (Rae et al. 2021, "Scaling Language Models",
 # table A1) — the published heuristic filter suite for web-scale pretraining
-# corpora. Word-count bounds are scaled to this corpus's short synthetic
-# documents (Gopher used 50..100k on web pages; the rule machinery, not the
-# constants, is the operator).
+# corpora. Word-count bounds are the published Gopher values, used
+# UNCHANGED (50..100k); only the required-stopword list is corpus-adapted
+# (see GOPHER_STOPWORDS below).
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 GOPHER_MWL_MIN = 3.0
