@@ -121,6 +121,80 @@ WHERE doc_id <> keep_doc_id
 """
 
 
+# --- normalized exact dedup (C4/CCNet normalize-then-hash) -------------------
+
+# Normalization identical to textops.text_normalize: strip URLs, lowercase,
+# collapse whitespace runs, trim — then hash. Catches the near-trivial
+# variants (case, spacing, tracking URLs appended) that raw exact dedup
+# misses but that dominate real crawl duplication.
+_NORM_URL_RE = r"https?://\S+"
+_NORM_WS_RE = r"\s+"
+
+
+def _variant_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus + synthetic trivial variants: every doc_id % 7 == 0 document
+    reappears under doc_id + 2000000, uppercased, padded with whitespace,
+    and with a URL appended — byte-distinct, normalization-identical."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.upper(F.col("text")), F.lit(" https://track.example/q?id=1 ")
+        ).alias("text"),
+    )
+    return d.unionAll(variants)
+
+
+_VARIANT_DOCS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id,
+       '  ' || upper(text) || ' https://track.example/q?id=1 ' AS text
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dup_doc_id, keep_doc_id) under normalize-then-hash equality.
+
+    Scale shape identical to ``exact_dedup`` — the normalization is
+    map-only codegen'd expression work fused into the scan, then ONE
+    shuffle on the 60-bit hash of the normalized text. At 100 TB the only
+    data crossing the wire is (doc_id, hash) pairs, never text.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(F.col("text"), _NORM_URL_RE, "")),
+            _NORM_WS_RE,
+            " ",
+        )
+    )
+    docs = _variant_docs(spark, sf_dir).select("doc_id", md5_long(norm).alias("h"))
+    keep = docs.groupBy("h").agg(F.min("doc_id").alias("keep_doc_id"))
+    return (
+        docs.join(keep, "h")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select(F.col("doc_id").alias("dup_doc_id"), "keep_doc_id")
+    )
+
+
+EXACT_DEDUP_NORMALIZED_ORACLE = f"""
+WITH d AS ({_VARIANT_DOCS_SQL}),
+h AS (
+    SELECT doc_id,
+           {md5_long_sql(
+               "trim(regexp_replace(lower(regexp_replace(text, '" + _NORM_URL_RE
+               + "', '', 'g')), '" + _NORM_WS_RE + "', ' ', 'g'))"
+           )} AS h
+    FROM d
+),
+keep AS (SELECT h, min(doc_id) AS keep_doc_id FROM h GROUP BY h)
+SELECT doc_id AS dup_doc_id, keep_doc_id
+FROM h JOIN keep USING (h)
+WHERE doc_id <> keep_doc_id
+"""
+
+
 # --- shared shingle views --------------------------------------------------
 
 

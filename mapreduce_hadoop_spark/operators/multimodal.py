@@ -12,10 +12,15 @@ dimensions from the byte stream so the full mapInPandas plumbing stays
 oracle-checkable. ``real_decode=True`` is REAL for metadata: a pure-stdlib
 container-header parse (PNG IHDR / JPEG SOFn / GIF logical screen) reads
 width x height from the actual bytes — no PIL needed; payloads that are
-not a recognized image container yield NULL dimensions. Codec-quality
-PIXEL decode (and so real resizing) still requires PIL/ffmpeg, absent in
-this container; ``resize_media(real_resize=True)`` raises at the exact
-point a deployment would wire the resampler.
+not a recognized image container yield NULL dimensions.
+
+PIXEL decode is REAL for 8-bit grayscale PNG: ``_png_decode_gray`` does
+the stdlib zlib inflate + complete scanline unfilter
+(None/Sub/Up/Average/Paeth), and ``resize_media(real_resize=True)``
+nearest-neighbor-resamples the actual pixels (``media_real_resize`` is
+the oracle-checked end-to-end round-trip). JPEG/GIF/video pixel decode
+still needs a codec library (libjpeg/ffmpeg), absent in this container —
+those payloads yield NULL dimensions on the real path, never a throw.
 """
 
 from __future__ import annotations
@@ -203,6 +208,151 @@ def _png_bytes(width: int, height: int) -> bytes:
     )
 
 
+def _png_bytes_patterned(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid 8-bit grayscale PNG whose pixel (x, y) value is
+    ``(3*x + 7*y + seed) % 256``, with scanline filters cycling through all
+    five PNG filter types (None/Sub/Up/Average/Paeth by row index) so a
+    decoder must implement the complete unfilter suite to reproduce the
+    pattern. Stdlib only; the inverse lives in ``_png_decode_gray``."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prev = [0] * width
+    for y in range(height):
+        row = [(3 * x + 7 * y + seed) % 256 for x in range(width)]
+        ft = y % 5
+        raw.append(ft)
+        for x in range(width):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - left
+            elif ft == 2:
+                v = row[x] - up
+            elif ft == 3:
+                v = row[x] - (left + up) // 2
+            else:
+                v = row[x] - paeth(left, up, ul)
+            raw.append(v % 256)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode_gray(payload: bytes) -> "list[list[int]] | None":
+    """REAL pixel decode for 8-bit non-interlaced grayscale PNG, stdlib
+    only: chunk walk -> concatenated-IDAT zlib inflate -> full scanline
+    unfilter (None/Sub/Up/Average/Paeth). Returns the pixel rows, or None
+    for anything that is not a well-formed PNG of that profile (other
+    color types / bit depths / interlacing need a codec library; a decode
+    stage over crawl data must tolerate them, never throw)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    width = height = None
+    idat = bytearray()
+    i, n = 8, len(payload)
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) < length:
+            return None
+        if tag == b"IHDR":
+            if length != 13:
+                return None
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 0 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + length  # len + tag + data + crc
+    if not width or not height or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != height * (width + 1):
+        return None
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    rows: list[list[int]] = []
+    prev = [0] * width
+    for y in range(height):
+        off = y * (width + 1)
+        ft = raw[off]
+        if ft > 4:
+            return None
+        line = raw[off + 1 : off + 1 + width]
+        row = [0] * width
+        for x in range(width):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + left
+            elif ft == 2:
+                v = line[x] + up
+            elif ft == 3:
+                v = line[x] + (left + up) // 2
+            else:
+                v = line[x] + paeth(left, up, ul)
+            row[x] = v % 256
+        rows.append(row)
+        prev = row
+    return rows
+
+
+def _nn_resize(rows: "list[list[int]]", out_w: int, out_h: int) -> "list[list[int]]":
+    """Nearest-neighbor resample with pure floor index mapping
+    (src = (dst * src_extent) // dst_extent) — integer-exact, so an oracle
+    can predict every output pixel."""
+    h, w = len(rows), len(rows[0])
+    return [
+        [rows[(i * h) // out_h][(j * w) // out_w] for j in range(out_w)]
+        for i in range(out_h)
+    ]
+
+
 def _gif_bytes(width: int, height: int) -> bytes:
     """A complete, spec-valid GIF89a (logical screen, 2-color table, one
     1-bit LZW-coded frame, trailer) of the given dimensions, stdlib only."""
@@ -344,41 +494,140 @@ RESIZE_BOX = 32  # aspect-fit target box (stand-in for a thumbnail pipeline)
 
 
 def resize_media(media: DataFrame, real_resize: bool = False) -> DataFrame:
-    """Arrow-batched 'resize': aspect-fit the (fake-)decoded dimensions into
-    a RESIZE_BOX square. The pixel transform is the marked stub; the
-    dimension arithmetic, batch shape and typed output are the real
-    plumbing a thumbnailing stage needs."""
+    """Arrow-batched resize: aspect-fit into a RESIZE_BOX square.
+
+    ``real_resize=False`` (default): dimensions come from the deterministic
+    fake decoder — the oracle-checkable plumbing twin.
+    ``real_resize=True``: REAL pixel-level decode + resample for 8-bit
+    grayscale PNG payloads — stdlib inflate, full scanline unfilter
+    (None/Sub/Up/Average/Paeth), nearest-neighbor resample — emitting an
+    extra ``px_sum`` column (sum of resampled pixel values, the verifiable
+    fingerprint of the pixel path). Payloads that are not that PNG profile
+    (JPEG/video/GIF pixel decode still needs a codec library) yield NULL
+    dimensions and NULL px_sum, the tolerate-don't-throw crawl contract.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if real_resize:
-                raise NotImplementedError(
-                    "real resizing needs pixel decode (PIL/ffmpeg), absent "
-                    "in this container; header metadata IS real — see "
-                    "decode_media(real_decode=True). Wire the resampler here"
-                )
             rows = []
             for doc_id, mime, payload in zip(
                 pdf["doc_id"], pdf["mime"], pdf["payload"]
             ):
-                w, h = _fake_dimensions(payload)
-                scale = min(RESIZE_BOX / w, RESIZE_BOX / h)
-                rows.append(
-                    (int(doc_id), mime, w, h, int(w * scale), int(h * scale))
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "mime", "width", "height", "out_w", "out_h"],
-            )
+                if real_resize:
+                    px = _png_decode_gray(bytes(payload))
+                    if px is None:
+                        rows.append((int(doc_id), mime, None, None, None, None, None))
+                        continue
+                    h, w = len(px), len(px[0])
+                    scale = min(RESIZE_BOX / w, RESIZE_BOX / h)
+                    ow, oh = int(w * scale), int(h * scale)
+                    out = _nn_resize(px, ow, oh)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            mime,
+                            w,
+                            h,
+                            ow,
+                            oh,
+                            sum(v for r in out for v in r),
+                        )
+                    )
+                else:
+                    w, h = _fake_dimensions(payload)
+                    scale = min(RESIZE_BOX / w, RESIZE_BOX / h)
+                    rows.append(
+                        (int(doc_id), mime, w, h, int(w * scale), int(h * scale))
+                    )
+            cols = ["doc_id", "mime", "width", "height", "out_w", "out_h"]
+            if real_resize:
+                pdf_out = pd.DataFrame(rows, columns=cols + ["px_sum"])
+                for c in ("width", "height", "out_w", "out_h"):
+                    pdf_out[c] = pd.array(pdf_out[c], dtype="Int32")
+                pdf_out["px_sum"] = pd.array(pdf_out["px_sum"], dtype="Int64")
+            else:
+                pdf_out = pd.DataFrame(rows, columns=cols)
+            yield pdf_out
 
-    return media.mapInPandas(
-        batches,
-        schema="doc_id bigint, mime string, width int, height int, out_w int, out_h int",
-    )
+    schema = "doc_id bigint, mime string, width int, height int, out_w int, out_h int"
+    if real_resize:
+        schema += ", px_sum bigint"
+    return media.mapInPandas(batches, schema=schema)
 
 
 def media_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(media_table(spark, sf_dir))
+
+
+def patterned_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mime, payload) with a spec-valid patterned PNG per doc:
+    pixel (x, y) = (3x + 7y + doc_id) % 256, scanline filters cycling
+    through all five PNG filter types. The encode runs Arrow-batched in
+    the plan (map-only, narrow doc_id scan)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = (d % 64) + 16
+                h = (d // 64) % 64 + 16
+                rows.append((d, "image/png", _png_bytes_patterned(w, h, d)))
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "payload"])
+
+    return docs.mapInPandas(batches, schema="doc_id bigint, mime string, payload binary")
+
+
+def media_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel path, end-to-end and driver-verifiable: synthesize a
+    patterned PNG per document (all five scanline filter types), then
+    ``resize_media(real_resize=True)`` — stdlib inflate + full unfilter +
+    nearest-neighbor resample. The oracle predicts the resampled pixel SUM
+    in closed form from doc_id alone, so the hash only matches if encoder
+    filtering, zlib round-trip, every unfilter branch, and the floor-index
+    resampling are all correct at the pixel level.
+
+    100 TB shape: two pipelined map-only Arrow stages over a narrow
+    doc_id scan; payloads never leave the executor or cross a shuffle.
+    """
+    return resize_media(patterned_media_table(spark, sf_dir), real_resize=True)
+
+
+# Closed-form pixel-sum prediction for media_real_resize: the resampled
+# pixel at (i, j) is pattern((j*w)//ow, (i*h)//oh), so the sum is exactly
+# computable from doc_id — any defect in filtering, inflate, unfilter, or
+# index mapping changes px_sum.
+MEDIA_REAL_RESIZE_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           (doc_id % 64) + 16 AS w,
+           ((doc_id // 64) % 64) + 16 AS h
+    FROM documents
+),
+s AS (
+    SELECT doc_id, w, h,
+           CAST(trunc(w * least({RESIZE_BOX}.0 / w, {RESIZE_BOX}.0 / h)) AS INT) AS ow,
+           CAST(trunc(h * least({RESIZE_BOX}.0 / w, {RESIZE_BOX}.0 / h)) AS INT) AS oh
+    FROM d
+),
+g AS (SELECT doc_id, w, h, ow, oh,
+             unnest(generate_series(0, oh - 1)) AS i
+      FROM s),
+g2 AS (SELECT doc_id, w, h, ow, oh, i,
+              unnest(generate_series(0, ow - 1)) AS j
+       FROM g)
+SELECT doc_id,
+       'image/png' AS mime,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       ow AS out_w,
+       oh AS out_h,
+       CAST(sum((3 * ((j * w) // ow) + 7 * ((i * h) // oh) + doc_id) % 256)
+            AS BIGINT) AS px_sum
+FROM g2
+GROUP BY doc_id, w, h, ow, oh
+"""
 
 
 MEDIA_RESIZE_ORACLE = f"""

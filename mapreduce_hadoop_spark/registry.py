@@ -43,20 +43,38 @@ head size, that every CHANGED_THIS_ROUND entry is in the head, and that
 every tail entry has a row in the newest committed CORRECTNESS_r*.json —
 so a forgotten rotation fails the suite instead of aging silently.
 
-Round-5 application: the 25 round-3-green tail entries rotate back into
-the head (their r3 rows would otherwise age past the policy bound), as
-does everything in CHANGED_THIS_ROUND — the eight queries touched this
-round (concurrency single-pass rewrite, keep-best left-join, PII pattern
-broadening, trigram-probe rewrite, range-join/IVF cache keying,
-multimodal decode/resize internals) and the eight NEW queries
-(timeout-twin trip stream, curation-sampling trio, real media
-round-trip, full-outer reconcile, correlated-subquery SQL, vocabulary).
-The reference surface stays in-window as always; the tail is unchanged
-round-4-green queries. Late in round 5 (head already full) four
-candidate-pair plans were rewritten hash-identically (rule 1a,
-``REWRITTEN_HASH_IDENTICAL``; ``dedup_simhash`` was still head-resident
-so it simply joined ``CHANGED_THIS_ROUND``) and three new corpus
-operators were registered under rule 1b (``STAGED_NEXT_ROUND``).
+Registry size policy (round 6 on)
+---------------------------------
+The driver window is fixed at 50 and the rotation cadence is 2 rounds,
+so the policy bound "no query goes more than one round without a driver
+row" is satisfiable only while
+
+    len(registry) <= 2 * DRIVER_WINDOW - CHANGE_RESERVE
+
+where CHANGE_RESERVE head slots per round are held back for queries that
+changed while already carrying a fresh row, plus genuinely new queries
+(historically 4-8 per round). ``MAX_REGISTRY`` (= 92) encodes this and
+``tests/test_registry_rotation.py`` asserts it: past the cap, adding a
+query requires RETIRING one. Round 6 retired two redundant demo twins on
+this basis: ``multimodal_decode_stub`` (superseded by the strictly
+stronger ``multimodal_real_roundtrip`` + ``multimodal_real_resize``,
+whose oracles check the REAL byte paths end-to-end; the fake-decode
+plumbing remains exercised by ``multimodal_resize_stub``) and
+``airport_trips_microbatch`` (its batch-boundary replay stays pinned
+bit-identical to ``airport_trips_parity``'s golden fixture in
+``tests/test_streaming_trips.py``; the registry keeps the parity and
+timeout variants).
+
+Round-6 application: the 32 remaining round-4-green tail entries rotate
+into the head, plus the five rule-1b staged queries (first driver rows),
+plus the four late-r5 rule-1a rewrites (fresh rows retire their pinned
+pre-rewrite hashes — both tuples are now EMPTY), the always-in-window
+reference surface, the queries touched this round (shingle zip_with
+rewrite consumers, struct-ordered span dedup, real pixel resize), and
+the two NEW queries (``multimodal_real_resize``,
+``dedup_exact_normalized``). The tail is exactly the round-5-green
+remainder. The head is now an explicit tuple (``HEAD``) and _specs()
+definition order no longer matters — rotating = editing HEAD.
 """
 
 from __future__ import annotations
@@ -70,54 +88,110 @@ QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 # How many leading registry entries the driver's correctness check covers.
 DRIVER_WINDOW = 50
 
+# Head slots per round reserved for changed-while-fresh + new queries; the
+# registry may not grow past MAX_REGISTRY or the 2-round rotation cadence
+# stops being satisfiable (see the size policy in the module docstring).
+CHANGE_RESERVE = 8
+MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
+
 # The build round this registry ordering was arranged FOR. Bump this when
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 5
+ROUND = 6
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row.
 CHANGED_THIS_ROUND = (
-    "trips_concurrency",  # single-pass delta emission (explode)
-    "dedup_keep_best",  # left-join quality + NULLS LAST tie rule
-    "text_pii_scrub",  # broadened phone pattern + guard groups
-    "views_before_purchase_range_join",  # realpath-keyed probe cache
-    "similarity_topk_ivf_trained",  # realpath-keyed centroid cache
-    "multimodal_decode_stub",  # nullable-dtype batch construction
-    "multimodal_resize_stub",  # stub message references header decode
-    "airport_trips_timeout",  # NEW: timeout variant's batch twin
-    "corpus_weighted_sample",  # NEW: derandomized A-Res weighted sample
-    "corpus_train_split",  # NEW: deterministic 90/5/5 hash split
-    "corpus_domain_quota",  # NEW: per-source quality top-N quota
-    "multimodal_real_roundtrip",  # NEW: valid PNG/GIF encode -> real decode
-    "customer_activity_reconcile",  # NEW: full-outer aggregate reconcile
-    "sql_orders_above_customer_avg",  # NEW: correlated scalar subquery
-    "corpus_vocab_topk",  # NEW: tokenizer-prep vocabulary table
-    "text_language_id_ngram",  # trigram probes rewrite (same hash, 6.8x)
-    "dedup_simhash",  # in-row first-block dedup replaces distinct (same hash)
+    # zip_with shingle-string rewrite (hash-identical, verified sf0.01):
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_keep_best",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",  # + strict doc_a != doc_b self-pair guard
+    "contamination_check",
+    "text_fingerprints",
+    "text_repetition_score",
+    "text_gopher_rules",  # + published-bounds comment fix
+    "text_span_dedup",  # struct-ordered first occurrence (no 16M-token bound)
+    "multimodal_resize_stub",  # resize_media real path rebuilt (stub output unchanged)
+    "multimodal_real_resize",  # NEW: real PNG pixel decode + NN resample
+    "dedup_exact_normalized",  # NEW: normalize-then-hash exact dedup
 )
 
 # Rule 1a: plan rewrites landed after the head filled, output value-hash
-# unchanged at every gate scale (sf0.01 hashes pinned in
-# tests/test_registry_rotation.py; sf1 additionally exceptAll-verified
-# against the pre-rewrite plan). Their round-4 driver rows still bind.
-REWRITTEN_HASH_IDENTICAL = (
-    "dedup_ngram_jaccard",  # one-shuffle hashed-shingle buckets (3.2x at sf1)
-    "contamination_check",  # hash-before-explode (9x at sf1)
-    "similarity_near_dup_lsh",  # in-row first-band dedup (2x at sf1)
-    "text_repetition_score",  # sort-free distinct-shingle count (same hash)
-)
+# unchanged at every gate scale. EMPTY this round: the four late-r5
+# rewrites rotated into the head and their fresh driver rows retire the
+# pinned pre-rewrite hashes. When non-empty, the committed sf0.01 gate
+# log must carry a `# SRCHASH` line matching the current operator tree
+# (tests/test_registry_rotation.py) so a post-rewrite commit cannot be
+# pinned against a stale log.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
-# Rule 1b: registered after the round-5 head filled; no driver row yet,
-# gate-verified at five scales this round. Round-6 builder: rotate these
-# into the head FIRST and clear this tuple.
-STAGED_NEXT_ROUND = (
+# Rule 1b: registered after this round's head filled; no driver row yet.
+# EMPTY this round: all five round-5 staged queries are in the head.
+STAGED_NEXT_ROUND: tuple[str, ...] = ()
+
+# Driver-window head, in order, for ROUND above. Composition: 32 round-4-
+# green rotations + 5 staged first-rows + 7 reference surface (always in
+# window) + 4 changed-while-fresh + 2 new.
+HEAD = (
+    # Reference surface (O1-O23) — always in-window.
+    "trip_length_histogram",
+    "segments_clean_positions",
+    "trips_sessionize_window",
+    "airport_trips_window",
+    "airport_trips_parity",
+    "daily_revenue",
+    "total_revenue",
+    # Rule-1b staged last round: first driver rows.
     "text_span_dedup",
     "text_gopher_rules",
     "embedding_quantize_int8",
     "events_funnel",
     "events_cohort_retention",
+    # Changed this round while carrying fresh r5 rows (rule 1).
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_keep_best",
+    "multimodal_resize_stub",
+    # New this round (rule 1).
+    "multimodal_real_resize",
+    "dedup_exact_normalized",
+    # Round-4-green tail rotations (rule 2; includes the four late-r5
+    # rule-1a rewrites, whose fresh rows retire their pinned hashes).
+    "corpus_clean_stats",
+    "events_daily_by_type",
+    "market_segment_balance",
+    "text_fingerprints",
+    "text_tfidf_top_terms",
+    "text_document_chunks",
+    "text_normalize",
+    "text_repetition_score",
+    "similarity_topk_bruteforce",
+    "similarity_topk_filtered",
+    "similarity_topk_lsh",
+    "similarity_near_dup_lsh",
+    "similarity_topk_ivf",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "events_rollup",
+    "purchase_asof_view",
+    "event_props_json",
+    "distinct_users_daily",
+    "approx_distinct_users_daily",
+    "segment_customer_setops",
+    "contamination_check",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "shipping_priority",
+    "text_quality_score",
+    "text_token_counts",
+    "events_session_window",
 )
 
 
@@ -142,8 +216,8 @@ def _specs() -> dict[str, QuerySpec]:
     from mapreduce_hadoop_spark.streaming import sessions, trips
 
     specs: dict[str, QuerySpec] = {
-        # --- Driver-window head (first DRIVER_WINDOW) ---------------------
-        # Rotated in this round: last driver row is round 3 (rule 2).
+        # Definition order is IRRELEVANT — the HEAD tuple above imposes the
+        # driver-window ordering at the bottom of this function.
         "events_cube": (relational_ext.events_cube, relational_ext.EVENTS_CUBE_ORACLE),
         "customer_balance_windows": (
             relational_ext.customer_balance_windows,
@@ -229,7 +303,6 @@ def _specs() -> dict[str, QuerySpec]:
             sqlapi.sql_revenue_by_nation,
             sqlapi.SQL_REVENUE_BY_NATION_ORACLE,
         ),
-        # Changed this round (rule 1) — see CHANGED_THIS_ROUND.
         "trips_concurrency": (
             temporal.trips_concurrency,
             temporal.TRIPS_CONCURRENCY_ORACLE,
@@ -243,13 +316,24 @@ def _specs() -> dict[str, QuerySpec]:
         # K-means training is not SQL-expressible -> rows-only; recall vs
         # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
         "similarity_topk_ivf_trained": (similarity.topk_ivf_trained, None),
-        "multimodal_decode_stub": (
-            multimodal.media_decode_query,
-            multimodal.MEDIA_DECODE_ORACLE,
-        ),
+        # multimodal_decode_stub RETIRED round 6 (size policy): superseded
+        # by multimodal_real_roundtrip + multimodal_real_resize; the fake
+        # decoder's plumbing stays oracle-checked via multimodal_resize_stub.
         "multimodal_resize_stub": (
             multimodal.media_resize_query,
             multimodal.MEDIA_RESIZE_ORACLE,
+        ),
+        # Real pixel path: patterned PNG encode -> zlib inflate + full
+        # unfilter -> NN resample; oracle predicts the pixel SUM in closed
+        # form, so the hash verifies the pixel-level decode end-to-end.
+        "multimodal_real_resize": (
+            multimodal.media_real_resize,
+            multimodal.MEDIA_REAL_RESIZE_ORACLE,
+        ),
+        # Normalize-then-hash exact dedup (C4/CCNet first pass).
+        "dedup_exact_normalized": (
+            dedup.exact_dedup_normalized,
+            dedup.EXACT_DEDUP_NORMALIZED_ORACLE,
         ),
         # NEW this round: batch twin of the event-time-timeout trip stream
         # (the production variant: bounded state, trailing trips flushed at
@@ -315,15 +399,9 @@ def _specs() -> dict[str, QuerySpec]:
         "airport_trips_parity": (sessionize.airport_trips_parity_query, None),
         "daily_revenue": (revenue.daily_revenue_query, revenue.DAILY_ORACLE),
         "total_revenue": (revenue.total_revenue_query, revenue.TOTAL_ORACLE),
-        # Remaining head slots (rule 2 fill, all round-4 rows).
         "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
         "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
         "corpus_clean_stats": (corpus.corpus_clean_stats, corpus.CORPUS_CLEAN_ORACLE),
-        # --- Past the DRIVER_WINDOW ---------------------------------------
-        # Everything below is UNCHANGED this round and carries a green (or
-        # documented rows-only) CORRECTNESS_r04 row; tools/check_oracle.py
-        # still gates all of it locally every round (committed GATE_*.log).
-        # Per the rotation policy these rotate back into the head next round.
         "events_daily_by_type": (
             analytics.events_daily_by_type,
             analytics.EVENTS_DAILY_ORACLE,
@@ -401,18 +479,16 @@ def _specs() -> dict[str, QuerySpec]:
         ),
         "text_quality_score": (textops.quality_score, textops.QUALITY_ORACLE),
         "text_token_counts": (textops.token_counts, textops.TOKEN_COUNTS_ORACLE),
-        # Streaming trip machine, batch-twin form: replays the reducer
-        # carrier across simulated micro-batch boundaries. Order-dependent
-        # stateful fold -> rows-only; bit-identity to the parity path (and
-        # its committed golden fixture) pinned in tests/test_streaming_trips.py.
-        "airport_trips_microbatch": (trips.airport_trips_microbatch, None),
+        # airport_trips_microbatch RETIRED round 6 (size policy): its
+        # micro-batch-boundary replay stays pinned bit-identical to
+        # airport_trips_parity's golden fixture in
+        # tests/test_streaming_trips.py; the registry keeps the parity and
+        # timeout variants.
         # Generic gap sessionization via Spark's native session_window
         # (batch surface; streaming twin in streaming/sessions.py).
         "events_session_window": (sessions.session_agg, sessions.SESSION_AGG_ORACLE),
-        # STAGED_NEXT_ROUND (rule 1b): registered after the round-5 head
-        # filled — gate-verified at five scales this round, first driver
-        # row in round 6. C4-style cross-document span dedup stats and the
-        # Gopher per-rule quality gate.
+        # C4-style cross-document span dedup stats and the Gopher per-rule
+        # quality gate.
         "text_span_dedup": (dedup.span_dedup_stats, dedup.SPAN_DEDUP_ORACLE),
         "text_gopher_rules": (textops.gopher_rules, textops.GOPHER_RULES_ORACLE),
         "embedding_quantize_int8": (
@@ -425,7 +501,13 @@ def _specs() -> dict[str, QuerySpec]:
             temporal.EVENTS_COHORT_ORACLE,
         ),
     }
-    return specs
+    # Impose the driver-window ordering: HEAD first (in order), then the
+    # tail in definition order. A HEAD name missing from specs (or vice
+    # versa a malformed HEAD) fails loudly here rather than silently
+    # shifting the window.
+    ordered = {n: specs[n] for n in HEAD}
+    ordered.update((n, s) for n, s in specs.items() if n not in ordered)
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -5,9 +5,14 @@ from __future__ import annotations
 import pytest
 
 from mapreduce_hadoop_spark.operators.multimodal import (
+    _gif_bytes,
+    _nn_resize,
     _parse_image_header,
+    _png_bytes_patterned,
+    _png_decode_gray,
     decode_media,
     media_table,
+    patterned_media_table,
     resize_media,
     sample_frames,
 )
@@ -133,10 +138,62 @@ def test_media_real_roundtrip_decodes_generated_bytes(spark, sf_dir):
         assert r["mime"] == ("image/png" if d % 2 == 0 else "image/gif")
 
 
-def test_resize_media_real_path_is_stubbed(spark, sf_dir):
-    df = resize_media(media_table(spark, sf_dir), real_resize=True)
-    with pytest.raises(Exception, match="NotImplementedError|real resizing"):
-        df.collect()
+def test_png_pixel_decode_every_filter_type():
+    """The patterned encoder cycles filters None/Sub/Up/Average/Paeth by
+    row; decode must reproduce the exact pattern, so every unfilter branch
+    is exercised (heights >= 5 cover all five)."""
+    for seed, (w, h) in [(0, (23, 17)), (7, (16, 5)), (901, (79, 31))]:
+        px = _png_decode_gray(_png_bytes_patterned(w, h, seed))
+        assert px == [
+            [(3 * x + 7 * y + seed) % 256 for x in range(w)] for y in range(h)
+        ]
+
+
+def test_png_pixel_decode_tolerates_non_png():
+    assert _png_decode_gray(b"not a png") is None
+    assert _png_decode_gray(_gif_bytes(4, 4)) is None  # header-only format
+    # truncated PNG: valid signature, garbage after
+    assert _png_decode_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 10) is None
+
+
+def test_nn_resize_floor_index_mapping():
+    assert _nn_resize([[1, 2], [3, 4]], 4, 4) == [
+        [1, 1, 2, 2],
+        [1, 1, 2, 2],
+        [3, 3, 4, 4],
+        [3, 3, 4, 4],
+    ]
+    # downscale picks the floor-mapped source pixel
+    src = [[y * 10 + x for x in range(4)] for y in range(4)]
+    assert _nn_resize(src, 2, 2) == [[0, 2], [20, 22]]
+
+
+def test_resize_media_real_path_resamples_pixels(spark, sf_dir):
+    """real_resize=True must produce the pixel sums a local re-decode
+    predicts — the Spark plan and pure-python path agree pixel-for-pixel."""
+    media = patterned_media_table(spark, sf_dir).limit(8)
+    got = resize_media(media, real_resize=True).collect()
+    assert len(got) == 8
+    from mapreduce_hadoop_spark.operators.multimodal import RESIZE_BOX
+
+    for r in got:
+        d = int(r["doc_id"])
+        w, h = (d % 64) + 16, (d // 64) % 64 + 16
+        assert (r["width"], r["height"]) == (w, h)
+        scale = min(RESIZE_BOX / w, RESIZE_BOX / h)
+        ow, oh = int(w * scale), int(h * scale)
+        assert (r["out_w"], r["out_h"]) == (ow, oh)
+        px = _png_decode_gray(_png_bytes_patterned(w, h, d))
+        out = _nn_resize(px, ow, oh)
+        assert r["px_sum"] == sum(v for row in out for v in row)
+
+
+def test_resize_media_real_path_nulls_undecodable(spark, sf_dir):
+    """Non-PNG payloads (the text-derived fake media) must yield NULLs on
+    the real path, never an exception."""
+    got = resize_media(media_table(spark, sf_dir).limit(5), real_resize=True).collect()
+    assert len(got) == 5
+    assert all(r["px_sum"] is None and r["width"] is None for r in got)
 
 
 def test_sample_frames_one_to_n(spark, sf_dir):

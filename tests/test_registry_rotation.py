@@ -34,30 +34,53 @@ def _correctness_rounds() -> dict[int, str]:
 def test_head_window_size_and_total():
     names = _names()
     assert len(names) >= registry.DRIVER_WINDOW, len(names)
-    # The registered surface only grows; update alongside new queries.
+    # Update alongside registering/retiring queries.
     assert len(names) == 88, len(names)
+    # Size policy: past MAX_REGISTRY the 2-round rotation cadence cannot
+    # cover every entry — adding a query then requires retiring one.
+    assert len(names) <= registry.MAX_REGISTRY, (
+        f"registry {len(names)} > MAX_REGISTRY {registry.MAX_REGISTRY}: "
+        "retire an entry (see the size policy in registry.py)"
+    )
+    head = registry.HEAD
+    assert len(head) == registry.DRIVER_WINDOW, len(head)
+    assert len(set(head)) == len(head), "duplicate names in HEAD"
+    assert names[: registry.DRIVER_WINDOW] == list(head)
+
+
+# Rule 1a pins: {query: (gate_log_filename, pre_rewrite_hash)} read from
+# the gate log as committed BEFORE the rewrite landed (git history).
+# Must cover exactly registry.REWRITTEN_HASH_IDENTICAL — empty this round.
+PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {}
 
 
 def test_hash_identical_rewrites_pinned():
     """Rule 1a: a rewrite may stay in the tail only while its output is
-    provably unchanged — the committed sf0.01 gate log (regenerated after
-    the rewrite) must still carry the exact pre-rewrite value hashes below,
-    which were read from the log as committed BEFORE the rewrites landed
-    (git history of GATE_sf0.01_r5.log). If an optimization ever changes
-    output bytes, this fails and the query must move to the driver head.
+    provably unchanged — the committed gate log (REGENERATED after the
+    rewrite: its `# SRCHASH` line must match the current operator tree,
+    closing the stale-log loophole) must still carry the exact pre-rewrite
+    value hashes. If an optimization ever changes output bytes, this fails
+    and the query must move to the driver head.
     """
-    pre_rewrite = {
-        "dedup_ngram_jaccard": "cc6600e4843093d1",
-        "contamination_check": "4fc915fb0d2fd249",
-        "similarity_near_dup_lsh": "5e24e299b692c3af",
-        "text_repetition_score": "288c28eb238a2fd1",
-    }
-    assert set(pre_rewrite) == set(registry.REWRITTEN_HASH_IDENTICAL)
-    with open(os.path.join(REPO_ROOT, "GATE_sf0.01_r5.log")) as f:
-        log = f.read()
-    for q, h in pre_rewrite.items():
+    assert set(PINNED_REWRITE_HASHES) == set(registry.REWRITTEN_HASH_IDENTICAL)
+    if not PINNED_REWRITE_HASHES:
+        return
+    from tools.check_oracle import src_hash
+
+    logs_checked = set()
+    for q, (log_name, h) in PINNED_REWRITE_HASHES.items():
+        with open(os.path.join(REPO_ROOT, log_name)) as f:
+            log = f.read()
+        if log_name not in logs_checked:
+            m = re.search(r"# SRCHASH ([0-9a-f]+)", log)
+            assert m and m.group(1) == src_hash(), (
+                f"{log_name} was not regenerated after the last change to "
+                "the operator tree — re-run tools/check_oracle.py and "
+                "commit the refreshed log"
+            )
+            logs_checked.add(log_name)
         m = re.search(rf"PASS {q}: rows=\d+ hash=([0-9a-f]+)", log)
-        assert m, f"{q} missing from GATE_sf0.01_r5.log"
+        assert m, f"{q} missing from {log_name}"
         assert m.group(1) == h, f"{q}: output changed ({m.group(1)} != {h})"
 
 

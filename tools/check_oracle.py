@@ -43,6 +43,28 @@ def _norm_cell(v) -> str:
     return str(v)
 
 
+def src_hash() -> str:
+    """sha256 over the engine's source tree (sorted relpath + bytes).
+
+    Emitted into every gate log as `# SRCHASH <hex>`;
+    tests/test_registry_rotation.py compares it against the current tree
+    whenever a rule-1a/1b tuple is non-empty, so a pinned-hash claim can
+    never rest on a log generated before the code it vouches for.
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "mapreduce_hadoop_spark")
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            h.update(os.path.relpath(path, repo).encode())
+            with open(path, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def value_hash(df: pd.DataFrame) -> str:
     cols = sorted(df.columns)
     rows = sorted(
@@ -59,6 +81,7 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from mapreduce_hadoop_spark.session import get_spark
 
+    print(f"# SRCHASH {src_hash()}")
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
