@@ -127,21 +127,21 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # BENCH_r04's four trip-pipeline regressions (1.6-2.8x vs
-                # r3) did not reproduce: three round-5 sf0.1 passes totaled
-                # 18.299 / 18.858 / 17.505 s with trip_length_histogram at
-                # 0.359/0.361/0.352 s, segments_clean_positions
-                # 0.627/0.682/0.631, trips_sessionize_window
-                # 0.675/0.798/0.627, airport_trips_parity 0.786/0.792/0.712
-                # — all within ~1.2x of r3. VM noise confirmed; no plan
-                # change, no bisect warranted.
+                # BENCH_r05's two dedup-head drifts (+>20% vs r4) did not
+                # reproduce as plan regressions: three round-6 sf0.1 passes
+                # totaled 21.239 / 30.612 / 18.853 s (the 30.6 is the VM
+                # noise band this harness documents) with dedup_minhash_lsh
+                # at 2.113/2.787/2.000 (min 2.00 vs r4's 1.985 — parity)
+                # and corpus_clean_stats 2.813/3.694/3.163 (min 2.81 vs
+                # r4's 2.531, within the same-session spread). Both plans
+                # were untouched-or-improved between r4 and r5; VM noise.
                 "note": (
-                    "r4 trip-pipeline regression not reproducible: 3 passes "
-                    "totaled 18.299/18.858/17.505s, suspect queries within "
-                    "~1.2x of r3 (e.g. histogram 0.36 vs r4's 0.92); VM noise. "
-                    "Late r5: ngram-jaccard/contamination/near-dup-LSH/simhash "
-                    "pair plans rewritten hash-identically (3.2x/9x/2x/neutral "
-                    "at sf1); only dedup_simhash is in this headline set"
+                    "r5 dedup-head drift not reproducible: 3 passes totaled "
+                    "21.239/30.612/18.853s, min dedup_minhash_lsh 2.00 (r4 "
+                    "1.985), min corpus_clean_stats 2.81 (r4 2.531); VM noise. "
+                    "r6 plan changes: zip_with shingle build (gopher 2.5x, "
+                    "repetition 2.5x at sf1), minhash 16-perm/8-band "
+                    "(pair build 1.7x, output-identical at every gate scale)"
                 ),
             }
         )

@@ -13,6 +13,31 @@ Schemas are preserved bit-for-bit (pyarrow, single parquet file per table,
 timestamp[ns] intact) so both Spark's and DuckDB's readers see exactly the
 driver layout.
 
+``--mutate`` makes the DERIVED similarity structure organic instead of
+quadratic: byte-identical replication turns every true near-dup pair into
+~factor^2 replica pairs (output-bound by data shape), which is why the
+pair-generation family was excluded from earlier scale probes. Mutation
+keeps replica 0 byte-identical (query-pinned probe/centroid key ranges
+live there) and, for each replica r > 0, applies a replica-keyed
+CONTENT-preserving transform:
+
+- documents.text: a deterministic token-TYPE substitution (md5(token|r)
+  selects ~60% of the vocabulary; each selected token t becomes "t'x{r}'").
+  Tokenwise injective, so within a replica every Jaccard is EXACTLY the
+  source corpus's Jaccard (shingle sets map 1:1), while across replicas
+  a 3-shingle survives both substitutions with p ~ (0.4^2)^3 ~ 0.004,
+  pushing cross-replica similarity far below the 0.5 pair threshold.
+- embeddings.embedding: a replica-keyed coordinate permutation COMPOSED
+  with a diagonal +-1 sign flip — exactly orthogonal, so norms and all
+  intra-replica cosines are EXACTLY preserved, while cross-replica
+  cosines collapse toward the random-direction baseline (the sign flip
+  kills the corpus's shared mean component, which a permutation alone
+  preserves).
+
+Result: true pair counts grow ~linearly in factor, so the pair family
+(minhash/simhash/jaccard/embedding near-dup) can be scale-probed on the
+derived data without the replica^2 output artifact.
+
 ``--skew`` additionally concentrates keys the way production power laws
 do — one hot taxi absorbs ~10% of all positions (events.user_id) and one
 hot source ~50% of all documents (documents.source) — while keys stay
@@ -85,8 +110,62 @@ def _apply_skew(table: str, out: pa.Table) -> pa.Table:
     return out
 
 
-def replicate(src: str, dst: str, factor: int, skew: bool = False) -> None:
+# % of token types substituted per replica. 60 rather than a gentler rate
+# because the synthetic vocabulary is only 31 types: at 35% the both-
+# replicas-unmutated type set is large enough that short documents kept
+# cross-replica Jaccard above the 0.5 pair threshold (measured 2.3x-linear
+# growth at factor 10); at 60% a shingle survives both substitutions with
+# p ~ (0.4^2)^3 ~ 0.004 and growth is ~linear.
+MUTATE_PCT = 60
+
+
+def _mutate_text(col: pa.ChunkedArray, vocab: list[str], r: int) -> pa.ChunkedArray:
+    """Replica-keyed token-type substitution (see module docstring)."""
+    import hashlib
+
+    out = col
+    for tok in vocab:
+        sel = int(hashlib.md5(f"{tok}|{r}".encode()).hexdigest()[:8], 16) % 100
+        if sel < MUTATE_PCT:
+            out = pc.replace_substring_regex(
+                out, pattern=rf"\b{tok}\b", replacement=f"{tok}x{r}"
+            )
+    return out
+
+
+def _mutate_embedding(col: pa.ChunkedArray, r: int) -> pa.Array:
+    """Replica-keyed coordinate permutation (orthogonal; see docstring)."""
+    import numpy as np
+
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    n = len(col)
+    dim = len(flat) // n
+    rng = np.random.default_rng(1_000_003 * r + 17)
+    perm = rng.permutation(dim)
+    # Permutation alone preserved the corpus's shared mean component (the
+    # all-ones direction is permutation-invariant), keeping cross-replica
+    # cosines high — a replica-keyed diagonal +-1 flip kills it while the
+    # combined transform stays exactly orthogonal.
+    signs = (rng.integers(0, 2, size=dim) * 2 - 1).astype("float32")
+    arr = flat.reshape(n, dim)[:, perm] * signs
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(arr.reshape(-1), type=pa.float32()), dim
+    ).cast(col.type)
+
+
+def _doc_vocab(src: str) -> list[str]:
+    t = pq.read_table(f"{src}/documents.parquet", columns=["text"])
+    vocab: set[str] = set()
+    for s in t.column("text").to_pylist():
+        vocab.update(s.split())
+    return sorted(vocab)
+
+
+def replicate(
+    src: str, dst: str, factor: int, skew: bool = False, mutate: bool = False
+) -> None:
     os.makedirs(dst, exist_ok=True)
+    vocab = _doc_vocab(src) if mutate else []
     for table, shifts in SHIFT_COLS.items():
         t = pq.read_table(f"{src}/{table}.parquet")
         if not shifts:  # fixed dims: single copy
@@ -98,6 +177,10 @@ def replicate(src: str, dst: str, factor: int, skew: bool = False) -> None:
                 for name, fam in shifts.items():
                     col = t.column(name)
                     cols[name] = pc.add(col, pa.scalar(r * OFF[fam], col.type))
+                if mutate and r > 0 and table == "documents":
+                    cols["text"] = _mutate_text(t.column("text"), vocab, r)
+                if mutate and r > 0 and table == "embeddings":
+                    cols["embedding"] = _mutate_embedding(t.column("embedding"), r)
                 parts.append(
                     pa.table(
                         {n: cols.get(n, t.column(n)) for n in t.schema.names},
@@ -124,8 +207,9 @@ def replicate(src: str, dst: str, factor: int, skew: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--skew"]
+    args = [a for a in sys.argv[1:] if a not in ("--skew", "--mutate")]
     skew = "--skew" in sys.argv[1:]
+    mutate = "--mutate" in sys.argv[1:]
     factor = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     dst = (
@@ -137,4 +221,4 @@ if __name__ == "__main__":
             "sf1skew" if skew else "sf1",
         )
     )
-    replicate(src, dst, factor, skew)
+    replicate(src, dst, factor, skew, mutate)
