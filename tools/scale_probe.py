@@ -54,8 +54,9 @@ LINEAR_PATH_QUERIES = [
     "views_before_purchase_range_join", "purchase_asof_view", "corpus_vocab_topk",
     "corpus_pack_sequences", "corpus_domain_mix", "text_quality_score",
     "text_token_counts", "text_gopher_rules", "text_span_dedup", "text_pii_scrub",
-    "contamination_check", "dedup_exact", "embedding_quantize_int8",
-    "similarity_topk_bruteforce", "similarity_topk_ivf",
+    "text_repetition_score", "contamination_check", "dedup_exact",
+    "dedup_exact_normalized", "embedding_quantize_int8",
+    "similarity_topk_bruteforce", "similarity_topk_ivf", "multimodal_real_resize",
 ]
 
 
