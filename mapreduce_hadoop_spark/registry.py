@@ -65,16 +65,29 @@ bit-identical to ``airport_trips_parity``'s golden fixture in
 ``tests/test_streaming_trips.py``; the registry keeps the parity and
 timeout variants).
 
-Round-6 application: the 32 remaining round-4-green tail entries rotate
-into the head, plus the five rule-1b staged queries (first driver rows),
-plus the four late-r5 rule-1a rewrites (fresh rows retire their pinned
-pre-rewrite hashes — both tuples are now EMPTY), the always-in-window
-reference surface, the queries touched this round (shingle zip_with
-rewrite consumers, struct-ordered span dedup, real pixel resize), and
-the two NEW queries (``multimodal_real_resize``,
-``dedup_exact_normalized``). The tail is exactly the round-5-green
-remainder. The head is now an explicit tuple (``HEAD``) and _specs()
-definition order no longer matters — rotating = editing HEAD.
+Round-7 application: the forced worst case of the 2-round cadence — all
+38 tail entries' newest driver rows are r5, so the ENTIRE tail rotates
+into the head, plus the always-in-window reference surface (7) and the
+five queries changed this round (gopher distinct-shingle rewrite, the
+two embedding-LSH sign-bit-scaling twins, the GIF-decode extension of
+``multimodal_real_resize``, and the minhash docstring correction).
+7 + 5 + 38 = 50 exactly. The new tail is the round-6-green remainder.
+
+Retirement candidates (size policy, 88/92 slots used)
+-----------------------------------------------------
+When an addition would exceed MAX_REGISTRY, retire from this ranked
+list; each entry names where its evidence survives retirement:
+
+1. ``multimodal_resize_stub`` — both real pixel paths (PNG round 6, GIF
+   round 7) now cover the resize plumbing end-to-end with a stronger
+   closed-form pixel-sum oracle; the fake-decode batch shape stays
+   exercised by ``tests/test_multimodal.py``.
+2. ``text_language_id`` — the heuristic variant is strictly dominated by
+   ``text_language_id_ngram`` (same plan shape, richer model); its
+   stopword-ratio scoring stays pinned by ``tests/test_corpus_filters.py``.
+3. ``fn_epoch`` — the scalar is consumed (and therefore driver-verified)
+   by every sessionize-family query each round; the NULL→0.0 edge cases
+   stay pinned by unit fixtures in ``tests/test_sessionize.py``.
 """
 
 from __future__ import annotations
@@ -98,43 +111,33 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 6
+ROUND = 7
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row.
 CHANGED_THIS_ROUND = (
-    # zip_with shingle-string rewrite (hash-identical, verified sf0.01):
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_keep_best",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",  # + strict doc_a != doc_b self-pair guard
-    "contamination_check",
-    "text_fingerprints",
-    "text_repetition_score",
-    "text_gopher_rules",  # + published-bounds comment fix
-    "text_span_dedup",  # struct-ordered first occurrence (no 16M-token bound)
-    "multimodal_resize_stub",  # resize_media real path rebuilt (stub output unchanged)
-    "multimodal_real_resize",  # NEW: real PNG pixel decode + NN resample
-    "dedup_exact_normalized",  # NEW: normalize-then-hash exact dedup
+    "text_gopher_rules",  # distinct-shingle cost rewrite
+    "similarity_topk_lsh",  # sign-bits scale with corpus size
+    "similarity_near_dup_lsh",  # sign-bits scale with corpus size
+    "multimodal_real_resize",  # real GIF LZW pixel decode joins the PNG path
+    "dedup_minhash_lsh",  # module docstring 16-perm/8-band correction
 )
 
 # Rule 1a: plan rewrites landed after the head filled, output value-hash
-# unchanged at every gate scale. EMPTY this round: the four late-r5
-# rewrites rotated into the head and their fresh driver rows retire the
-# pinned pre-rewrite hashes. When non-empty, the committed sf0.01 gate
-# log must carry a `# SRCHASH` line matching the current operator tree
-# (tests/test_registry_rotation.py) so a post-rewrite commit cannot be
-# pinned against a stale log.
+# unchanged at every gate scale. EMPTY this round. When non-empty, the
+# committed sf0.01 gate log must carry a `# SRCHASH` line matching the
+# current operator tree (tests/test_registry_rotation.py) so a
+# post-rewrite commit cannot be pinned against a stale log.
 REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
-# EMPTY this round: all five round-5 staged queries are in the head.
+# EMPTY this round: no query was added after the head filled.
 STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
-# Driver-window head, in order, for ROUND above. Composition: 32 round-4-
-# green rotations + 5 staged first-rows + 7 reference surface (always in
-# window) + 4 changed-while-fresh + 2 new.
+# Driver-window head, in order, for ROUND above. Composition: 7 reference
+# surface (always in window) + 5 changed this round (rule 1) + all 38
+# round-5-green tail entries (rule 2 — the 2-round cadence's forced full
+# rotation: every tail entry's newest driver row was r5).
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -144,54 +147,52 @@ HEAD = (
     "airport_trips_parity",
     "daily_revenue",
     "total_revenue",
-    # Rule-1b staged last round: first driver rows.
-    "text_span_dedup",
+    # Changed this round (rule 1).
     "text_gopher_rules",
-    "embedding_quantize_int8",
-    "events_funnel",
-    "events_cohort_retention",
-    # Changed this round while carrying fresh r5 rows (rule 1).
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_keep_best",
-    "multimodal_resize_stub",
-    # New this round (rule 1).
-    "multimodal_real_resize",
-    "dedup_exact_normalized",
-    # Round-4-green tail rotations (rule 2; includes the four late-r5
-    # rule-1a rewrites, whose fresh rows retire their pinned hashes).
-    "corpus_clean_stats",
-    "events_daily_by_type",
-    "market_segment_balance",
-    "text_fingerprints",
-    "text_tfidf_top_terms",
-    "text_document_chunks",
-    "text_normalize",
-    "text_repetition_score",
-    "similarity_topk_bruteforce",
-    "similarity_topk_filtered",
     "similarity_topk_lsh",
     "similarity_near_dup_lsh",
-    "similarity_topk_ivf",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "events_rollup",
-    "purchase_asof_view",
-    "event_props_json",
-    "distinct_users_daily",
-    "approx_distinct_users_daily",
-    "segment_customer_setops",
-    "contamination_check",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "revenue_by_nation",
-    "pricing_summary",
-    "top_orders_per_customer",
-    "shipping_priority",
-    "text_quality_score",
-    "text_token_counts",
-    "events_session_window",
+    "multimodal_real_resize",
+    "dedup_minhash_lsh",
+    # Round-5-green tail rotations (rule 2): oldest driver rows first —
+    # the entire r6 tail rotates in.
+    "events_cube",
+    "customer_balance_windows",
+    "events_hash_sample",
+    "events_stratified_sample",
+    "customer_order_semi_anti",
+    "events_grouping_sets",
+    "orders_pivot_priority",
+    "lineitem_measures_unpivot",
+    "lineitem_percentiles",
+    "approx_lineitem_percentiles",
+    "events_salted_agg",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_daily_gapfill",
+    "fn_distance",
+    "fn_width_bucket",
+    "fn_epoch",
+    "corpus_domain_mix",
+    "corpus_pack_sequences",
+    "events_keyed_dedup",
+    "events_enriched",
+    "similarity_near_dup_cosine",
+    "text_language_id",
+    "global_top_orders",
+    "sql_revenue_by_nation",
+    "trips_concurrency",
+    "text_pii_scrub",
+    "views_before_purchase_range_join",
+    "similarity_topk_ivf_trained",
+    "airport_trips_timeout",
+    "corpus_weighted_sample",
+    "corpus_train_split",
+    "corpus_domain_quota",
+    "multimodal_real_roundtrip",
+    "customer_activity_reconcile",
+    "sql_orders_above_customer_avg",
+    "corpus_vocab_topk",
+    "text_language_id_ngram",
 )
 
 
