@@ -5,7 +5,7 @@ Four families over `documents`, each SQL-expressible for the DuckDB oracle:
 - ``exact_dedup``: hash-groupBy on text, keep the minimum doc_id. The
   driver corpus has no exact dups, so a deterministic duplicated view
   (every 10th doc re-inserted under doc_id+1_000_000) feeds the query.
-- ``minhash_lsh``: 3-token shingles -> 32 universal-hash minima -> 16 bands
+- ``minhash_lsh``: 3-token shingles -> 16 universal-hash minima -> 8 bands
   x 2 rows -> banded bucket join for candidates -> exact-Jaccard verify.
   The classic MinHash-LSH pipeline: candidate generation is equality joins
   on band signatures (shuffle on the band key, never all-pairs).

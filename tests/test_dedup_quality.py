@@ -18,6 +18,51 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert lsh == exact, (len(exact), len(lsh), len(lsh & exact))
 
 
+def test_minhash_lsh_boundary_recall_is_measured(spark):
+    """ADVICE-r6: the gate corpus has no pairs near the Jaccard 0.5
+    threshold, so the 8-band config's designed ~10% boundary recall loss
+    was documented but unobservable in CI. This fixture engineers 40 pairs
+    with true Jaccard in [0.50, 0.63] — where the S-curve actually bends —
+    and MEASURES the recall.
+
+    Construction: pair i gets a disjoint hash universe (base = (i+1)*1e5);
+    both docs hold m=60 shingle hashes with overlap c chosen for a target
+    Jaccard c/(2m-c). Everything is deterministic (fixed minhash params),
+    so the measured recall is pinned exactly: 37/40 = 0.925, inside the
+    per-pair theory band P(candidate) = 1-(1-j^2)^8 ~ [0.90, 0.97] over
+    the fixture's j range. Any banding/permutation change re-measures here
+    (and an unnoticed recall collapse fails loudly).
+    """
+    from pyspark.sql import functions as F
+
+    m, n_pairs = 60, 40
+    rows = []
+    truth = []
+    for i in range(n_pairs):
+        base = (i + 1) * 100_000
+        j_t = 0.50 + 0.12 * (i % 10) / 9
+        c = round(2 * m * j_t / (1 + j_t))
+        a = list(range(base + 1, base + m + 1))
+        b = list(range(base + 1, base + c + 1)) + list(
+            range(base + m + 1, base + 2 * m - c + 1)
+        )
+        j_true = c / (2 * m - c)
+        assert 0.5 <= j_true <= 0.63, (i, j_true)  # genuinely boundary
+        rows.append((2 * i, a))
+        rows.append((2 * i + 1, b))
+        truth.append((2 * i, 2 * i + 1))
+    hs = spark.createDataFrame(rows, "doc_id long, hs array<long>")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs_from(hs).collect()
+    }
+    dedup.unpersist_intermediates()
+    assert got <= set(truth)  # disjoint universes -> no false candidates
+    recall = len(got) / n_pairs
+    # Deterministic measurement; re-pin alongside any banding change.
+    assert recall == 37 / 40, (len(got), n_pairs)
+
+
 def test_simhash_covers_true_pairs(spark, sf_dir):
     # SimHash at hamming<=6 is a looser similarity (term-vector cosine-ish):
     # it must cover most true j>=0.5 pairs; extra pairs are by design.

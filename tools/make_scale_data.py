@@ -122,13 +122,18 @@ MUTATE_PCT = 60
 def _mutate_text(col: pa.ChunkedArray, vocab: list[str], r: int) -> pa.ChunkedArray:
     """Replica-keyed token-type substitution (see module docstring)."""
     import hashlib
+    import re
 
     out = col
     for tok in vocab:
         sel = int(hashlib.md5(f"{tok}|{r}".encode()).hexdigest()[:8], 16) % 100
         if sel < MUTATE_PCT:
+            # re.escape: an arbitrary source dir may carry tokens with regex
+            # metacharacters; an unescaped token would corrupt the
+            # substitution (breaking the injectivity/exact-Jaccard guarantee)
+            # or raise mid-replication.
             out = pc.replace_substring_regex(
-                out, pattern=rf"\b{tok}\b", replacement=f"{tok}x{r}"
+                out, pattern=rf"\b{re.escape(tok)}\b", replacement=f"{tok}x{r}"
             )
     return out
 
