@@ -133,60 +133,164 @@ WHERE round({DOT_SQL.format(a="a.v", b="b.v")} / (a.norm * b.norm), 6) >= {NEAR_
 """
 
 
-# Banding defaults, chosen from the measured recall-vs-candidates curve on
-# the sf0.01 corpus (weak neighbors, top-5 cosine ~0.3 — near-random data
-# is the hard case for LSH; tests/test_similarity_ivf.py re-measures):
-#   bands=4:  recall@5 0.50 at 24% of the corpus as candidates
-#   bands=8:  recall@5 0.80 at 41%   <- default
-#   bands=12: recall@5 0.86 at 54%
-#   bands=16: recall@5 0.92 at 65%
-# Each +4-band step costs ~n/4 more candidates; 8 bands is the knee. The
-# ``bands`` parameter on topk_lsh/near_dup_lsh_from moves along the curve
-# without changing the plan shape.
+# Banded signed-random-projection (SRP / Charikar) LSH with SCALE-ADAPTIVE
+# bit width. Round 6 measured the fixed-4-bit config's candidate ceiling
+# Theta(n^2 * bands / 2^bits) biting at sf10mut exactly as the formula
+# predicts; the mitigation is bits growing with log2(n) so the expected
+# bucket size n/2^bits stays flat (~EMB_LSH_TARGET_BUCKET) and candidate
+# volume stays LINEAR: ~bands * TARGET * n / 2 pairs regardless of corpus
+# size. Only the join key widens — the plan shape never changes.
+#
+# Each bit is the sign of a pseudo-random +/-1 projection of the full
+# vector (not an axis-aligned dim): the sign matrix is derived from a
+# splitmix-seeded parity (functions/hashing.py recurrence), so both Spark
+# and the DuckDB oracle re-derive identical hyperplanes from integers —
+# and the (band, bit) supply is unbounded, unlike the 64 axis dims.
+#
+# Recall honesty (P(bit agrees) = 1 - arccos(c)/pi): auto-bits holds
+# recall for the HIGH-similarity regime the dedup use case needs while
+# keeping candidates linear — at bits=12/8 bands, recall ~0.93 at c=0.95,
+# ~0.73 at c=0.9 — but moderate-cosine recall (c~0.4) necessarily decays
+# as bits grow (the LSH tradeoff: holding it flat would need bands growing
+# like 1/p^bits, i.e. exponentially). For moderate-threshold mining at
+# scale, raise ``bands`` (cost is linear in bands) or use the IVF route.
+#
+# Bands defaults, measured under SRP at bits=4 (the old axis-aligned
+# family's 0.80-at-8-bands curve was exploiting the synthetic corpus's
+# axis structure; SRP matches the data-independent theory instead —
+# tests/test_similarity_ivf.py re-measures the floors):
+#   topk recall@5 at sf0.01 (top-5 cosine ~0.3, the hard weak-neighbor
+#   regime): bands=8 -> 0.58 at 42% candidates, 12 -> 0.86 at 55%,
+#   16 -> 0.92 at 65%; theory 1-(1-p^4)^bands with p(0.3)=0.597 gives
+#   0.66/0.80/0.88 — 12 bands is the knee for topk.
+#   near-dup pair recall (c >= 0.4, p >= 0.63): 8 bands measures 0.82 at
+#   sf0.001 — the cheaper default holds there.
 NEAR_DUP_BANDS = 8
-NEAR_DUP_BAND_BITS = 4
+TOPK_BANDS = 12
+EMB_DIM = 64
+EMB_LSH_TARGET_BUCKET = 64  # expected vectors per (band, bucket) at auto bits
+EMB_LSH_MIN_BITS = 4
+# Clamp: past n ~ TARGET * 2^20 (~67M vectors in one partition-table, i.e.
+# far beyond any single corpus this engine targets before IVF takes over)
+# bucket size starts growing linearly again; the clamp keeps the join key
+# bounded rather than failing. Documented, not silent: auto_sign_bits is
+# the single knob and its value is visible in the plan's literal tree.
+EMB_LSH_MAX_BITS = 20
 # Degenerate-bucket guard for the banded self-join: a sign bucket holding
-# more than max(EMB_BUCKET_CAP_MIN, n/2) vectors (e.g. a zero-heavy corpus
-# collapsing everything onto bucket 0) is excluded from candidate
-# generation. Healthy 4-bit buckets hold ~n/16, so the cap only trips on
+# more than max(EMB_BUCKET_CAP_MIN, n/2) vectors (e.g. a boilerplate corpus
+# collapsing onto one bucket) is excluded from candidate generation.
+# Healthy buckets hold ~n/2^bits <= TARGET, so the cap only trips on
 # pathological skew; it is relative (not a fixed count) because bucket size
-# legitimately grows linearly with the corpus.
+# may legitimately approach n/2 on tiny corpora at MIN_BITS.
 EMB_BUCKET_CAP_MIN = 200
 
 
-def _band_bucket(v: Column, band: int) -> Column:
-    """Sign pattern of dims [band*bits, (band+1)*bits) as an int bucket."""
-    bucket = F.lit(0)
-    for i in range(NEAR_DUP_BAND_BITS):
-        dim = band * NEAR_DUP_BAND_BITS + i
-        bucket = bucket + F.when(
-            F.element_at(v, dim + 1) > F.lit(0.0), F.lit(2**i)
-        ).otherwise(F.lit(0))
+def auto_sign_bits(n: int) -> int:
+    """Smallest b in [MIN_BITS, MAX_BITS] with n <= TARGET_BUCKET * 2^b.
+
+    Integer-exact (no float log2), so Spark (computing it driver-side from
+    a count) and the DuckDB oracle (computing it in SQL from the same
+    count) can never disagree on a boundary.
+    """
+    for b in range(EMB_LSH_MIN_BITS, EMB_LSH_MAX_BITS + 1):
+        if n <= EMB_LSH_TARGET_BUCKET << b:
+            return b
+    return EMB_LSH_MAX_BITS
+
+
+def _srp_sign(band: int, bit: int, dim: int) -> float:
+    """+/-1 hyperplane coefficient: md5 parity of "band,bit,dim".
+
+    md5 (not a linear-congruential parity, whose modular structure produced
+    duplicate hyperplanes — measured max row correlation 1.0 vs 0.375 here)
+    gives i.i.d.-quality signs. The coefficients ship to BOTH engines as
+    literals (Spark: foldable array literals; DuckDB: the `s` CTE constant
+    in ``_SQL_SIGNS``), so no arithmetic re-derivation is needed per row.
+    """
+    import hashlib
+
+    return (
+        1.0
+        if hashlib.md5(f"{band},{bit},{dim}".encode()).digest()[0] & 1 == 0
+        else -1.0
+    )
+
+
+def srp_signs(bands: int, bits: int, dim: int = EMB_DIM) -> list[list[list[float]]]:
+    """signs[band][bit] = dim-length +/-1 hyperplane (the default family).
+
+    ``dim`` must match the vector length — zip_with against a longer sign
+    row would NULL-poison the projection."""
+    return [
+        [[_srp_sign(j, i, d) for d in range(dim)] for i in range(bits)]
+        for j in range(bands)
+    ]
+
+
+def axis_signs(bands: int, bits: int, dim: int = EMB_DIM) -> list[list[list[float]]]:
+    """Axis-aligned hyperplanes (bit i of band j = sign of dim j*bits+i) —
+    the pre-round-7 family, kept for engineered-fixture tests that need to
+    place vectors in specific buckets by construction."""
+    return [
+        [
+            [1.0 if d == (j * bits + i) % dim else 0.0 for d in range(dim)]
+            for i in range(bits)
+        ]
+        for j in range(bands)
+    ]
+
+
+def _band_bucket(v: Column, band_signs: list[list[float]]) -> Column:
+    """Sign pattern of the band's projections as a long bucket key.
+
+    Each +/-1 coefficient array is a foldable literal — Catalyst constant-
+    folds it, so per-row work is exactly bits x 64 multiply-adds, JVM-side.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, srow in enumerate(band_signs):
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(s) for s in srow]), lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bucket = bucket + F.when(proj > F.lit(0.0), F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return bucket
 
 
 def near_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.4) via banded hyperplane LSH —
+    """Embedding near-dup pairs (cosine >= 0.4) via banded SRP LSH —
     the scale path beside the exact all-pairs ``near_dup_cosine``.
 
-    OR-of-ANDs banding (same construction as MinHash-LSH, with sign
-    hyperplanes as the hash family): 4 bands of 4 sign bits each; a pair is
-    a candidate when ALL bits agree in ANY band, then exact cosine verifies.
-    Per-band candidate volume is sum(bucket_size^2) ~ n^2/2^bits instead of
-    n^2, and recall at cosine c is 1-(1-p^bits)^bands with
-    p = 1 - arccos(c)/pi — more bands raise recall, more bits cut
-    candidates, without changing the plan shape. No false positives by
-    construction (candidates still pass the exact threshold).
+    OR-of-ANDs banding (same construction as MinHash-LSH, with signed
+    random projections as the hash family): 8 bands of auto_sign_bits(n)
+    bits each; a pair is a candidate when ALL bits agree in ANY band, then
+    exact cosine verifies. Per-band candidate volume is
+    sum(bucket_size^2) ~ n^2/2^bits, and bits grows with log2(n) so that
+    stays ~TARGET_BUCKET * n — LINEAR in the corpus (the round-6 probe's
+    measured quadratic ceiling is closed). Recall at cosine c is
+    1-(1-p^bits)^bands with p = 1 - arccos(c)/pi; see the constants block
+    for the scale/recall contract. No false positives by construction
+    (candidates still pass the exact threshold).
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     return near_dup_lsh_from(emb)
 
 
-def near_dup_lsh_from(emb: DataFrame, bands: int = NEAR_DUP_BANDS) -> DataFrame:
+def near_dup_lsh_from(
+    emb: DataFrame,
+    bands: int = NEAR_DUP_BANDS,
+    bits: "int | None" = None,
+    signs: "list[list[list[float]]] | None" = None,
+) -> DataFrame:
     """Banded-LSH near-dup pairs from a normed (vec_id, v, norm) relation;
     see ``near_dup_cosine_lsh``. ``bands`` moves along the recall-vs-
-    candidates curve (see the constants above). Buckets over
-    max(EMB_BUCKET_CAP_MIN, n/2) are dropped (degenerate-skew guard).
+    candidates curve; ``bits`` defaults to auto_sign_bits(count) — the one
+    extra count() job is the price of the scale-adaptive key. ``signs``
+    overrides the hash family (tests use ``axis_signs`` to place vectors
+    in engineered buckets). Buckets over max(EMB_BUCKET_CAP_MIN, n/2) are
+    dropped (degenerate-skew guard).
 
     Dedup is in-row, not a shuffle: both join sides carry their full
     per-band bucket array (NULL where the cap dropped the entry), and a
@@ -202,6 +306,10 @@ def near_dup_lsh_from(emb: DataFrame, bands: int = NEAR_DUP_BANDS) -> DataFrame:
     (NULL = NULL is NULL, never true), matching the old filter-then-join
     behavior pair-for-pair (sf1: byte-identical 159,100 pairs, 164 s -> 80 s).
     """
+    if signs is None:
+        if bits is None:
+            bits = auto_sign_bits(emb.count())
+        signs = srp_signs(bands, bits)
     banded_ex = emb.select(
         "vec_id",
         F.explode(
@@ -209,7 +317,7 @@ def near_dup_lsh_from(emb: DataFrame, bands: int = NEAR_DUP_BANDS) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        _band_bucket(F.col("v"), j).alias("bucket"),
+                        _band_bucket(F.col("v"), signs[j]).alias("bucket"),
                     )
                     for j in range(bands)
                 ]
@@ -283,22 +391,57 @@ def near_dup_lsh_from(emb: DataFrame, bands: int = NEAR_DUP_BANDS) -> DataFrame:
     )
 
 
-def _band_bucket_sql(band: int) -> str:
-    return " + ".join(
-        f"(CASE WHEN v[{band * NEAR_DUP_BAND_BITS + i + 1}] > 0.0 THEN {2**i} ELSE 0 END)"
-        for i in range(NEAR_DUP_BAND_BITS)
+# The SQL twin of srp_signs/_band_bucket/auto_sign_bits: bits comes from a
+# scalar subquery over count(*) (same integer-exact rule as auto_sign_bits),
+# the bucket is a dynamic-length list comprehension over range(bits), and
+# the hyperplane coefficients are the SAME literal matrix Spark folds into
+# its plan, inlined as the one-row `s` CTE (bands x MAX_BITS x 64 signs).
+_SQL_BITS = (
+    f"coalesce((SELECT min(b) FROM (SELECT unnest(range({EMB_LSH_MIN_BITS}, "
+    f"{EMB_LSH_MAX_BITS + 1})) AS b) WHERE (SELECT count(*) FROM e) <= "
+    f"{EMB_LSH_TARGET_BUCKET} * (1::BIGINT << b)), {EMB_LSH_MAX_BITS})"
+)
+
+
+def _sql_signs_cte() -> str:
+    """One-row CTE body holding S: the flat [band*MAX_BITS + bit] -> 64-dim
+    sign rows, identical to ``srp_signs(max(NEAR_DUP_BANDS, TOPK_BANDS),
+    MAX_BITS)`` — wide enough for both oracle variants."""
+    n_bands = max(NEAR_DUP_BANDS, TOPK_BANDS)
+    signs = srp_signs(n_bands, EMB_LSH_MAX_BITS)
+    rows = ", ".join(
+        "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in signs[j][i]) + "]"
+        for j in range(n_bands)
+        for i in range(EMB_LSH_MAX_BITS)
+    )
+    return f"SELECT [{rows}] AS S"
+
+
+def _band_bucket_sql(band_expr: str = "band") -> str:
+    """Bucket of ``band_expr`` for vector column v at dynamic bit width
+    (reads ``bits`` from the `p` CTE and the sign matrix from `s`)."""
+    return (
+        f"CAST(list_sum([CASE WHEN list_reduce([v[d + 1] * "
+        f"S[{band_expr} * {EMB_LSH_MAX_BITS} + i + 1][d + 1] "
+        f"for d in range(0, {EMB_DIM})], (x, y) -> x + y) > 0.0 "
+        f"THEN (1::BIGINT << i) ELSE 0 END "
+        f"for i in range(0, (SELECT bits FROM p))]) AS BIGINT)"
     )
 
 
 NEAR_DUP_LSH_ORACLE = f"""
 WITH e AS ({EMB_NORM_SQL}),
+p AS (SELECT {_SQL_BITS} AS bits),
+s AS ({_sql_signs_cte()}),
+banded0 AS (
+    SELECT vec_id, bands.band, {_band_bucket_sql("bands.band")} AS bucket
+    FROM e, s, (SELECT unnest(range({NEAR_DUP_BANDS})) AS band) bands
+),
 banded AS (
-    SELECT vec_id, bk.*,
-           count(*) OVER (PARTITION BY bk.band, bk.bucket) AS bucket_n,
+    SELECT vec_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS bucket_n,
            (SELECT count(*) FROM e) AS n_total
-    FROM e,
-    LATERAL (VALUES {", ".join(f"({j}, {_band_bucket_sql(j)})" for j in range(NEAR_DUP_BANDS))})
-        AS bk(band, bucket)
+    FROM banded0
 ),
 bandedf AS (
     SELECT vec_id, band, bucket FROM banded
@@ -319,20 +462,26 @@ WHERE round({DOT_SQL.format(a="ea.v", b="eb.v")} / (ea.norm * eb.norm), 6) >= {N
 
 
 def topk_lsh(
-    spark: SparkSession, sf_dir: str, bands: int = NEAR_DUP_BANDS
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = TOPK_BANDS,
+    bits: "int | None" = None,
 ) -> DataFrame:
-    """ANN top-5 via banded sign-hyperplane LSH.
+    """ANN top-5 via banded signed-random-projection LSH.
 
-    OR-of-ANDs construction (NEAR_DUP_BANDS x NEAR_DUP_BAND_BITS sign
-    bands, shared with ``near_dup_cosine_lsh``): a corpus vector is a
+    OR-of-ANDs construction (NEAR_DUP_BANDS bands x auto_sign_bits(n) SRP
+    bits, shared with ``near_dup_cosine_lsh``): a corpus vector is a
     candidate when ANY band's full sign pattern matches the query's, then
     exact cosine ranks the candidates. A single wide bucket (the original
     formulation) has recall ~p^bits which collapses for moderate-cosine
     neighbors; banding lifts recall to 1-(1-p^bits)^bands at candidate
-    volume ~bands/2^bits of the corpus — the same tradeoff dial as the
-    MinHash banding in operators/dedup.py.
+    volume ~bands/2^bits of the corpus — and the scale-adaptive bits keep
+    per-query candidates ~bands * TARGET_BUCKET, flat in corpus size.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    if bits is None:
+        bits = auto_sign_bits(emb.count())
+    signs = srp_signs(bands, bits)
     banded = emb.select(
         "vec_id",
         "v",
@@ -342,7 +491,7 @@ def topk_lsh(
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        _band_bucket(F.col("v"), j).alias("bucket"),
+                        _band_bucket(F.col("v"), signs[j]).alias("bucket"),
                     )
                     for j in range(bands)
                 ]
@@ -376,14 +525,13 @@ def topk_lsh(
 
 
 def _topk_lsh_oracle() -> str:
-    bands = ", ".join(
-        f"({j}, {_band_bucket_sql(j)})" for j in range(NEAR_DUP_BANDS)
-    )
     return f"""
 WITH e AS ({EMB_NORM_SQL}),
+p AS (SELECT {_SQL_BITS} AS bits),
+s AS ({_sql_signs_cte()}),
 banded AS (
-    SELECT vec_id, v, norm, bk.* FROM e,
-    LATERAL (VALUES {bands}) AS bk(band, bucket)
+    SELECT vec_id, v, norm, bands.band, {_band_bucket_sql("bands.band")} AS bucket
+    FROM e, s, (SELECT unnest(range({TOPK_BANDS})) AS band) bands
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn, band, bucket
       FROM banded WHERE vec_id < {N_QUERIES}),

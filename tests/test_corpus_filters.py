@@ -143,7 +143,9 @@ def test_emb_lsh_pair_survives_when_first_matching_band_is_capped(spark):
     )
     pairs = {
         (r["vec_a"], r["vec_b"])
-        for r in similarity.near_dup_lsh_from(emb).collect()
+        for r in similarity.near_dup_lsh_from(
+            emb, signs=similarity.axis_signs(similarity.NEAR_DUP_BANDS, 4, dim=32)
+        ).collect()
     }
     assert (0, 16) in pairs
     # And the capped band genuinely generated no candidates on its own:

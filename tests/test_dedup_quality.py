@@ -99,9 +99,10 @@ def test_lsh_bucket_cap_bounds_boilerplate_blowup(spark):
 
 
 def test_emb_lsh_bucket_cap_drops_degenerate_sign_bucket(spark):
-    # All-positive vectors land in bucket 0xF of every band -> one bucket
-    # holds the whole corpus (> n/2) -> dropped, zero candidates. A healthy
-    # mixed-sign corpus is unaffected (buckets ~ n/16 << n/2).
+    # A boilerplate corpus (identical vectors) collapses onto ONE bucket in
+    # every band regardless of the hash family -> bucket_n = n > n/2 ->
+    # dropped, zero candidates. A healthy corpus is unaffected (SRP buckets
+    # hold ~n/2^bits << n/2).
     from pyspark.sql import functions as F
 
     from mapreduce_hadoop_spark.operators import similarity
@@ -111,7 +112,7 @@ def test_emb_lsh_bucket_cap_drops_degenerate_sign_bucket(spark):
         F.col("id").alias("vec_id"),
         F.transform(
             F.sequence(F.lit(1), F.lit(64)),
-            lambda i: (F.col("id") % 7 + i).cast("double") / 100.0 + 0.01,
+            lambda i: i.cast("double") / 100.0 + 0.01,
         ).alias("v"),
     )
     degenerate = degenerate.select(

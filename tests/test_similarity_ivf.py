@@ -68,9 +68,12 @@ def test_topk_lsh_recall(spark, sf_dir):
 
 def test_recall_at_stated_budgets_sf001(spark):
     """The recall contract behind the documented curve (similarity.py):
-    at sf0.01, the 8-band LSH default reaches recall@5 >= 0.8 at a ~41%
-    candidate budget, and the IVF default (nprobe=8, the knee) reaches
-    >= 0.70 (measured 0.74) while staying monotone in nprobe."""
+    at sf0.01, the 12-band SRP topk default reaches recall@5 >= 0.8 at a
+    ~55% candidate budget (measured 0.86; SRP tracks the data-independent
+    theory, unlike the retired axis-aligned family whose 0.80-at-8-bands
+    exploited the synthetic corpus's axis structure), and the IVF default
+    (nprobe=8, the knee) reaches >= 0.70 (measured 0.74) while staying
+    monotone in nprobe."""
     from mapreduce_hadoop_spark.operators.similarity import topk_ivf, topk_lsh
 
     sf01 = "/root/testdata/sf0.01"
@@ -83,6 +86,47 @@ def test_recall_at_stated_budgets_sf001(spark):
     assert r_ivf8 >= 0.70, f"IVF default recall@5={r_ivf8:.2f}"
     assert r_ivf10 >= 0.8, f"IVF nprobe=10 recall@5={r_ivf10:.2f}"
     assert r_ivf4 <= r_ivf8 <= r_ivf10, (r_ivf4, r_ivf8, r_ivf10)
+
+
+def test_auto_bits_keeps_candidate_volume_linear():
+    """The round-6 probe measured the fixed-4-bit config's candidate volume
+    Theta(n^2 * bands / 2^bits) exceeding budget at sf10mut. The mitigation
+    contract: auto_sign_bits grows with log2(n) so expected bucket size
+    stays ~TARGET_BUCKET and total candidate volume stays LINEAR. Verified
+    here arithmetically (no Spark needed — the formula and sign family are
+    the whole story): 4x the corpus must cost ~4x the candidates, not 16x.
+    """
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.similarity import (
+        NEAR_DUP_BANDS,
+        auto_sign_bits,
+        srp_signs,
+    )
+
+    # Boundary-exact values of the integer rule n <= 64 * 2^b.
+    assert auto_sign_bits(500) == 4
+    assert auto_sign_bits(1024) == 4
+    assert auto_sign_bits(1025) == 5
+    assert auto_sign_bits(20_000) == 9
+    assert auto_sign_bits(200_000) == 12
+    assert auto_sign_bits(10**12) == 20  # documented clamp
+
+    rng = np.random.default_rng(3)
+    vols = {}
+    for n in (1024, 4096):
+        v = rng.standard_normal((n, 64))
+        bits = auto_sign_bits(n)
+        rows = np.array([r for band in srp_signs(NEAR_DUP_BANDS, bits) for r in band])
+        sig = (v @ rows.T) > 0
+        vol = 0
+        for j in range(NEAR_DUP_BANDS):
+            keys = sig[:, j * bits : (j + 1) * bits] @ (1 << np.arange(bits))
+            _, counts = np.unique(keys, return_counts=True)
+            vol += int((counts * (counts - 1) // 2).sum())
+        vols[n] = vol
+    # 4x the data: quadratic would be 16x; the adaptive key holds ~4-6x.
+    assert vols[4096] / vols[1024] < 8, vols
 
 
 def test_trained_ivf_beats_fixed_centroids(spark, sf_dir):
