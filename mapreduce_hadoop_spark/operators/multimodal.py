@@ -373,6 +373,169 @@ def _gif_bytes(width: int, height: int) -> bytes:
     return header + palette + descriptor + image + b";"
 
 
+def _lzw_encode(indices: "bytes", min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (LSB-first bit packing),
+    CLEAR emitted up front and on dictionary overflow at 4096, EOI last.
+    Real dictionary compression — the decoder's growth path is exercised,
+    not the 'uncompressed GIF' literal-code shortcut."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> "bytearray | None":
+    """Inverse of ``_lzw_encode``: LSB-first variable-width code reader,
+    CLEAR/EOI handling, dictionary growth with the KwKwK special case."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position
+    total = len(data) * 8
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: "bytes | None" = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while pos + width <= total:
+        byte0 = pos // 8
+        chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (chunk >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    return None  # ran out of bits before EOI
+
+
+def _gif_bytes_patterned(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid GIF89a whose pixel (x, y) is the SAME pattern as the
+    patterned PNG — ``(3*x + 7*y + seed) % 256`` — as an index into a
+    256-entry grayscale palette (palette[i] = (i, i, i)), coded with the
+    real dictionary LZW above and chopped into <=255-byte sub-blocks.
+    Stdlib only; the inverse lives in ``_gif_decode_gray``."""
+    import struct
+
+    import numpy as np
+
+    # 0xF7: global color table present, 8 bits/pixel, 256 entries.
+    header = b"GIF89a" + struct.pack("<HH", width, height) + b"\xf7\x00\x00"
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    descriptor = b"," + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    xs = np.arange(width, dtype=np.int64)
+    px = (3 * xs[None, :] + 7 * np.arange(height, dtype=np.int64)[:, None] + seed) % 256
+    lzw = _lzw_encode(px.astype(np.uint8).tobytes(), 8)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return header + palette + descriptor + b"\x08" + blocks + b"\x00;"
+
+
+def _gif_decode_gray(payload: bytes) -> "list[list[int]] | None":
+    """REAL pixel decode for non-interlaced 8-bit GIF with a 256-entry
+    grayscale global color table: header walk -> sub-block reassembly ->
+    LZW decode -> palette lookup (gray = red channel). Returns pixel rows,
+    or None for anything outside that profile (local color tables,
+    interlacing, animation frames need a codec library; the crawl contract
+    is tolerate-don't-throw)."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF89a", b"GIF87a"):
+        return None
+    _, _, flags, _, _ = struct.unpack("<HHBBB", payload[6:13])
+    if not flags & 0x80:
+        return None
+    gct_size = 2 << (flags & 0x07)
+    pos = 13
+    palette = payload[pos : pos + 3 * gct_size]
+    pos += 3 * gct_size
+    # Skip extension blocks to the first image descriptor.
+    while pos < len(payload) and payload[pos] == 0x21:
+        pos += 2
+        while pos < len(payload) and payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+    if pos + 10 > len(payload) or payload[pos] != 0x2C:
+        return None
+    left, top, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+    pos += 10
+    if iflags & 0xC0:  # local color table or interlaced
+        return None
+    if pos >= len(payload):
+        return None
+    min_code_size = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while pos < len(payload) and payload[pos] != 0:
+        n = payload[pos]
+        lzw += payload[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    idx = _lzw_decode(bytes(lzw), min_code_size)
+    if idx is None or len(idx) != w * h:
+        return None
+    gray = [palette[3 * i] for i in idx]  # grayscale palette: gray == red
+    return [gray[y * w : (y + 1) * w] for y in range(h)]
+
+
 def media_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container bytes, decoded for REAL — the driver-verifiable twin
     of ``decode_media(real_decode=True)``.
@@ -511,13 +674,15 @@ def resize_media(media: DataFrame, real_resize: bool = False) -> DataFrame:
 
     ``real_resize=False`` (default): dimensions come from the deterministic
     fake decoder — the oracle-checkable plumbing twin.
-    ``real_resize=True``: REAL pixel-level decode + resample for 8-bit
-    grayscale PNG payloads — stdlib inflate, full scanline unfilter
-    (None/Sub/Up/Average/Paeth), nearest-neighbor resample — emitting an
-    extra ``px_sum`` column (sum of resampled pixel values, the verifiable
-    fingerprint of the pixel path). Payloads that are not that PNG profile
-    (JPEG/video/GIF pixel decode still needs a codec library) yield NULL
-    dimensions and NULL px_sum, the tolerate-don't-throw crawl contract.
+    ``real_resize=True``: REAL pixel-level decode + resample — dispatched
+    on magic bytes: 8-bit grayscale PNG (stdlib inflate + full scanline
+    unfilter None/Sub/Up/Average/Paeth) or 8-bit palette GIF (sub-block
+    reassembly + dictionary LZW + palette lookup) — then nearest-neighbor
+    resample, emitting an extra ``px_sum`` column (sum of resampled pixel
+    values, the verifiable fingerprint of the pixel path). Payloads
+    outside those profiles (JPEG/video pixel decode still needs a codec
+    library) yield NULL dimensions and NULL px_sum, the
+    tolerate-don't-throw crawl contract.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -527,7 +692,11 @@ def resize_media(media: DataFrame, real_resize: bool = False) -> DataFrame:
                 pdf["doc_id"], pdf["mime"], pdf["payload"]
             ):
                 if real_resize:
-                    px = _png_decode_gray(bytes(payload))
+                    raw = bytes(payload)
+                    if raw[:6] in (b"GIF89a", b"GIF87a"):
+                        px = _gif_decode_gray(raw)
+                    else:
+                        px = _png_decode_gray(raw)
                     if px is None:
                         rows.append((int(doc_id), mime, None, None, None, None, None))
                         continue
@@ -573,10 +742,12 @@ def media_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def patterned_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mime, payload) with a spec-valid patterned PNG per doc:
-    pixel (x, y) = (3x + 7y + doc_id) % 256, scanline filters cycling
-    through all five PNG filter types. The encode runs Arrow-batched in
-    the plan (map-only, narrow doc_id scan).
+    """(doc_id, mime, payload) with a spec-valid patterned image per doc —
+    PNG for even doc_id (scanline filters cycling through all five types),
+    GIF89a for odd doc_id (real dictionary-LZW stream over a grayscale
+    palette) — pixel (x, y) = (3x + 7y + doc_id) % 256 in both formats.
+    The encode runs Arrow-batched in the plan (map-only, narrow doc_id
+    scan).
 
     The scan is repartitioned to the session's parallelism BEFORE the
     Python stage: codec work costs milliseconds per row, so parallelism
@@ -597,7 +768,10 @@ def patterned_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 w = (d % 64) + 16
                 h = (d // 64) % 64 + 16
-                rows.append((d, "image/png", _png_bytes_patterned(w, h, d)))
+                if d % 2 == 0:
+                    rows.append((d, "image/png", _png_bytes_patterned(w, h, d)))
+                else:
+                    rows.append((d, "image/gif", _gif_bytes_patterned(w, h, d)))
             yield pd.DataFrame(rows, columns=["doc_id", "mime", "payload"])
 
     return docs.mapInPandas(batches, schema="doc_id bigint, mime string, payload binary")
@@ -605,11 +779,13 @@ def patterned_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel path, end-to-end and driver-verifiable: synthesize a
-    patterned PNG per document (all five scanline filter types), then
-    ``resize_media(real_resize=True)`` — stdlib inflate + full unfilter +
-    nearest-neighbor resample. The oracle predicts the resampled pixel SUM
-    in closed form from doc_id alone, so the hash only matches if encoder
-    filtering, zlib round-trip, every unfilter branch, and the floor-index
+    patterned image per document — PNG (all five scanline filter types)
+    for even doc_id, GIF89a (real dictionary-LZW stream) for odd — then
+    ``resize_media(real_resize=True)``: magic-byte dispatch into stdlib
+    inflate + full unfilter, or sub-block reassembly + LZW decode +
+    palette lookup, then nearest-neighbor resample. The oracle predicts
+    the resampled pixel SUM in closed form from doc_id alone, so the hash
+    only matches if both encoders, both decode paths, and the floor-index
     resampling are all correct at the pixel level.
 
     100 TB shape: two pipelined map-only Arrow stages over a narrow
@@ -620,8 +796,9 @@ def media_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Closed-form pixel-sum prediction for media_real_resize: the resampled
 # pixel at (i, j) is pattern((j*w)//ow, (i*h)//oh), so the sum is exactly
-# computable from doc_id — any defect in filtering, inflate, unfilter, or
-# index mapping changes px_sum.
+# computable from doc_id — any defect in PNG filtering/inflate/unfilter,
+# GIF LZW coding, or index mapping changes px_sum. The pattern (and thus
+# this oracle) is format-independent; only the mime label differs.
 MEDIA_REAL_RESIZE_ORACLE = f"""
 WITH d AS (
     SELECT doc_id,
@@ -642,7 +819,7 @@ g2 AS (SELECT doc_id, w, h, ow, oh, i,
               unnest(generate_series(0, ow - 1)) AS j
        FROM g)
 SELECT doc_id,
-       'image/png' AS mime,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS mime,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
        ow AS out_w,

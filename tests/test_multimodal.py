@@ -156,6 +156,63 @@ def test_png_pixel_decode_tolerates_non_png():
     assert _png_decode_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 10) is None
 
 
+def test_lzw_roundtrip_including_dictionary_overflow():
+    """GIF-variant LZW: variable-width codes, KwKwK, and the 4096-entry
+    overflow CLEAR/reset path (forced by incompressible input)."""
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        b"\x00",
+        b"aaaaaaaaaaaaaaaa",  # KwKwK territory
+        bytes(range(256)) * 50,
+        rng.integers(0, 256, 30_000, dtype=np.uint8).tobytes(),  # overflow
+    ]
+    for data in cases:
+        enc = _lzw_encode(data, 8)
+        dec = _lzw_decode(enc, 8)
+        assert dec is not None and bytes(dec) == data, len(data)
+    # The random case must actually have exercised the overflow reset:
+    # > 3838 emitted codes guarantee the dictionary hit 4096.
+    assert len(_lzw_encode(cases[-1], 8)) * 8 // 12 > 3838
+
+
+def test_gif_pixel_decode_matches_pattern():
+    """The patterned GIF encoder/decoder pair reproduces the exact pixel
+    pattern through a real dictionary-LZW stream and palette lookup."""
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _gif_bytes_patterned,
+        _gif_decode_gray,
+    )
+
+    for seed, (w, h) in [(1, (23, 17)), (7, (16, 5)), (901, (79, 79))]:
+        px = _gif_decode_gray(_gif_bytes_patterned(w, h, seed))
+        assert px == [
+            [(3 * x + 7 * y + seed) % 256 for x in range(w)] for y in range(h)
+        ]
+
+
+def test_gif_pixel_decode_tolerates_out_of_profile():
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _gif_bytes_patterned,
+        _gif_decode_gray,
+    )
+
+    assert _gif_decode_gray(b"not a gif") is None
+    assert _gif_decode_gray(b"GIF89a" + b"\x00" * 4) is None  # truncated
+    # No global color table (flags byte 0x00) -> out of profile.
+    assert _gif_decode_gray(b"GIF89a" + bytes(2) + bytes(2) + b"\x00\x00\x00;") is None
+    # Truncated LZW stream (sub-blocks cut before EOI) -> None, not junk.
+    g = bytearray(_gif_bytes_patterned(20, 20, 3))
+    assert _gif_decode_gray(bytes(g[: len(g) // 2])) is None
+
+
 def test_nn_resize_floor_index_mapping():
     assert _nn_resize([[1, 2], [3, 4]], 4, 4) == [
         [1, 1, 2, 2],
