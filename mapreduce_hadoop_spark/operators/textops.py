@@ -691,8 +691,14 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter / size — no explode, no shuffle, whole-stage codegen). Rules
     compare on the round(x, 6) value both here and in the oracle so the
     boolean never hinges on a sub-ulp difference between engines.
+
+    The scan is widened to cores first (guarded: no-op on an
+    already-wide scan) — at sf1 a single parquet file gave the heaviest
+    per-doc op in the engine only 2 of 16 threads; see ``widen_to_cores``.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from mapreduce_hadoop_spark.sources.tables import widen_to_cores
+
+    docs = widen_to_cores(load_table(spark, sf_dir, "documents"))
     return gopher_rules_from(docs)
 
 
@@ -712,11 +718,12 @@ def gopher_rules_from(docs: DataFrame) -> DataFrame:
     alpha_frac = F.round(
         F.size(F.filter(toks, T.contains_letter)).cast("double") / nd, 6
     )
+    # Distinct stopwords present: array_intersect hash-sets one side —
+    # O(n + |stopwords|) vs the old per-stopword array_contains scan's
+    # O(n * |stopwords|) (measured 2.14 -> 0.48 s at sf1). Value-identical:
+    # both count the distinct members of the stopword list found in toks.
     stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-            lambda w: F.array_contains(toks, w),
-        )
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
     ).cast("bigint")
     n_sh_total = F.greatest(n - F.lit(2), F.lit(0).cast("bigint"))
     dup3 = F.when(

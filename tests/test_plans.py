@@ -336,10 +336,24 @@ def test_concurrency_plans_sessionize_once(spark, sf_dir):
 def test_gopher_rules_map_only(spark, sf_dir):
     # Every Gopher signal folds over the in-row token array: zero
     # shuffles, scan bandwidth at any corpus size.
-    from mapreduce_hadoop_spark.operators.textops import gopher_rules
+    from mapreduce_hadoop_spark.operators.textops import (
+        gopher_rules,
+        gopher_rules_from,
+    )
+    from mapreduce_hadoop_spark.sources.tables import load_table, widen_to_cores
 
-    c = plan_counts(gopher_rules(spark, sf_dir))
+    c = plan_counts(gopher_rules_from(load_table(spark, sf_dir, "documents")))
     assert c["exchange"] == 0, c
+    # The registry query widens a narrower-than-cores scan with AT MOST one
+    # round-robin exchange ahead of the fold (none once the scan is already
+    # >= cores wide — the cluster-scale case; see widen_to_cores).
+    c = plan_counts(gopher_rules(spark, sf_dir))
+    assert c["exchange"] <= 1, c
+    # The guard itself: an already-wide relation passes through untouched.
+    wide = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assert widen_to_cores(wide) is wide
 
 
 def test_span_dedup_two_shuffles_no_joins(spark, sf_dir):
