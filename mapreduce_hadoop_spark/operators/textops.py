@@ -112,9 +112,12 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-containment probes — 40 `contains` per doc total, replacing
     a ~|text|-element array build + array_distinct + 4 array_intersects
     per doc. Same integers, same hash; ~5x less per-doc CPU on this
-    map-only scan (the whole cost at 100 TB is per-doc CPU).
+    map-only scan (the whole cost at 100 TB is per-doc CPU). The scan is
+    widened to cores (guarded no-op on wide scans; see widen_to_cores).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from mapreduce_hadoop_spark.sources.tables import widen_to_cores
+
+    docs = widen_to_cores(load_table(spark, sf_dir, "documents"))
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     counts = {
         lang: sum(
@@ -580,6 +583,11 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator's behavior on actual PII is pinned by the synthetic-string
     unit test (tests/test_formats.py::test_pii_scrub_redacts), the
     cross-engine agreement by the oracle hash.
+
+    Deliberately NOT widened to cores: measured identical at sf1 with and
+    without the exchange (4.29 s both; unlike the shingle folds, this op
+    is scan/IO-bound, not per-doc-CPU-bound), so the plan keeps the pure
+    map-only shape.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_email = F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("bigint")
@@ -627,9 +635,12 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc frequency rides the same shuffle via count(distinct-per-doc) on an
     exploded distinct token set. The final top-K is TakeOrderedAndProject
     (per-partition heaps), not a global sort. Deterministic tie-break
-    (count desc, token asc).
+    (count desc, token asc). The tokenize+explode map side is widened to
+    cores (guarded no-op on wide scans; see widen_to_cores).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from mapreduce_hadoop_spark.sources.tables import widen_to_cores
+
+    docs = widen_to_cores(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(T.tokens("text")).alias("token")
     ).filter(F.col("token") != "")

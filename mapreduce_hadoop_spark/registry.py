@@ -116,11 +116,16 @@ ROUND = 7
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row.
 CHANGED_THIS_ROUND = (
-    "text_gopher_rules",  # distinct-shingle cost rewrite
-    "similarity_topk_lsh",  # sign-bits scale with corpus size
-    "similarity_near_dup_lsh",  # sign-bits scale with corpus size
+    "text_gopher_rules",  # widen_to_cores + array_intersect stopwords (7x at sf1)
+    "similarity_topk_lsh",  # SRP sign bits scale with corpus size; 12-band default
+    "similarity_near_dup_lsh",  # SRP sign bits scale with corpus size
     "multimodal_real_resize",  # real GIF LZW pixel decode joins the PNG path
     "dedup_minhash_lsh",  # module docstring 16-perm/8-band correction
+    # widen_to_cores on the remaining narrow-scan-bound head text ops
+    # (value-identical; plan gains ONE guarded round-robin exchange;
+    # pii_scrub measured scan-bound — no widen, unchanged):
+    "text_language_id_ngram",
+    "corpus_vocab_topk",
 )
 
 # Rule 1a: plan rewrites landed after the head filled, output value-hash

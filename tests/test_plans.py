@@ -236,7 +236,7 @@ def test_hot_paths_whole_stage_codegen(spark, sf_dir):
 
 def test_pii_scrub_is_map_only(spark, sf_dir):
     # Redaction is a narrow projection: zero shuffles, scan-bandwidth at
-    # any corpus size.
+    # any corpus size (measured scan-bound, so it skips widen_to_cores).
     from mapreduce_hadoop_spark.operators.textops import pii_scrub
 
     c = plan_counts(pii_scrub(spark, sf_dir))
