@@ -127,21 +127,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # BENCH_r05's two dedup-head drifts (+>20% vs r4) did not
-                # reproduce as plan regressions: three round-6 sf0.1 passes
-                # totaled 21.239 / 30.612 / 18.853 s (the 30.6 is the VM
-                # noise band this harness documents) with dedup_minhash_lsh
-                # at 2.113/2.787/2.000 (min 2.00 vs r4's 1.985 — parity)
-                # and corpus_clean_stats 2.813/3.694/3.163 (min 2.81 vs
-                # r4's 2.531, within the same-session spread). Both plans
-                # were untouched-or-improved between r4 and r5; VM noise.
                 "note": (
-                    "r5 dedup-head drift not reproducible: 3 passes totaled "
-                    "21.239/30.612/18.853s, min dedup_minhash_lsh 2.00 (r4 "
-                    "1.985), min corpus_clean_stats 2.81 (r4 2.531); VM noise. "
-                    "r6 plan changes: zip_with shingle build (gopher 2.5x, "
-                    "repetition 2.5x at sf1), minhash 16-perm/8-band "
-                    "(pair build 1.7x, output-identical at every gate scale)"
+                    "r7 plan changes: scale-adaptive SRP sign bits close the "
+                    "embedding-LSH quadratic candidate ceiling (sf10mut now "
+                    "completes, candidates ~n^1.17 measured; topk default 12 "
+                    "bands); widen_to_cores + array_intersect take gopher "
+                    "10.7->1.5s and vocab_topk 2.2->0.8s at sf1 "
+                    "hash-identical; real GIF LZW pixel decode joins the PNG "
+                    "path in multimodal_real_resize. Committed sf1 headline "
+                    "refresh BENCH_sf1_r7.json: 43.7s vs r4's 66.0s"
                 ),
             }
         )
