@@ -179,14 +179,18 @@ def test_parity_sql_single_shuffle(spark, sf_dir):
 
 
 def test_text_normalize_and_repetition_map_only(spark, sf_dir):
-    # Scan-time cleaning stages: zero shuffle, pure projection.
+    # Scan-time cleaning stages: pure projection. text_normalize is
+    # exchange-free; repetition_score (per-doc shingle fold, CPU-bound)
+    # allows exactly widen_to_cores' guarded round-robin — and no
+    # aggregate/join exchange ever.
     from mapreduce_hadoop_spark.operators import textops
 
-    for q in (textops.text_normalize, textops.repetition_score):
+    for q, max_ex in ((textops.text_normalize, 0), (textops.repetition_score, 1)):
         df = q(spark, sf_dir)
         df.collect()
         c = plan_counts(df)
-        assert c["exchange"] == 0, (q.__name__, c)
+        assert c["exchange"] <= max_ex, (q.__name__, c)
+        assert c["hash_aggregate"] == 0, (q.__name__, c)
 
 
 def test_contamination_broadcasts_benchmark_side(spark, sf_dir):

@@ -49,9 +49,13 @@ def test_head_window_size_and_total():
 
 
 # Rule 1a pins: {query: (gate_log_filename, pre_rewrite_hash)} read from
-# the gate log as committed BEFORE the rewrite landed (git history).
-# Must cover exactly registry.REWRITTEN_HASH_IDENTICAL — empty this round.
-PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {}
+# the gate log as committed BEFORE the rewrite landed (git history:
+# GATE_sf0.01_r7.log at commit 4240b86). Must cover exactly
+# registry.REWRITTEN_HASH_IDENTICAL.
+PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
+    "text_repetition_score": ("GATE_sf0.01_r7.log", "288c28eb238a2fd1"),
+    "text_fingerprints": ("GATE_sf0.01_r7.log", "845853a4aeeb9821"),
+}
 
 
 def test_hash_identical_rewrites_pinned():
