@@ -6,14 +6,15 @@
   against.
 - ``near_dup_cosine``: exact all-pairs cosine >= threshold. O(n^2) by
   definition — the correctness baseline, only for modest n.
-- ``topk_lsh`` / ``near_dup_cosine_lsh``: banded sign-hyperplane LSH
-  (OR-of-ANDs: 4 bands x 4 sign bits, axis-aligned hyperplanes). A single
-  wide bucket collapses to ~p^bits recall for moderate-cosine neighbors
-  (measured 2% here); banding lifts it to 1-(1-p^bits)^bands (measured
-  50% top-5 recall / 59% pair recall) at candidate volume ~bands/2^bits
-  of the corpus. The 100 TB shape: (band, bucket) is the shuffle/join
-  key; bits/bands tune the recall-vs-candidates dial without changing
-  the plan.
+- ``topk_lsh`` / ``near_dup_cosine_lsh``: banded signed-random-projection
+  LSH (OR-of-ANDs; md5-parity +/-1 hyperplanes shared as literals with
+  the oracle) with SCALE-ADAPTIVE bit width — ``auto_sign_bits`` keeps
+  expected bucket size flat so candidate volume stays linear in corpus
+  size (measured ~n^1.17 at sf10mut; SCALE_sf10_r7.md). Recall is
+  1-(1-p^bits)^bands (measured at sf0.01: topk 0.86 at the 12-band
+  default, near-dup pair recall 0.82 at 8 bands). The 100 TB shape:
+  (band, bucket) is the shuffle/join key; bands is the recall dial,
+  bits the scale guard — neither changes the plan.
 - ``topk_ivf_trained`` (PRIMARY ANN) / ``topk_ivf`` (oracle twin):
   inverted-file ANN — broadcast coarse centroids, nearest-list assignment,
   nprobe-list probe join. Default nprobe=8 is the measured knee (sf0.01
