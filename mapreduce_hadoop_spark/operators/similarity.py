@@ -8,9 +8,11 @@
   definition — the correctness baseline, only for modest n.
 - ``topk_lsh`` / ``near_dup_cosine_lsh``: banded signed-random-projection
   LSH (OR-of-ANDs; md5-parity +/-1 hyperplanes shared as literals with
-  the oracle) with SCALE-ADAPTIVE bit width — ``auto_sign_bits`` keeps
-  expected bucket size flat so candidate volume stays linear in corpus
-  size (measured ~n^1.17 at sf10mut; SCALE_sf10_r7.md). Recall is
+  the oracle) with ENTROPY-AWARE bit width — ``measured_sign_bits``
+  picks the width from the corpus's measured sign-pattern collision
+  mass (count-based ``auto_sign_bits`` as the floor) so candidate
+  volume stays linear even on low-entropy corpora (the round-7 residual
+  ~n^1.17; SCALE_sf10_r7.md). Recall is
   1-(1-p^bits)^bands (measured at sf0.01: topk 0.86 at the 12-band
   default, near-dup pair recall 0.82 at 8 bands). The 100 TB shape:
   (band, bucket) is the shuffle/join key; bands is the recall dial,
@@ -156,6 +158,23 @@ WHERE round({DOT_SQL.format(a="a.v", b="b.v")} / (a.norm * b.norm), 6) >= {NEAR_
 # like 1/p^bits, i.e. exponentially). For moderate-threshold mining at
 # scale, raise ``bands`` (cost is linear in bands) or use the IVF route.
 #
+# Round 8: bit selection is ENTROPY-AWARE (``measured_sign_bits``). The
+# round-7 probe showed the count-based formula under-provisions when the
+# corpus's sign-pattern entropy is below ``bits`` bits (correlated
+# embeddings -> collision mass ~1.7x the uniform 2^-bits model; p99
+# bucket 166 vs 49 expected at sf10mut), leaving candidate volume
+# ~n^1.17 instead of flat. The fix measures the collision mass directly:
+# one band-0 signature pass at MAX_BITS over a bounded deterministic
+# sample, folded to every candidate width b by masking the low b bits
+# (bit i's hyperplane is width-independent, so the width-b bucket IS the
+# low b bits of the width-MAX bucket), then picks the smallest b whose
+# measured per-vector candidate mass n * sum(cnt*(cnt-1))/(m*(m-1)) is
+# <= TARGET_BUCKET. Count-based ``auto_sign_bits`` remains as the floor
+# (sum p^2 >= 2^-b makes the measured pick >= the count pick up to
+# sampling error). All comparisons are integer-exact and the sample is
+# keyed on vec_id % samp, so the DuckDB oracle re-derives the identical
+# width from the same data.
+#
 # Bands defaults, measured under SRP at bits=4 (the old axis-aligned
 # family's 0.80-at-8-bands curve was exploiting the synthetic corpus's
 # axis structure; SRP matches the data-independent theory instead —
@@ -177,6 +196,11 @@ EMB_LSH_MIN_BITS = 4
 # bounded rather than failing. Documented, not silent: auto_sign_bits is
 # the single knob and its value is visible in the plan's literal tree.
 EMB_LSH_MAX_BITS = 20
+# Collision-mass probe sample bound: the entropy probe hashes at most
+# ~2 * SAMPLE_TARGET vectors (vec_id % samp == 0 with samp = n div
+# SAMPLE_TARGET), so its cost is flat in corpus size. The modulus sample
+# is deterministic and engine-agnostic (no RNG, no hash divergence).
+EMB_LSH_SAMPLE_TARGET = 1 << 16
 # Degenerate-bucket guard for the banded self-join: a sign bucket holding
 # more than max(EMB_BUCKET_CAP_MIN, n/2) vectors (e.g. a boilerplate corpus
 # collapsing onto one bucket) is excluded from candidate generation.
@@ -197,6 +221,86 @@ def auto_sign_bits(n: int) -> int:
         if n <= EMB_LSH_TARGET_BUCKET << b:
             return b
     return EMB_LSH_MAX_BITS
+
+
+def measured_sign_bits(emb: DataFrame, n: "int | None" = None) -> int:
+    """Entropy-aware bit width: smallest b in [auto_sign_bits(n), MAX_BITS]
+    whose MEASURED per-vector candidate mass is <= TARGET_BUCKET.
+
+    ``auto_sign_bits`` assumes uniform buckets (collision mass 2^-bits);
+    real embedding corpora have sign-pattern entropy below ``bits`` bits,
+    so buckets are heavier than the count predicts (round-7 probe: ~1.7x
+    at sf10mut) and candidate volume creeps super-linear. This probe
+    measures the mass instead of modeling it:
+
+    1. Deterministic sample: vec_id % samp == 0 with
+       samp = max(1, n div SAMPLE_TARGET) — bounded, engine-agnostic.
+    2. One band-0 signature per sampled vector at MAX_BITS width. Bit i's
+       hyperplane does not depend on the configured width, so the
+       width-b bucket is exactly ``bucket_MAX & (2^b - 1)`` — one probe
+       pass covers every candidate width.
+    3. Distributed fold: per-width bucket counts -> mm(b) = sum cnt*(cnt-1)
+       and m(b) = sum cnt (17 rows collected; model-sized, never data-
+       sized). mm is the unbiased pair-collision estimator: candidate
+       pairs per band at width b ~ n^2/2 * mm/(m*(m-1)).
+    4. Pick min b with  n * mm(b) <= TARGET_BUCKET * m * (m-1)  — i.e.
+       expected per-vector candidates per band <= TARGET_BUCKET. All
+       integers, so the DuckDB oracle (same sample, same fold in SQL)
+       lands on the identical width. mm(b) is nonincreasing in b
+       (masking merges buckets), so the pick is well-defined.
+
+    Floor: max with auto_sign_bits(n) — sum p^2 >= 2^-b means the
+    measured pick can only fall below the count pick by sampling error,
+    and the floor keeps the documented log2(n) growth contract exact.
+    """
+    if n is None:
+        n = emb.count()
+    if n <= 0:
+        return EMB_LSH_MIN_BITS
+    floor_bits = auto_sign_bits(n)
+    if floor_bits >= EMB_LSH_MAX_BITS:
+        return EMB_LSH_MAX_BITS
+    samp = max(1, n // EMB_LSH_SAMPLE_TARGET)
+    sig = emb if samp == 1 else emb.filter(F.col("vec_id") % samp == 0)
+    # The probe hashes at MAX_BITS x EMB_DIM per row; on a narrow scan
+    # (single-row-group parquet) that would run on one core. The sample
+    # is bounded (~SAMPLE_TARGET rows), so the round-robin spread is a
+    # bounded-size shuffle, never data-sized.
+    cores = emb.sparkSession.sparkContext.defaultParallelism
+    sig = sig.repartition(cores)
+    probe = srp_signs(1, EMB_LSH_MAX_BITS)[0]
+    mass_rows = (
+        sig.select(_band_bucket(F.col("v"), probe).alias("bk"))
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(EMB_LSH_MIN_BITS), F.lit(EMB_LSH_MAX_BITS))
+            ).alias("b"),
+            "bk",
+            "cnt",
+        )
+        .groupBy("b", F.expr("bk & (shiftleft(cast(1 as bigint), b) - 1)").alias("bb"))
+        .agg(F.sum("cnt").alias("cb"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("cb") * (F.col("cb") - F.lit(1))).alias("mm"),
+            F.sum("cb").alias("m"),
+        )
+        .collect()
+    )
+    stats = {int(r["b"]): (int(r["mm"]), int(r["m"])) for r in mass_rows}
+    # Empty sample (pathological: no vec_id divisible by samp) -> MAX,
+    # mirroring the oracle's coalesce(min over empty, MAX) exactly.
+    measured = EMB_LSH_MAX_BITS
+    for b in range(EMB_LSH_MIN_BITS, EMB_LSH_MAX_BITS + 1):
+        if b not in stats:
+            continue
+        mm, m = stats[b]
+        if n * mm <= EMB_LSH_TARGET_BUCKET * m * (m - 1):
+            measured = b
+            break
+    return max(floor_bits, measured)
 
 
 def _srp_sign(band: int, bit: int, dim: int) -> float:
@@ -268,12 +372,22 @@ def near_dup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     random projections as the hash family): 8 bands of auto_sign_bits(n)
     bits each; a pair is a candidate when ALL bits agree in ANY band, then
     exact cosine verifies. Per-band candidate volume is
-    sum(bucket_size^2) ~ n^2/2^bits, and bits grows with log2(n) so that
-    stays ~TARGET_BUCKET * n — LINEAR in the corpus (the round-6 probe's
-    measured quadratic ceiling is closed). Recall at cosine c is
-    1-(1-p^bits)^bands with p = 1 - arccos(c)/pi; see the constants block
-    for the scale/recall contract. No false positives by construction
-    (candidates still pass the exact threshold).
+    sum(bucket_size^2) ~ n^2 * (collision mass), and the ENTROPY-AWARE
+    width (``measured_sign_bits``: bits chosen from the measured mass,
+    count-based growth as the floor) pins that at ~TARGET_BUCKET * n —
+    LINEAR in the corpus even when sign-pattern entropy is below the bit
+    width (the round-7 probe's residual ~n^1.17 creep). Recall at cosine
+    c is 1-(1-p^bits)^bands with p = 1 - arccos(c)/pi; see the constants
+    block for the scale/recall contract. No false positives by
+    construction (candidates still pass the exact threshold).
+
+    Recall trade at scale (documented, measured): adaptive bits keep
+    candidates linear and leave HIGH-similarity output unchanged (sf1
+    pair set byte-identical under the round-7 widening), but
+    moderate-cosine pair count necessarily drops as the corpus grows —
+    measured 159,100 -> 102,600 pairs at sf1 when bits grew 4 -> 11
+    (SCALE_sf10_r7.md). Recovery routes for moderate-threshold mining:
+    raise ``bands`` (cost linear in bands) or use the IVF family.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     return near_dup_lsh_from(emb)
@@ -309,7 +423,7 @@ def near_dup_lsh_from(
     """
     if signs is None:
         if bits is None:
-            bits = auto_sign_bits(emb.count())
+            bits = measured_sign_bits(emb)
         signs = srp_signs(bands, bits)
     banded_ex = emb.select(
         "vec_id",
@@ -404,6 +518,38 @@ _SQL_BITS = (
 )
 
 
+def _sql_bits_ctes() -> str:
+    """CTE chain `s, p0, psig, pbc, pfold, pmass, p` — the SQL twin of
+    ``measured_sign_bits`` (entropy-aware width) over the `e` relation.
+
+    Same deterministic sample (vec_id % samp == 0), same band-0 probe
+    signature at MAX_BITS (S index i+1 = band 0, bit i), same mask-fold to
+    every candidate width, same integer criterion, with the count-based
+    ``_SQL_BITS`` as the greatest() floor — so DuckDB lands on exactly the
+    width Spark computed driver-side.
+    """
+    probe_bucket = (
+        f"CAST(list_sum([CASE WHEN list_reduce([v[d + 1] * S[i + 1][d + 1] "
+        f"for d in range(0, {EMB_DIM})], (x, y) -> x + y) > 0.0 "
+        f"THEN (1::BIGINT << i) ELSE 0 END "
+        f"for i in range(0, {EMB_LSH_MAX_BITS})]) AS BIGINT)"
+    )
+    return f"""s AS ({_sql_signs_cte()}),
+p0 AS (SELECT greatest(1, (SELECT count(*) FROM e) // {EMB_LSH_SAMPLE_TARGET}) AS samp),
+psig AS (SELECT {probe_bucket} AS bk FROM e, s, p0 WHERE vec_id % samp = 0),
+pbc AS (SELECT bk, count(*) AS cnt FROM psig GROUP BY bk),
+pfold AS (
+    SELECT bs.b AS b, bk & ((1::BIGINT << bs.b) - 1) AS bb, sum(cnt) AS cb
+    FROM pbc, (SELECT unnest(range({EMB_LSH_MIN_BITS}, {EMB_LSH_MAX_BITS + 1})) AS b) bs
+    GROUP BY 1, 2
+),
+pmass AS (SELECT b, sum(cb * (cb - 1)) AS mm, sum(cb) AS m FROM pfold GROUP BY b),
+p AS (SELECT greatest({_SQL_BITS}, coalesce(
+        (SELECT min(b) FROM pmass
+         WHERE (SELECT count(*) FROM e) * mm <= {EMB_LSH_TARGET_BUCKET} * m * (m - 1)),
+        {EMB_LSH_MAX_BITS})) AS bits)"""
+
+
 def _sql_signs_cte() -> str:
     """One-row CTE body holding S: the flat [band*MAX_BITS + bit] -> 64-dim
     sign rows, identical to ``srp_signs(max(NEAR_DUP_BANDS, TOPK_BANDS),
@@ -432,8 +578,7 @@ def _band_bucket_sql(band_expr: str = "band") -> str:
 
 NEAR_DUP_LSH_ORACLE = f"""
 WITH e AS ({EMB_NORM_SQL}),
-p AS (SELECT {_SQL_BITS} AS bits),
-s AS ({_sql_signs_cte()}),
+{_sql_bits_ctes()},
 banded0 AS (
     SELECT vec_id, bands.band, {_band_bucket_sql("bands.band")} AS bucket
     FROM e, s, (SELECT unnest(range({NEAR_DUP_BANDS})) AS band) bands
@@ -470,18 +615,24 @@ def topk_lsh(
 ) -> DataFrame:
     """ANN top-5 via banded signed-random-projection LSH.
 
-    OR-of-ANDs construction (NEAR_DUP_BANDS bands x auto_sign_bits(n) SRP
-    bits, shared with ``near_dup_cosine_lsh``): a corpus vector is a
-    candidate when ANY band's full sign pattern matches the query's, then
-    exact cosine ranks the candidates. A single wide bucket (the original
-    formulation) has recall ~p^bits which collapses for moderate-cosine
-    neighbors; banding lifts recall to 1-(1-p^bits)^bands at candidate
-    volume ~bands/2^bits of the corpus — and the scale-adaptive bits keep
-    per-query candidates ~bands * TARGET_BUCKET, flat in corpus size.
+    OR-of-ANDs construction (TOPK_BANDS=12 bands — the measured topk
+    recall knee, vs near_dup's cheaper 8 — x measured_sign_bits(n) SRP
+    bits; the hash FAMILY is shared with ``near_dup_cosine_lsh``): a
+    corpus vector is a candidate when ANY band's full sign pattern
+    matches the query's, then exact cosine ranks the candidates. A single
+    wide bucket (the original formulation) has recall ~p^bits which
+    collapses for moderate-cosine neighbors; banding lifts recall to
+    1-(1-p^bits)^bands at candidate volume ~bands/2^bits of the corpus —
+    and the entropy-aware bits keep per-query candidates
+    ~bands * TARGET_BUCKET, flat in corpus size.
+
+    The driver oracle (TOPK_LSH_ORACLE) is generated for the DEFAULT
+    bands/bits: a caller passing non-default values gets a correct query
+    but must not compare it against the fixed-default oracle twin.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     if bits is None:
-        bits = auto_sign_bits(emb.count())
+        bits = measured_sign_bits(emb)
     signs = srp_signs(bands, bits)
     banded = emb.select(
         "vec_id",
@@ -528,8 +679,7 @@ def topk_lsh(
 def _topk_lsh_oracle() -> str:
     return f"""
 WITH e AS ({EMB_NORM_SQL}),
-p AS (SELECT {_SQL_BITS} AS bits),
-s AS ({_sql_signs_cte()}),
+{_sql_bits_ctes()},
 banded AS (
     SELECT vec_id, v, norm, bands.band, {_band_bucket_sql("bands.band")} AS bucket
     FROM e, s, (SELECT unnest(range({TOPK_BANDS})) AS band) bands

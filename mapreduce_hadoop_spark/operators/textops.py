@@ -115,9 +115,9 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only scan (the whole cost at 100 TB is per-doc CPU). The scan is
     widened to cores (guarded no-op on wide scans; see widen_to_cores).
     """
-    from mapreduce_hadoop_spark.sources.tables import widen_to_cores
+    from mapreduce_hadoop_spark.sources.tables import load_table_widened
 
-    docs = widen_to_cores(load_table(spark, sf_dir, "documents"))
+    docs = load_table_widened(spark, sf_dir, "documents")
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     counts = {
         lang: sum(
@@ -245,9 +245,9 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the winnowing idea with window = whole document. The scan is widened
     to cores (guarded no-op on wide scans): measured 10.6 -> ~1.6 s at sf1.
     """
-    from mapreduce_hadoop_spark.sources.tables import widen_to_cores
+    from mapreduce_hadoop_spark.sources.tables import load_table_widened
 
-    docs = widen_to_cores(load_table(spark, sf_dir, "documents"))
+    docs = load_table_widened(spark, sf_dir, "documents")
     sh = T.shingles("text")
     sh_hashes = F.transform(sh, lambda s: md5_long(s))
     return docs.select(
@@ -457,9 +457,9 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scan is widened to cores (guarded no-op on wide scans) — same
     narrow-split bound as gopher: measured 9.6 -> ~1.5 s at sf1.
     """
-    from mapreduce_hadoop_spark.sources.tables import widen_to_cores
+    from mapreduce_hadoop_spark.sources.tables import load_table_widened
 
-    docs = widen_to_cores(load_table(spark, sf_dir, "documents"))
+    docs = load_table_widened(spark, sf_dir, "documents")
     toks = T.tokens("text")
     total = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
     distinct = T.distinct_shingle_count("text")
@@ -646,9 +646,9 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, token asc). The tokenize+explode map side is widened to
     cores (guarded no-op on wide scans; see widen_to_cores).
     """
-    from mapreduce_hadoop_spark.sources.tables import widen_to_cores
+    from mapreduce_hadoop_spark.sources.tables import load_table_widened
 
-    docs = widen_to_cores(load_table(spark, sf_dir, "documents"))
+    docs = load_table_widened(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(T.tokens("text")).alias("token")
     ).filter(F.col("token") != "")
@@ -715,9 +715,9 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-wide scan) — at sf1 a single parquet file gave the heaviest
     per-doc op in the engine only 2 of 16 threads; see ``widen_to_cores``.
     """
-    from mapreduce_hadoop_spark.sources.tables import widen_to_cores
+    from mapreduce_hadoop_spark.sources.tables import load_table_widened
 
-    docs = widen_to_cores(load_table(spark, sf_dir, "documents"))
+    docs = load_table_widened(spark, sf_dir, "documents")
     return gopher_rules_from(docs)
 
 

@@ -66,12 +66,25 @@ bit-identical to ``airport_trips_parity``'s golden fixture in
 timeout variants).
 
 Round-7 application: the forced worst case of the 2-round cadence — all
-38 tail entries' newest driver rows are r5, so the ENTIRE tail rotates
-into the head, plus the always-in-window reference surface (7) and the
-five queries changed this round (gopher distinct-shingle rewrite, the
-two embedding-LSH sign-bit-scaling twins, the GIF-decode extension of
-``multimodal_real_resize``, and the minhash docstring correction).
-7 + 5 + 38 = 50 exactly. The new tail is the round-6-green remainder.
+38 tail entries' newest driver rows were r5, so the ENTIRE tail rotated
+into the head. Head = 7 reference + 5 changed-and-promoted + 38
+rotations = 50 exactly; two of the 38 rotations
+(``text_language_id_ngram``, ``corpus_vocab_topk``) ALSO changed that
+round (widen_to_cores adoption), so CHANGED_THIS_ROUND listed 7 names —
+5 promoted into otherwise-free slots plus those 2 already forced in by
+rotation. The r7 tail was the round-6-green remainder.
+
+Round-8 application: the cadence forces the mirror-image full rotation —
+all 38 r8-tail candidates' newest driver rows are r6, so they all rotate
+in. Head = 7 reference + 5 changed this round (the two embedding-LSH
+twins under entropy-aware ``measured_sign_bits``, the two multimodal
+real-pixel queries under the JPEG extension + vectorized LZW, and
+``text_gopher_rules`` as the representative of the r8 widen-infra
+rework) + 38 rotations = 50 exactly. The widen-infra rework
+(metadata-driven scan-width estimate replacing the per-call ``.rdd``
+materialization) is value- AND hash-identical for every consumer;
+consumers not in the head ride rule 1a against regenerated SRCHASH-bound
+gate logs. The new tail is the round-7-green remainder.
 
 Retirement candidates (size policy, 88/92 slots used)
 -----------------------------------------------------
@@ -111,35 +124,35 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 7
+ROUND = 8
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row.
 CHANGED_THIS_ROUND = (
-    "text_gopher_rules",  # widen_to_cores + array_intersect stopwords (7x at sf1)
-    "similarity_topk_lsh",  # SRP sign bits scale with corpus size; 12-band default
-    "similarity_near_dup_lsh",  # SRP sign bits scale with corpus size
-    "multimodal_real_resize",  # real GIF LZW pixel decode joins the PNG path
-    "dedup_minhash_lsh",  # module docstring 16-perm/8-band correction
-    # widen_to_cores on the remaining narrow-scan-bound head text ops
-    # (value-identical; plan gains ONE guarded round-robin exchange;
-    # pii_scrub measured scan-bound — no widen, unchanged):
-    "text_language_id_ngram",
-    "corpus_vocab_topk",
+    # Entropy-aware LSH width (measured_sign_bits + probe-CTE oracle):
+    "similarity_topk_lsh",
+    "similarity_near_dup_lsh",
+    # JPEG joins the real pixel paths; LZW inner loop vectorized:
+    "multimodal_real_resize",
+    "multimodal_real_roundtrip",
+    # Representative of the r8 widen-infra rework (metadata-driven scan
+    # width; value- and hash-identical — fresh row anyway, it is the
+    # heaviest consumer):
+    "text_gopher_rules",
 )
 
-# Rule 1a: plan rewrites landed after the head filled, output value-hash
-# unchanged at every gate scale. This round: widen_to_cores on the two
-# remaining narrow-scan-bound tail text ops (round-robin exchange only;
-# values untouched — repetition 9.6 -> 1.5 s, fingerprints 10.6 -> 1.6 s
-# at sf1). The committed sf0.01 gate log carries a `# SRCHASH` line
-# matching the current operator tree (tests/test_registry_rotation.py)
-# so a post-rewrite commit cannot be pinned against a stale log; all
-# five GATE_*_r7 logs were regenerated post-rewrite and match the
-# pre-rewrite hashes at every scale.
+# Rule 1a: plan rewrites whose output value-hash is unchanged at every
+# gate scale, pinned against regenerated SRCHASH-bound gate logs. This
+# round: the widen-infra rework (sources/tables.py widen_to_cores now
+# estimates scan width from parquet footer metadata instead of
+# materializing the plan via .rdd; the round-robin exchange itself is
+# unchanged and fires under exactly the same condition at all gate
+# scales) for the two consumers that are not in the r8 head.
+# text_repetition_score / text_fingerprints / text_gopher_rules also
+# consume it but carry fresh r8 driver rows (head).
 REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
-    "text_repetition_score",
-    "text_fingerprints",
+    "text_language_id_ngram",
+    "corpus_vocab_topk",
 )
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
@@ -148,8 +161,8 @@ STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
 # surface (always in window) + 5 changed this round (rule 1) + all 38
-# round-5-green tail entries (rule 2 — the 2-round cadence's forced full
-# rotation: every tail entry's newest driver row was r5).
+# round-6-green tail entries (rule 2 — the 2-round cadence's forced full
+# rotation: every tail entry's newest driver row is r6).
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -160,51 +173,50 @@ HEAD = (
     "daily_revenue",
     "total_revenue",
     # Changed this round (rule 1).
-    "text_gopher_rules",
     "similarity_topk_lsh",
     "similarity_near_dup_lsh",
     "multimodal_real_resize",
-    "dedup_minhash_lsh",
-    # Round-5-green tail rotations (rule 2): oldest driver rows first —
-    # the entire r6 tail rotates in.
-    "events_cube",
-    "customer_balance_windows",
-    "events_hash_sample",
-    "events_stratified_sample",
-    "customer_order_semi_anti",
-    "events_grouping_sets",
-    "orders_pivot_priority",
-    "lineitem_measures_unpivot",
-    "lineitem_percentiles",
-    "approx_lineitem_percentiles",
-    "events_salted_agg",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_daily_gapfill",
-    "fn_distance",
-    "fn_width_bucket",
-    "fn_epoch",
-    "corpus_domain_mix",
-    "corpus_pack_sequences",
-    "events_keyed_dedup",
-    "events_enriched",
-    "similarity_near_dup_cosine",
-    "text_language_id",
-    "global_top_orders",
-    "sql_revenue_by_nation",
-    "trips_concurrency",
-    "text_pii_scrub",
-    "views_before_purchase_range_join",
-    "similarity_topk_ivf_trained",
-    "airport_trips_timeout",
-    "corpus_weighted_sample",
-    "corpus_train_split",
-    "corpus_domain_quota",
     "multimodal_real_roundtrip",
-    "customer_activity_reconcile",
-    "sql_orders_above_customer_avg",
-    "corpus_vocab_topk",
-    "text_language_id_ngram",
+    "text_gopher_rules",
+    # Round-6-green tail rotations (rule 2): the entire r7 tail rotates in.
+    "dedup_keep_best",
+    "multimodal_resize_stub",
+    "dedup_exact_normalized",
+    "dedup_simhash",
+    "corpus_clean_stats",
+    "events_daily_by_type",
+    "market_segment_balance",
+    "text_fingerprints",
+    "text_tfidf_top_terms",
+    "text_document_chunks",
+    "text_normalize",
+    "text_repetition_score",
+    "similarity_topk_bruteforce",
+    "similarity_topk_filtered",
+    "similarity_topk_ivf",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "events_rollup",
+    "purchase_asof_view",
+    "event_props_json",
+    "distinct_users_daily",
+    "approx_distinct_users_daily",
+    "segment_customer_setops",
+    "contamination_check",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "shipping_priority",
+    "text_quality_score",
+    "text_token_counts",
+    "events_session_window",
+    "text_span_dedup",
+    "embedding_quantize_int8",
+    "events_funnel",
+    "events_cohort_retention",
 )
 
 

@@ -86,7 +86,91 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
-def widen_to_cores(df: DataFrame) -> DataFrame:
+# Above this many files, skip per-file footer reads in the scan-width
+# estimate: so many files always split at least cores-wide (each file is
+# at least one split region and carries >= 1 row group).
+_FOOTER_READ_CAP = 256
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Read a size conf ('128MB' / '134217728b' / plain int) as bytes."""
+    try:
+        raw = str(spark.conf.get(key, str(default))).strip().lower()
+    except Exception:
+        return default
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    mult = 1
+    for suffix in ("kb", "mb", "gb", "k", "m", "g", "b"):
+        if raw.endswith(suffix):
+            mult = units[suffix[0]]
+            raw = raw[: -len(suffix)]
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def parquet_scan_width(spark: SparkSession, path: str) -> int:
+    """Estimated NON-EMPTY scan partition count for a parquet path,
+    from file metadata alone (no Spark job, no plan materialization).
+
+    Two bounds, both needed:
+    - byte-range splits, via Spark's own FilePartition arithmetic
+      (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+      total/minPartitionNum)); small files pack with openCost padding);
+    - ROW GROUPS: a parquet row group is read entirely by the one split
+      containing its midpoint, so non-empty splits never exceed total
+      row groups — the round-7 widen used `.rdd.getNumPartitions()`,
+      which reports byte splits and OVERSTATES width on few-row-group
+      files (measured: a 57 MB single-row-group file reports 14 splits,
+      13 of them empty).
+
+    Footer reads are bounded: only taken when byte splits alone look
+    wide (est >= cores) and there are < _FOOTER_READ_CAP files; past the
+    cap the scan is wide by construction. The 100 TB case (thousands of
+    multi-row-group files) therefore costs one file listing, no footers.
+    """
+    import glob as _glob
+    import math
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(
+            f
+            for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        )
+    else:
+        files = [path] if os.path.isfile(path) else []
+    if not files:
+        return 1  # missing/odd path: report narrow (widen, never crash)
+    cores = spark.sparkContext.defaultParallelism
+    maxpb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    opencost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    try:
+        minpn = int(str(spark.conf.get("spark.sql.files.minPartitionNum", str(cores))))
+    except Exception:
+        minpn = cores
+    data_bytes = sum(os.path.getsize(f) for f in files)
+    max_split = min(maxpb, max(opencost, data_bytes // max(1, minpn) + 1))
+    est_splits = max(1, math.ceil((data_bytes + opencost * len(files)) / max_split))
+    if est_splits < cores:
+        return est_splits
+    if len(files) >= _FOOTER_READ_CAP:
+        return est_splits
+    import pyarrow.parquet as pq
+
+    row_groups = 0
+    for f in files:
+        try:
+            row_groups += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:
+            row_groups += 1  # unreadable footer: count the file itself
+    return min(est_splits, max(1, row_groups))
+
+
+def widen_to_cores(df: DataFrame, path: "str | None" = None) -> DataFrame:
     """Round-robin repartition to the session parallelism — ONLY when the
     scan is narrower than the cluster.
 
@@ -98,11 +182,32 @@ def widen_to_cores(df: DataFrame) -> DataFrame:
     the 100 TB case, where splits outnumber executors a thousandfold —
     this is a NO-OP, because round-robin-shuffling a wide scan's full
     payload would be pure waste.
+
+    Scan-TIME widening (spark.sql.files.minPartitionNum) cannot replace
+    the exchange here: byte-range splits of a single-ROW-GROUP file are
+    empty except the one holding the row-group midpoint (measured: 14
+    splits, 1 non-empty), so only a shuffle actually spreads the rows.
+    With ``path`` given, the width check reads parquet footer metadata
+    (``parquet_scan_width``) instead of materializing the plan via
+    ``.rdd`` — cheaper per query, and row-group-exact where `.rdd`
+    overstates width.
     """
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if path is not None:
+        width = parquet_scan_width(spark, path)
+    else:
+        width = df.rdd.getNumPartitions()
+    if width >= cores:
         return df
     return df.repartition(cores)
+
+
+def load_table_widened(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + widen_to_cores with the metadata-driven width check."""
+    return widen_to_cores(
+        load_table(spark, sf_dir, name), path=f"{sf_dir}/{name}.parquet"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -360,6 +360,28 @@ def test_gopher_rules_map_only(spark, sf_dir):
     assert widen_to_cores(wide) is wide
 
 
+def test_parquet_scan_width_metadata_estimate(spark, sf_dir):
+    # The metadata-driven width check (round 8: replaces the per-call
+    # .rdd plan materialization): a single-row-group testdata file must
+    # report narrow (it genuinely executes on ~1 core without the
+    # exchange), and the estimate never exceeds the byte-split bound.
+    from mapreduce_hadoop_spark.sources.tables import (
+        load_table,
+        parquet_scan_width,
+        widen_to_cores,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    path = f"{sf_dir}/documents.parquet"
+    w = parquet_scan_width(spark, path)
+    assert 1 <= w < cores, w
+    # And widen_to_cores(path=...) therefore inserts the exchange:
+    df = widen_to_cores(load_table(spark, sf_dir, "documents"), path=path)
+    assert df.rdd.getNumPartitions() == cores
+    # Missing/odd paths degrade to 1 (widen, never crash):
+    assert parquet_scan_width(spark, f"{sf_dir}/definitely_missing") == 1
+
+
 def test_span_dedup_two_shuffles_no_joins(spark, sf_dir):
     # One exchange on span hash (first-occurrence window) + one for the
     # per-doc rollup; spans are hashed longs before either, and there is

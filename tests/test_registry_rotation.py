@@ -48,13 +48,14 @@ def test_head_window_size_and_total():
     assert names[: registry.DRIVER_WINDOW] == list(head)
 
 
-# Rule 1a pins: {query: (gate_log_filename, pre_rewrite_hash)} read from
-# the gate log as committed BEFORE the rewrite landed (git history:
-# GATE_sf0.01_r7.log at commit 4240b86). Must cover exactly
-# registry.REWRITTEN_HASH_IDENTICAL.
+# Rule 1a pins: {query: (gate_log_filename, pre_rewrite_hash)} where the
+# hash is read from the gate log as committed BEFORE the rewrite landed
+# (round 8: GATE_sf0.01_r7.log at commit c9dc989) and the filename is the
+# REGENERATED post-rewrite log whose SRCHASH must match the current tree.
+# Must cover exactly registry.REWRITTEN_HASH_IDENTICAL.
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    "text_repetition_score": ("GATE_sf0.01_r7.log", "288c28eb238a2fd1"),
-    "text_fingerprints": ("GATE_sf0.01_r7.log", "845853a4aeeb9821"),
+    "text_language_id_ngram": ("GATE_sf0.01_r8.log", "963bc6886415dfab"),
+    "corpus_vocab_topk": ("GATE_sf0.01_r8.log", "e38ec2f54cddc197"),
 }
 
 
