@@ -74,17 +74,36 @@ round (widen_to_cores adoption), so CHANGED_THIS_ROUND listed 7 names —
 5 promoted into otherwise-free slots plus those 2 already forced in by
 rotation. The r7 tail was the round-6-green remainder.
 
-Round-8 application: the cadence forces the mirror-image full rotation —
-all 38 r8-tail candidates' newest driver rows are r6, so they all rotate
-in. Head = 7 reference + 5 changed this round (the two embedding-LSH
-twins under entropy-aware ``measured_sign_bits``, the two multimodal
-real-pixel queries under the JPEG extension + vectorized LZW, and
+Round-8 application (CORRECTED in round 9 — the original version of
+this paragraph claimed a "JPEG extension + vectorized LZW" behind the
+two multimodal head slots; NO such code landed in round 8, and
+multimodal.py was untouched that round. The record below is what
+actually happened): the cadence forced the mirror-image full rotation —
+all 38 r8-tail candidates' newest driver rows were r6, so they all
+rotated in. Head = 7 reference + 5 changed slots + 38 rotations = 50.
+Of the 5 changed slots, 3 carried real round-8 changes: the two
+embedding-LSH twins under entropy-aware ``measured_sign_bits`` and
 ``text_gopher_rules`` as the representative of the r8 widen-infra
-rework) + 38 rotations = 50 exactly. The widen-infra rework
-(metadata-driven scan-width estimate replacing the per-call ``.rdd``
-materialization) is value- AND hash-identical for every consumer;
-consumers not in the head ride rule 1a against regenerated SRCHASH-bound
-gate logs. The new tail is the round-7-green remainder.
+rework (metadata-driven scan-width estimate replacing the per-call
+``.rdd`` materialization, value- and hash-identical for every
+consumer). The two multimodal real-pixel queries occupied changed slots
+WITHOUT a code change behind them — their fresh r8 rows are valid
+evidence for the (unchanged, r7) code, but the recorded rationale was
+false. Round 8 also failed to regenerate the rule-1a gate log its own
+test pinned (repaired at the start of round 9: GATE_sf0.01_r8.log,
+0 failures, both pinned hashes unchanged).
+
+Round-9 application: the cadence again forces the full rotation — all
+38 r9-tail candidates (the r8 tail) have r7 rows, so they all rotate
+in. Head = 7 reference + 5 change slots + 38 rotations = 50. To avoid
+repeating round 8's docstring-before-code failure, CHANGED_THIS_ROUND
+starts EMPTY at rotation time and grows commit-by-commit as changes
+actually land; the 5 reserved slots hold the queries this round's plan
+targets (the two multimodal real-pixel queries — the carried JPEG/LZW
+work — the two embedding-LSH twins, and the heaviest widen consumer),
+which is a PLAN, not a claim: a slot whose change does not land simply
+yields an ordinary fresh driver row for unchanged code, explicitly
+recorded as such. The new tail is the round-8-green remainder.
 
 Retirement candidates (size policy, 88/92 slots used)
 -----------------------------------------------------
@@ -124,45 +143,32 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 8
+ROUND = 9
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
-# changed and therefore require a fresh driver row.
-CHANGED_THIS_ROUND = (
-    # Entropy-aware LSH width (measured_sign_bits + probe-CTE oracle):
-    "similarity_topk_lsh",
-    "similarity_near_dup_lsh",
-    # JPEG joins the real pixel paths; LZW inner loop vectorized:
-    "multimodal_real_resize",
-    "multimodal_real_roundtrip",
-    # Representative of the r8 widen-infra rework (metadata-driven scan
-    # width; value- and hash-identical — fresh row anyway, it is the
-    # heaviest consumer):
-    "text_gopher_rules",
-)
+# changed and therefore require a fresh driver row. Starts EMPTY at
+# rotation time; each commit that changes a query appends it HERE, in
+# THAT commit — never before the code lands (the round-8 lesson).
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
-# gate scale, pinned against regenerated SRCHASH-bound gate logs. This
-# round: the widen-infra rework (sources/tables.py widen_to_cores now
-# estimates scan width from parquet footer metadata instead of
-# materializing the plan via .rdd; the round-robin exchange itself is
-# unchanged and fires under exactly the same condition at all gate
-# scales) for the two consumers that are not in the r8 head.
-# text_repetition_score / text_fingerprints / text_gopher_rules also
-# consume it but carry fresh r8 driver rows (head).
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
-    "text_language_id_ngram",
-    "corpus_vocab_topk",
-)
+# gate scale, pinned against regenerated SRCHASH-bound gate logs.
+# Assembled in the end-of-round evidence commit (the pin references the
+# regenerated r9 logs, which exist only once the round's code is final);
+# empty until then. Round 8's set (text_language_id_ngram,
+# corpus_vocab_topk) left the tuple by rotating into the r9 head, where
+# fresh driver rows supersede the log pin.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
 # EMPTY this round: no query was added after the head filled.
 STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
-# surface (always in window) + 5 changed this round (rule 1) + all 38
-# round-6-green tail entries (rule 2 — the 2-round cadence's forced full
-# rotation: every tail entry's newest driver row is r6).
+# surface (always in window) + 5 round-9 change slots (rule 1 — a plan at
+# rotation time; CHANGED_THIS_ROUND records what actually lands) + all 38
+# round-7-green tail entries (rule 2 — the 2-round cadence's forced full
+# rotation: every r8-tail entry's newest driver row is r7).
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -172,51 +178,51 @@ HEAD = (
     "airport_trips_parity",
     "daily_revenue",
     "total_revenue",
-    # Changed this round (rule 1).
-    "similarity_topk_lsh",
-    "similarity_near_dup_lsh",
+    # Round-9 change slots (rule 1).
     "multimodal_real_resize",
     "multimodal_real_roundtrip",
+    "similarity_topk_lsh",
+    "similarity_near_dup_lsh",
     "text_gopher_rules",
-    # Round-6-green tail rotations (rule 2): the entire r7 tail rotates in.
-    "dedup_keep_best",
-    "multimodal_resize_stub",
-    "dedup_exact_normalized",
-    "dedup_simhash",
-    "corpus_clean_stats",
-    "events_daily_by_type",
-    "market_segment_balance",
-    "text_fingerprints",
-    "text_tfidf_top_terms",
-    "text_document_chunks",
-    "text_normalize",
-    "text_repetition_score",
-    "similarity_topk_bruteforce",
-    "similarity_topk_filtered",
-    "similarity_topk_ivf",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "events_rollup",
-    "purchase_asof_view",
-    "event_props_json",
-    "distinct_users_daily",
-    "approx_distinct_users_daily",
-    "segment_customer_setops",
-    "contamination_check",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "revenue_by_nation",
-    "pricing_summary",
-    "top_orders_per_customer",
-    "shipping_priority",
-    "text_quality_score",
-    "text_token_counts",
-    "events_session_window",
-    "text_span_dedup",
-    "embedding_quantize_int8",
-    "events_funnel",
-    "events_cohort_retention",
+    # Round-7-green tail rotations (rule 2): the entire r8 tail rotates in.
+    "events_cube",
+    "customer_balance_windows",
+    "events_hash_sample",
+    "events_stratified_sample",
+    "customer_order_semi_anti",
+    "events_grouping_sets",
+    "orders_pivot_priority",
+    "lineitem_measures_unpivot",
+    "lineitem_percentiles",
+    "approx_lineitem_percentiles",
+    "events_salted_agg",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_daily_gapfill",
+    "fn_distance",
+    "fn_width_bucket",
+    "fn_epoch",
+    "corpus_domain_mix",
+    "corpus_pack_sequences",
+    "events_keyed_dedup",
+    "events_enriched",
+    "similarity_near_dup_cosine",
+    "text_language_id",
+    "global_top_orders",
+    "sql_revenue_by_nation",
+    "trips_concurrency",
+    "text_pii_scrub",
+    "views_before_purchase_range_join",
+    "similarity_topk_ivf_trained",
+    "airport_trips_timeout",
+    "corpus_weighted_sample",
+    "corpus_train_split",
+    "corpus_domain_quota",
+    "customer_activity_reconcile",
+    "sql_orders_above_customer_avg",
+    "corpus_vocab_topk",
+    "text_language_id_ngram",
+    "dedup_minhash_lsh",
 )
 
 
