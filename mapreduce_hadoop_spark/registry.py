@@ -105,6 +105,24 @@ which is a PLAN, not a claim: a slot whose change does not land simply
 yields an ordinary fresh driver row for unchanged code, explicitly
 recorded as such. The new tail is the round-8-green remainder.
 
+Round-10 application: the forced full rotation a third time — all 38
+r10-tail candidates (the r9 tail) have r8 rows, so they all rotate in.
+Head = 7 reference + 5 change slots + 38 rotations = 50; the new tail
+is the round-9-green remainder. The 5 change slots repeat the round-9
+plan because round 9 landed none of it and round 10 targets exactly
+that carried backlog: the two multimodal real-pixel queries (GIF
+hardening + LZW vectorization + the JPEG decision), the two
+embedding-LSH twins (probe memoization + sf10mut evidence), and
+``text_gopher_rules`` as the widen-consumer representative for the
+``parquet_scan_width`` remote-path fix. As in round 9,
+CHANGED_THIS_ROUND starts EMPTY and grows commit-by-commit; rule-1a
+candidates (the widen consumers left in the tail:
+``text_language_id_ngram``, ``corpus_vocab_topk``) are pinned only in
+the end-of-round evidence commit, against regenerated r10 gate logs,
+and the SAME commit updates the test-side pin dict — the round-8/9
+lesson, twice over, is that the registry tuple and the test pin must
+move together or pytest goes red in the handoff.
+
 Retirement candidates (size policy, 88/92 slots used)
 -----------------------------------------------------
 When an addition would exceed MAX_REGISTRY, retire from this ranked
@@ -143,7 +161,7 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 9
+ROUND = 10
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row. Starts EMPTY at
@@ -155,9 +173,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = ()
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
 # Assembled in the end-of-round evidence commit (the pin references the
 # regenerated r9 logs, which exist only once the round's code is final);
-# empty until then. Round 8's set (text_language_id_ngram,
-# corpus_vocab_topk) left the tuple by rotating into the r9 head, where
-# fresh driver rows supersede the log pin.
+# empty until then. Round 10's plan expects the widen-fix consumers
+# left in the tail (text_language_id_ngram, corpus_vocab_topk) to land
+# here once the regenerated r10 gate logs prove their hashes unchanged.
 REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
@@ -165,10 +183,10 @@ REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
-# surface (always in window) + 5 round-9 change slots (rule 1 — a plan at
+# surface (always in window) + 5 round-10 change slots (rule 1 — a plan at
 # rotation time; CHANGED_THIS_ROUND records what actually lands) + all 38
-# round-7-green tail entries (rule 2 — the 2-round cadence's forced full
-# rotation: every r8-tail entry's newest driver row is r7).
+# round-8-green tail entries (rule 2 — the 2-round cadence's forced full
+# rotation: every r9-tail entry's newest driver row is r8).
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -178,51 +196,51 @@ HEAD = (
     "airport_trips_parity",
     "daily_revenue",
     "total_revenue",
-    # Round-9 change slots (rule 1).
+    # Round-10 change slots (rule 1).
     "multimodal_real_resize",
     "multimodal_real_roundtrip",
     "similarity_topk_lsh",
     "similarity_near_dup_lsh",
     "text_gopher_rules",
-    # Round-7-green tail rotations (rule 2): the entire r8 tail rotates in.
-    "events_cube",
-    "customer_balance_windows",
-    "events_hash_sample",
-    "events_stratified_sample",
-    "customer_order_semi_anti",
-    "events_grouping_sets",
-    "orders_pivot_priority",
-    "lineitem_measures_unpivot",
-    "lineitem_percentiles",
-    "approx_lineitem_percentiles",
-    "events_salted_agg",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_daily_gapfill",
-    "fn_distance",
-    "fn_width_bucket",
-    "fn_epoch",
-    "corpus_domain_mix",
-    "corpus_pack_sequences",
-    "events_keyed_dedup",
-    "events_enriched",
-    "similarity_near_dup_cosine",
-    "text_language_id",
-    "global_top_orders",
-    "sql_revenue_by_nation",
-    "trips_concurrency",
-    "text_pii_scrub",
-    "views_before_purchase_range_join",
-    "similarity_topk_ivf_trained",
-    "airport_trips_timeout",
-    "corpus_weighted_sample",
-    "corpus_train_split",
-    "corpus_domain_quota",
-    "customer_activity_reconcile",
-    "sql_orders_above_customer_avg",
-    "corpus_vocab_topk",
-    "text_language_id_ngram",
-    "dedup_minhash_lsh",
+    # Round-8-green tail rotations (rule 2): the entire r9 tail rotates in.
+    "dedup_keep_best",
+    "multimodal_resize_stub",
+    "dedup_exact_normalized",
+    "dedup_simhash",
+    "corpus_clean_stats",
+    "events_daily_by_type",
+    "market_segment_balance",
+    "text_fingerprints",
+    "text_tfidf_top_terms",
+    "text_document_chunks",
+    "text_normalize",
+    "text_repetition_score",
+    "similarity_topk_bruteforce",
+    "similarity_topk_filtered",
+    "similarity_topk_ivf",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "events_rollup",
+    "purchase_asof_view",
+    "event_props_json",
+    "distinct_users_daily",
+    "approx_distinct_users_daily",
+    "segment_customer_setops",
+    "contamination_check",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "shipping_priority",
+    "text_quality_score",
+    "text_token_counts",
+    "events_session_window",
+    "text_span_dedup",
+    "embedding_quantize_int8",
+    "events_funnel",
+    "events_cohort_retention",
 )
 
 
