@@ -401,8 +401,9 @@ def near_dup_lsh_from(
 ) -> DataFrame:
     """Banded-LSH near-dup pairs from a normed (vec_id, v, norm) relation;
     see ``near_dup_cosine_lsh``. ``bands`` moves along the recall-vs-
-    candidates curve; ``bits`` defaults to auto_sign_bits(count) — the one
-    extra count() job is the price of the scale-adaptive key. ``signs``
+    candidates curve; ``bits`` defaults to measured_sign_bits(emb) — the
+    entropy-aware width (bounded probe; auto_sign_bits(n) as the count-
+    based floor), the price of the scale-adaptive key. ``signs``
     overrides the hash family (tests use ``axis_signs`` to place vectors
     in engineered buckets). Buckets over max(EMB_BUCKET_CAP_MIN, n/2) are
     dropped (degenerate-skew guard).

@@ -167,7 +167,16 @@ ROUND = 10
 # changed and therefore require a fresh driver row. Starts EMPTY at
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # parquet_scan_width remote-path fallback + bytesPerCore openCost
+    # term (sources/tables.py): every in-head widen consumer re-verifies
+    # with a fresh driver row. The two tail consumers
+    # (text_language_id_ngram, corpus_vocab_topk) take the rule-1a pin
+    # in the end-of-round evidence commit.
+    "text_gopher_rules",
+    "text_repetition_score",
+    "text_fingerprints",
+)
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.

@@ -111,9 +111,17 @@ def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
         return default
 
 
-def parquet_scan_width(spark: SparkSession, path: str) -> int:
+def parquet_scan_width(spark: SparkSession, path: str) -> "int | None":
     """Estimated NON-EMPTY scan partition count for a parquet path,
-    from file metadata alone (no Spark job, no plan materialization).
+    from file metadata alone (no Spark job, no plan materialization) —
+    or ``None`` when the path is not listable from this process (remote
+    scheme such as ``s3a://``/``hdfs://``, or an empty/missing local
+    listing), in which case the caller must fall back to a width source
+    that CAN see the files (``widen_to_cores`` uses
+    ``df.rdd.getNumPartitions()``). Returning a fake "narrow" answer
+    here was the round-9 latent scale-killer: on a remote filesystem
+    every widen consumer would have round-robin-exchanged its full
+    input.
 
     Two bounds, both needed:
     - byte-range splits, via Spark's own FilePartition arithmetic
@@ -134,7 +142,13 @@ def parquet_scan_width(spark: SparkSession, path: str) -> int:
     import glob as _glob
     import math
     import os
+    import re
 
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(?://)?(.*)$", path)
+    if m:
+        if m.group(1).lower() != "file":
+            return None  # remote scheme: not listable from the driver's OS
+        path = m.group(2) or "/"
     if os.path.isdir(path):
         files = sorted(
             f
@@ -144,7 +158,7 @@ def parquet_scan_width(spark: SparkSession, path: str) -> int:
     else:
         files = [path] if os.path.isfile(path) else []
     if not files:
-        return 1  # missing/odd path: report narrow (widen, never crash)
+        return None  # empty/missing listing: width unknown, caller decides
     cores = spark.sparkContext.defaultParallelism
     maxpb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     opencost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
@@ -153,8 +167,13 @@ def parquet_scan_width(spark: SparkSession, path: str) -> int:
     except Exception:
         minpn = cores
     data_bytes = sum(os.path.getsize(f) for f in files)
-    max_split = min(maxpb, max(opencost, data_bytes // max(1, minpn) + 1))
-    est_splits = max(1, math.ceil((data_bytes + opencost * len(files)) / max_split))
+    # Spark's FilePartition arithmetic pads bytesPerCore with openCost per
+    # file too (totalBytes = data + openCost * numFiles), not just the
+    # packing step below — omitting it understated maxSplitBytes on
+    # many-small-file layouts.
+    total_bytes = data_bytes + opencost * len(files)
+    max_split = min(maxpb, max(opencost, total_bytes // max(1, minpn) + 1))
+    est_splits = max(1, math.ceil(total_bytes / max_split))
     if est_splits < cores:
         return est_splits
     if len(files) >= _FOOTER_READ_CAP:
@@ -194,9 +213,11 @@ def widen_to_cores(df: DataFrame, path: "str | None" = None) -> DataFrame:
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if path is not None:
-        width = parquet_scan_width(spark, path)
-    else:
+    width = parquet_scan_width(spark, path) if path is not None else None
+    if width is None:
+        # Path absent, remote, or not listable here: ask the datasource
+        # itself (plan-level split count; no job runs). Never assume
+        # narrow — that would repartition the full table at 100 TB.
         width = df.rdd.getNumPartitions()
     if width >= cores:
         return df

@@ -378,8 +378,39 @@ def test_parquet_scan_width_metadata_estimate(spark, sf_dir):
     # And widen_to_cores(path=...) therefore inserts the exchange:
     df = widen_to_cores(load_table(spark, sf_dir, "documents"), path=path)
     assert df.rdd.getNumPartitions() == cores
-    # Missing/odd paths degrade to 1 (widen, never crash):
-    assert parquet_scan_width(spark, f"{sf_dir}/definitely_missing") == 1
+    # Missing/odd paths are UNKNOWN (None), not narrow — the caller must
+    # fall back to a width source that can see the files:
+    assert parquet_scan_width(spark, f"{sf_dir}/definitely_missing") is None
+    # file:// is local and listable; same answer as the bare path.
+    assert parquet_scan_width(spark, f"file://{path}") == w
+
+
+def test_parquet_scan_width_remote_scheme_never_narrow(spark, sf_dir):
+    # The 100 TB deployment reads from a remote filesystem the driver's OS
+    # cannot list. The width check must report UNKNOWN there, and
+    # widen_to_cores must then trust the datasource's own split count —
+    # NEVER assume narrow, which would round-robin-exchange the full
+    # table in every widen consumer (gopher, repetition, fingerprints,
+    # language-id, vocab).
+    from mapreduce_hadoop_spark.sources.tables import (
+        load_table,
+        parquet_scan_width,
+        widen_to_cores,
+    )
+
+    for remote in ("s3a://bucket/tbl.parquet", "hdfs://nn:8020/w/t.parquet",
+                   "abfss://c@a.dfs.example/t.parquet"):
+        assert parquet_scan_width(spark, remote) is None, remote
+
+    cores = spark.sparkContext.defaultParallelism
+    # Already-wide relation + unlistable path: passes through untouched
+    # (the fallback sees >= cores datasource splits, so no exchange).
+    wide = load_table(spark, sf_dir, "documents").repartition(cores)
+    assert widen_to_cores(wide, path="s3a://bucket/tbl.parquet") is wide
+    # Narrow relation + unlistable path: the .rdd fallback still widens.
+    narrow = load_table(spark, sf_dir, "documents").coalesce(1)
+    out = widen_to_cores(narrow, path="s3a://bucket/tbl.parquet")
+    assert out.rdd.getNumPartitions() == cores
 
 
 def test_span_dedup_two_shuffles_no_joins(spark, sf_dir):
