@@ -223,9 +223,25 @@ def auto_sign_bits(n: int) -> int:
     return EMB_LSH_MAX_BITS
 
 
+# Probe memo: repeated LSH queries over an UNCHANGED corpus in one
+# session (bench loops, the topk+near_dup twins sharing one embeddings
+# relation) pay the count+probe once. Keyed on (applicationId, analyzed-
+# plan semanticHash, explicit-n-or-auto): the semantic hash covers the
+# scan path and every transformation, so a different sf_dir or a
+# different projection never aliases; a same-plan re-read of a corpus
+# mutated IN PLACE mid-session would reuse the stale width — no engine
+# path does that (gate/bench/driver sessions each bind one immutable
+# sf_dir), and the width is re-derived fresh in every new session.
+_SIGN_BITS_MEMO: "dict[tuple, int]" = {}
+_SIGN_BITS_MEMO_CAP = 64
+# Test hook: counts actual probe executions (memo misses).
+PROBE_RUNS = 0
+
+
 def measured_sign_bits(emb: DataFrame, n: "int | None" = None) -> int:
     """Entropy-aware bit width: smallest b in [auto_sign_bits(n), MAX_BITS]
     whose MEASURED per-vector candidate mass is <= TARGET_BUCKET.
+    Memoized per (session, plan) — see ``_SIGN_BITS_MEMO`` above.
 
     ``auto_sign_bits`` assumes uniform buckets (collision mass 2^-bits);
     real embedding corpora have sign-pattern entropy below ``bits`` bits,
@@ -253,13 +269,33 @@ def measured_sign_bits(emb: DataFrame, n: "int | None" = None) -> int:
     measured pick can only fall below the count pick by sampling error,
     and the floor keeps the documented log2(n) growth contract exact.
     """
+    global PROBE_RUNS
+    try:
+        key = (
+            emb.sparkSession.sparkContext.applicationId,
+            emb.semanticHash(),
+            "auto" if n is None else n,
+        )
+    except Exception:
+        key = None  # unhashable plan (never seen): just run the probe
+    if key is not None and key in _SIGN_BITS_MEMO:
+        return _SIGN_BITS_MEMO[key]
+    PROBE_RUNS += 1
+
+    def _memo(bits: int) -> int:
+        if key is not None:
+            if len(_SIGN_BITS_MEMO) >= _SIGN_BITS_MEMO_CAP:
+                _SIGN_BITS_MEMO.pop(next(iter(_SIGN_BITS_MEMO)))
+            _SIGN_BITS_MEMO[key] = bits
+        return bits
+
     if n is None:
         n = emb.count()
     if n <= 0:
-        return EMB_LSH_MIN_BITS
+        return _memo(EMB_LSH_MIN_BITS)
     floor_bits = auto_sign_bits(n)
     if floor_bits >= EMB_LSH_MAX_BITS:
-        return EMB_LSH_MAX_BITS
+        return _memo(EMB_LSH_MAX_BITS)
     samp = max(1, n // EMB_LSH_SAMPLE_TARGET)
     sig = emb if samp == 1 else emb.filter(F.col("vec_id") % samp == 0)
     # The probe hashes at MAX_BITS x EMB_DIM per row; on a narrow scan
@@ -300,7 +336,7 @@ def measured_sign_bits(emb: DataFrame, n: "int | None" = None) -> int:
         if n * mm <= EMB_LSH_TARGET_BUCKET * m * (m - 1):
             measured = b
             break
-    return max(floor_bits, measured)
+    return _memo(max(floor_bits, measured))
 
 
 def _srp_sign(band: int, bit: int, dim: int) -> float:

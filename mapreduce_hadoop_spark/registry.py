@@ -176,6 +176,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_gopher_rules",
     "text_repetition_score",
     "text_fingerprints",
+    # measured_sign_bits probe memo per (session, plan): the two LSH
+    # twins are the consumers (operators/similarity.py).
+    "similarity_topk_lsh",
+    "similarity_near_dup_lsh",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every

@@ -147,3 +147,35 @@ def test_trained_ivf_beats_fixed_centroids(spark, sf_dir):
     # trained variant measures 0.80 vs 0.74 at the nprobe=8 default. Bound
     # the absolute recall only.
     assert r_trained >= 0.5, (r_trained, r_fixed)
+
+
+def test_measured_sign_bits_probe_memoized(spark, sf_dir):
+    """Task-9 contract: repeated LSH width derivations over an unchanged
+    corpus pay the count+probe ONCE per session; a semantically different
+    relation (different filter) is a separate key; and the memoized
+    answer is the answer the probe computed.
+    """
+    from mapreduce_hadoop_spark.operators import similarity
+    from mapreduce_hadoop_spark.operators.similarity import (
+        _SIGN_BITS_MEMO,
+        _with_norm,
+        measured_sign_bits,
+    )
+    from mapreduce_hadoop_spark.sources.tables import load_table
+
+    _SIGN_BITS_MEMO.clear()
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    base = similarity.PROBE_RUNS
+    first = measured_sign_bits(emb)
+    assert similarity.PROBE_RUNS == base + 1
+    # Second call, and a fresh-but-identical plan: both memo hits.
+    assert measured_sign_bits(emb) == first
+    emb2 = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    assert measured_sign_bits(emb2) == first
+    assert similarity.PROBE_RUNS == base + 1
+    # A semantically different relation re-probes.
+    from pyspark.sql import functions as F
+
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    measured_sign_bits(half)
+    assert similarity.PROBE_RUNS == base + 2
