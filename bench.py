@@ -45,6 +45,36 @@ HEADLINE = [
     "corpus_clean_stats",
 ]
 
+# One line per build round, keyed on registry.ROUND so BENCH_rN.json can
+# never ship describing a stale build: a round that forgets to add its
+# line emits an explicit "note missing" marker instead of last round's
+# text (the r8/r9 failure mode — BENCH_r09.json carried the verbatim
+# round-7 note).
+ROUND_NOTES = {
+    10: (
+        "r10: parquet_scan_width reports unknown (never narrow) on "
+        "remote/unlistable paths so widen consumers cannot full-table-"
+        "exchange at 100 TB; measured_sign_bits probe memoized per "
+        "(session, plan); sf10mut candidate evidence committed "
+        "(SCALE_sf10_r10.md: 30.3M candidates, ~152/vector, 10x data -> "
+        "7.8x candidates); GIF decoder hardened (min_code_size/palette/"
+        "dict-freeze fuzz fixtures) and the LZW loops vectorized "
+        "bit-identical (encode+decode 2.2x each, PNG unfilter 1.7x, real "
+        "pixel path 1.8x end-to-end, golden-stream-pinned)."
+    ),
+}
+
+
+def _round_note() -> str:
+    from mapreduce_hadoop_spark import registry
+
+    return ROUND_NOTES.get(
+        registry.ROUND,
+        f"round {registry.ROUND}: note missing — add it to ROUND_NOTES "
+        "in bench.py (this marker exists so a stale note can never be "
+        "misattributed to the build it did not describe)",
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,16 +157,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "note": (
-                    "r7 plan changes: scale-adaptive SRP sign bits close the "
-                    "embedding-LSH quadratic candidate ceiling (sf10mut now "
-                    "completes, candidates ~n^1.17 measured; topk default 12 "
-                    "bands); widen_to_cores + array_intersect take gopher "
-                    "10.7->1.5s and vocab_topk 2.2->0.8s at sf1 "
-                    "hash-identical; real GIF LZW pixel decode joins the PNG "
-                    "path in multimodal_real_resize. Committed sf1 headline "
-                    "refresh BENCH_sf1_r7.json: 43.7s vs r4's 66.0s"
-                ),
+                "note": _round_note(),
             }
         )
     )

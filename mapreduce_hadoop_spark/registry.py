@@ -180,6 +180,15 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # twins are the consumers (operators/similarity.py).
     "similarity_topk_lsh",
     "similarity_near_dup_lsh",
+    # Vectorized LZW + unfilter (bit-identical, golden-pinned) and GIF
+    # decoder hardening (operators/multimodal.py).
+    "multimodal_real_resize",
+    "multimodal_real_roundtrip",
+    # multimodal_resize_stub / metadata / frame_sample are in-head forced
+    # rotations and re-verified the same change with fresh rows.
+    "multimodal_resize_stub",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every

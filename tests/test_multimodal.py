@@ -144,7 +144,7 @@ def test_png_pixel_decode_every_filter_type():
     is exercised (heights >= 5 cover all five)."""
     for seed, (w, h) in [(0, (23, 17)), (7, (16, 5)), (901, (79, 31))]:
         px = _png_decode_gray(_png_bytes_patterned(w, h, seed))
-        assert px == [
+        assert px.tolist() == [
             [(3 * x + 7 * y + seed) % 256 for x in range(w)] for y in range(h)
         ]
 
@@ -193,7 +193,7 @@ def test_gif_pixel_decode_matches_pattern():
 
     for seed, (w, h) in [(1, (23, 17)), (7, (16, 5)), (901, (79, 79))]:
         px = _gif_decode_gray(_gif_bytes_patterned(w, h, seed))
-        assert px == [
+        assert px.tolist() == [
             [(3 * x + 7 * y + seed) % 256 for x in range(w)] for y in range(h)
         ]
 
@@ -214,7 +214,7 @@ def test_gif_pixel_decode_tolerates_out_of_profile():
 
 
 def test_nn_resize_floor_index_mapping():
-    assert _nn_resize([[1, 2], [3, 4]], 4, 4) == [
+    assert _nn_resize([[1, 2], [3, 4]], 4, 4).tolist() == [
         [1, 1, 2, 2],
         [1, 1, 2, 2],
         [3, 3, 4, 4],
@@ -222,7 +222,7 @@ def test_nn_resize_floor_index_mapping():
     ]
     # downscale picks the floor-mapped source pixel
     src = [[y * 10 + x for x in range(4)] for y in range(4)]
-    assert _nn_resize(src, 2, 2) == [[0, 2], [20, 22]]
+    assert _nn_resize(src, 2, 2).tolist() == [[0, 2], [20, 22]]
 
 
 def test_resize_media_real_path_resamples_pixels(spark, sf_dir):
@@ -242,7 +242,7 @@ def test_resize_media_real_path_resamples_pixels(spark, sf_dir):
         assert (r["out_w"], r["out_h"]) == (ow, oh)
         px = _png_decode_gray(_png_bytes_patterned(w, h, d))
         out = _nn_resize(px, ow, oh)
-        assert r["px_sum"] == sum(v for row in out for v in row)
+        assert r["px_sum"] == int(out.sum(dtype="int64"))
 
 
 def test_resize_media_real_path_nulls_undecodable(spark, sf_dir):
@@ -267,3 +267,130 @@ def test_sample_frames_one_to_n(spark, sf_dir):
             m["payload"] for m in media.collect() if m["doc_id"] == doc_id
         )
         assert total == len(payload)
+
+
+def test_lzw_and_container_golden_streams_pinned():
+    """Bit-identity pins for the round-10 vectorized codec: these hashes
+    were captured from the round-7 scalar implementation BEFORE the
+    rewrite. If an 'optimization' ever changes one output byte, this
+    fails before any driver row can drift."""
+    import hashlib
+
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _gif_bytes_patterned,
+        _lzw_encode,
+        _png_bytes_patterned,
+    )
+
+    rng = np.random.default_rng(11)
+    lzw_cases = [
+        (b"", "ca175b7b97e4180f"),
+        (b"\x00", "1429eeb1fc89869d"),
+        (b"aaaaaaaaaaaaaaaa", "967f1962306b4ad9"),
+        (bytes(range(256)) * 50, "025a134ce4d8a324"),
+        (rng.integers(0, 256, 30_000, dtype=np.uint8).tobytes(), "2124d195683fb81b"),
+    ]
+    for data, h in lzw_cases:
+        assert hashlib.sha256(_lzw_encode(data, 8)).hexdigest()[:16] == h
+    for mcs, h in [(2, "78a7fbe3d2e80484"), (4, "67ed7bf1c650cd65"), (7, "763f085335831124")]:
+        data = bytes(v % (1 << mcs) for v in rng.integers(0, 256, 5000, dtype=np.uint8))
+        assert hashlib.sha256(_lzw_encode(data, mcs)).hexdigest()[:16] == h
+    containers = [
+        (1, (23, 17), "1d8e6390b93a03fb", "be6e5fc75220b904"),
+        (8, (64, 40), "68741400e9afb6f4", "2511dab5f70f4d30"),
+        (901, (79, 79), "d6d2111a0f955022", "f3fda74f79fd110c"),
+    ]
+    for seed, (w, h), hp, hg in containers:
+        assert hashlib.sha256(_png_bytes_patterned(w, h, seed)).hexdigest()[:16] == hp
+        assert hashlib.sha256(_gif_bytes_patterned(w, h, seed)).hexdigest()[:16] == hg
+
+
+def test_gif_decode_hardened_against_malformed_payloads():
+    """Round-10 hardening fixtures: every out-of-spec shape returns None
+    (tolerate-don't-throw), never raises, never grows unbounded state."""
+    import struct
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _gif_bytes_patterned,
+        _gif_decode_gray,
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # GIF-illegal LZW min code size: [2, 8] is the legal range.
+    for bad_mcs in (0, 1, 9, 12, 255):
+        assert _lzw_decode(b"\x04\x02", bad_mcs) is None
+    # Same via the container: patch the mcs byte of a valid patterned GIF
+    # (13 header + 768 palette + 10 descriptor = offset 791).
+    g = bytearray(_gif_bytes_patterned(20, 20, 3))
+    assert _gif_decode_gray(bytes(g)) is not None  # sanity: valid as-is
+    for bad_mcs in (0, 1, 9, 255):
+        g[791] = bad_mcs
+        assert _gif_decode_gray(bytes(g)) is None
+    # Truncated global color table: header promises 256 entries, payload ends.
+    assert _gif_decode_gray(bytes(g[:100])) is None
+    # Zero-dimension frame.
+    z = b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x80\x00\x00" + b"\x00" * 6
+    z += b"," + struct.pack("<HHHH", 0, 0, 0, 4) + b"\x00" + b"\x02\x01\x44\x00;"
+    assert _gif_decode_gray(z) is None
+    # Palette index past the declared table: 4-entry table (flags 0x81)
+    # with an 8-bit LZW stream emitting index 200.
+    s = b"GIF89a" + struct.pack("<HH", 10, 1) + b"\x81\x00\x00" + bytes(12)
+    s += b"," + struct.pack("<HHHH", 0, 0, 10, 1) + b"\x00" + b"\x08"
+    lzw = _lzw_encode(bytes([200] * 10), 8)
+    s += bytes([len(lzw)]) + lzw + b"\x00;"
+    assert _gif_decode_gray(s) is None
+
+
+def test_lzw_decode_dictionary_freezes_at_4096():
+    """A stream that never CLEARs past the 4096-entry ceiling must keep
+    decoding against the frozen table (spec behavior) — and a code that
+    would index past the frozen table is corrupt (None), where the old
+    decoder grew the table without bound."""
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _lzw_decode,
+        _pack_codes_lsb,
+    )
+
+    def emit_stream(n_codes: int, tail: "list[int]") -> bytes:
+        # Re-derive the decoder's width schedule while always emitting
+        # root code 0 (clear=4, eoi=5 at mcs=2; table starts at len 6).
+        codes, widths = [], []
+        table_len, width, prev = 6, 3, False
+        for _ in range(n_codes):
+            codes.append(0)
+            widths.append(width)
+            if prev and table_len < 4096:
+                table_len += 1
+            prev = True
+            if table_len >= (1 << width) and width < 12:
+                width += 1
+        for c in tail:
+            codes.append(c)
+            widths.append(width)
+        return _pack_codes_lsb(codes, widths)
+
+    n = 4200  # table would reach 6 + 4199 = 4205 entries unfrozen
+    out = _lzw_decode(emit_stream(n, [5]), 2)  # 5 = EOI
+    assert out is not None and bytes(out) == b"\x00" * n
+    # Code 4095 is the last frozen entry: valid. Code referencing beyond
+    # a NOT-yet-full table is corrupt.
+    assert _lzw_decode(emit_stream(n, [4095, 5]), 2) is not None
+    # 2500 zero-codes: width has reached 12 (table 2506 entries, not yet
+    # frozen) so a 4000 code packs at full width and indexes past the
+    # table -> corrupt.
+    assert _lzw_decode(emit_stream(2500, [4000, 5]), 2) is None
+
+
+def test_gif_decode_never_raises_on_random_bytes():
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import _gif_decode_gray
+
+    rng = np.random.default_rng(7)
+    for size in (0, 1, 12, 13, 200, 4096):
+        for _ in range(8):
+            payload = b"GIF89a" + rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+            _gif_decode_gray(payload)  # any return is fine; raising is not
