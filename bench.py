@@ -60,7 +60,10 @@ ROUND_NOTES = {
         "7.8x candidates); GIF decoder hardened (min_code_size/palette/"
         "dict-freeze fuzz fixtures) and the LZW loops vectorized "
         "bit-identical (encode+decode 2.2x each, PNG unfilter 1.7x, real "
-        "pixel path 1.8x end-to-end, golden-stream-pinned)."
+        "pixel path 1.8x end-to-end, golden-stream-pinned); NEW "
+        "multimodal_real_jpeg: baseline-sequential grayscale JPEG decode "
+        "(Huffman+DPCM+IDCT) with a closed-form block-constant oracle, "
+        "replacing the retired multimodal_resize_stub slot."
     ),
 }
 

@@ -14,13 +14,18 @@ container-header parse (PNG IHDR / JPEG SOFn / GIF logical screen) reads
 width x height from the actual bytes — no PIL needed; payloads that are
 not a recognized image container yield NULL dimensions.
 
-PIXEL decode is REAL for 8-bit grayscale PNG: ``_png_decode_gray`` does
-the stdlib zlib inflate + complete scanline unfilter
-(None/Sub/Up/Average/Paeth), and ``resize_media(real_resize=True)``
-nearest-neighbor-resamples the actual pixels (``media_real_resize`` is
-the oracle-checked end-to-end round-trip). JPEG/GIF/video pixel decode
-still needs a codec library (libjpeg/ffmpeg), absent in this container —
-those payloads yield NULL dimensions on the real path, never a throw.
+PIXEL decode is REAL for three formats, stdlib+numpy only: 8-bit
+grayscale PNG (``_png_decode_gray``: zlib inflate + complete scanline
+unfilter None/Sub/Up/Average/Paeth), 8-bit palette GIF
+(``_gif_decode_gray``: sub-block reassembly + dictionary LZW + palette
+lookup), and baseline-sequential grayscale JPEG (``_jpeg_decode_gray``:
+canonical Huffman from DHT + DPCM/run-length entropy decode +
+dequantize + inverse DCT, round 10). ``resize_media(real_resize=True)``
+nearest-neighbor-resamples the actual pixels (``media_real_resize`` /
+``media_real_jpeg`` are the oracle-checked end-to-end round-trips).
+Video and out-of-profile image payloads (progressive JPEG, color PNG,
+interlaced GIF) still need a codec library, absent in this container —
+they yield NULL dimensions on the real path, never a throw.
 """
 
 from __future__ import annotations
@@ -624,6 +629,372 @@ def _gif_decode_gray(payload: bytes) -> "object | None":
     return pal[ia].reshape(h, w)
 
 
+# --- Baseline-sequential grayscale JPEG (ITU-T T.81 SOF0, one component) ---
+#
+# The round-7 README parked "JPEG pixel decode" as feasible; this is that
+# decode, closing the last header-only format. Both halves are first-
+# principles from the public spec: 8x8 forward/inverse DCT-II (one numpy
+# einsum over all blocks), a quantization table with q[0][0] = 8 so a
+# BLOCK-CONSTANT image round-trips bit-exactly (DC = v - 128 survives
+# round(F/q) with zero AC energy, which is what makes a closed-form
+# DuckDB px_sum oracle possible for a lossy codec — see
+# MEDIA_REAL_JPEG_ORACLE), canonical Huffman tables shipped in DHT (all
+# 162 AC run/size symbols at 9 bits, 12 DC categories at 5 bits — legal,
+# symmetric, and decoder-agnostic; the decoder builds whatever DHT
+# declares), DPCM DC, EOB/ZRL AC run-lengths, and 0xFF00 byte stuffing.
+# Out-of-profile shapes (progressive SOF2, multi-component, restart
+# intervals, 12-bit precision) return None per the crawl contract.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# DC: 12 category symbols, all 5 bits. AC: EOB + 160 (run, size) + ZRL,
+# all 9 bits. Canonical (codes are consecutive integers), and no code is
+# the all-ones pattern of its length, as T.81 requires.
+_JPEG_DC_SPEC = ([0, 0, 0, 0, 12] + [0] * 11, list(range(12)))
+_JPEG_AC_SPEC = (
+    [0] * 8 + [162] + [0] * 7,
+    [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0],
+)
+
+
+def _jpeg_canonical_codes(bits: "list[int]", vals: "list[int]"):
+    """symbol -> (code, length) per T.81 Annex C code construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+def _jpeg_qtable():
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    v = np.arange(8).reshape(1, 8)
+    q = 8 + 4 * (u + v)  # q[0][0] = 8: the block-constant exactness anchor
+    return q.astype(np.int64)
+
+
+def _pack_codes_msb(codes: "list[int]", widths: "list[int]") -> bytes:
+    """MSB-first bit packing (the JPEG bit order), 1-padded to the byte
+    boundary as T.81 requires, 0xFF00-stuffed."""
+    import numpy as np
+
+    c = np.asarray(codes, dtype=np.uint32)
+    w = np.asarray(widths, dtype=np.int64)
+    total = int(w.sum())
+    offs = np.zeros(len(c), dtype=np.int64)
+    np.cumsum(w[:-1], out=offs[1:])
+    local = np.arange(total, dtype=np.int64) - np.repeat(offs, w)
+    bits = (np.repeat(c, w) >> (np.repeat(w, w) - 1 - local).astype(np.uint32)) & 1
+    buf = np.ones(((total + 7) // 8) * 8, dtype=np.uint8)  # pad bits are 1s
+    buf[:total] = bits.astype(np.uint8)
+    packed = np.packbits(buf)  # MSB-first
+    # Byte stuffing: every 0xFF in the entropy stream is followed by 0x00.
+    stuff_at = np.flatnonzero(packed == 0xFF)
+    if stuff_at.size:
+        packed = np.insert(packed, stuff_at + 1, 0)
+    return packed.tobytes()
+
+
+def _jpeg_encode_gray(px) -> bytes:
+    """Spec-valid baseline JPEG bytes for an (h, w) uint8 array."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.uint8)
+    h, w = a.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    m = _jpeg_dct_matrix()
+    q = _jpeg_qtable()
+    # F = M @ block @ M.T for every block: F[u,v] = sum_xy M[u,x] b[x,y] M[v,y]
+    coeffs = np.einsum("ux,bcxy,vy->bcuv", m, blocks, m)
+    coeffs = np.round(coeffs / q).astype(np.int64)
+    zz = np.asarray(_JPEG_ZIGZAG)
+    dc_codes = _jpeg_canonical_codes(*_JPEG_DC_SPEC)
+    ac_codes = _jpeg_canonical_codes(*_JPEG_AC_SPEC)
+    codes: list[int] = []
+    widths: list[int] = []
+
+    def put(code_len: "tuple[int, int]") -> None:
+        codes.append(code_len[0])
+        widths.append(code_len[1])
+
+    def put_amp(v: int) -> None:
+        size = abs(int(v)).bit_length()
+        if size:
+            amp = v if v > 0 else v + (1 << size) - 1
+            codes.append(amp)
+            widths.append(size)
+
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            flat = coeffs[by, bx].reshape(64)[zz]
+            diff = int(flat[0]) - prev_dc
+            prev_dc = int(flat[0])
+            size = abs(diff).bit_length()
+            put(dc_codes[size])
+            if size:
+                put_amp(diff)
+            run = 0
+            for k in range(1, 64):
+                v = int(flat[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    put(ac_codes[0xF0])  # ZRL: sixteen zeros
+                    run -= 16
+                size = abs(v).bit_length()
+                put(ac_codes[(run << 4) | size])
+                put_amp(v)
+                run = 0
+            if run:
+                put(ac_codes[0x00])  # EOB
+    scan = _pack_codes_msb(codes, widths)
+    qz = bytes(int(q.reshape(64)[zz[i]]) for i in range(64))
+    segs = [b"\xff\xd8"]
+    segs.append(b"\xff\xdb" + struct.pack(">HB", 67, 0) + qz)
+    segs.append(
+        b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    )
+    for cls, (bits, vals) in ((0, _JPEG_DC_SPEC), (1, _JPEG_AC_SPEC)):
+        payload = bytes(bits) + bytes(vals)
+        segs.append(
+            b"\xff\xc4" + struct.pack(">HB", 3 + len(payload), cls << 4) + payload
+        )
+    segs.append(b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00")
+    segs.append(scan)
+    segs.append(b"\xff\xd9")
+    return b"".join(segs)
+
+
+def _jpeg_decode_gray(payload: bytes) -> "object | None":
+    """REAL pixel decode for baseline-sequential 8-bit single-component
+    JPEG (SOF0): marker walk -> DQT/DHT (any canonical tables the file
+    declares) -> 0xFF00 unstuffing -> Huffman + DPCM DC + run-length AC
+    -> dequantize -> inverse DCT (one einsum over all blocks) -> level
+    shift, round-half-even, clamp, crop. Returns an (h, w) uint8 array,
+    or None for anything outside the profile (progressive SOF2, multiple
+    components, restart intervals, 12-bit precision, corrupt streams) —
+    the same tolerate-don't-throw contract as the PNG and GIF paths."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    n = len(payload)
+    qtables: dict[int, "object"] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    sof = scan = None
+    i = 2
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        data = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(data):
+                if data[j] >> 4 != 0:  # 16-bit table: out of profile
+                    return None
+                if j + 65 > len(data):
+                    return None
+                qtables[data[j] & 15] = np.frombuffer(
+                    data[j + 1 : j + 65], dtype=np.uint8
+                ).astype(np.int64)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j + 17 <= len(data):
+                tc, th = data[j] >> 4, data[j] & 15
+                bits = list(data[j + 1 : j + 17])
+                cnt = sum(bits)
+                vals = data[j + 17 : j + 17 + cnt]
+                if len(vals) < cnt or tc > 1:
+                    return None
+                tab: dict[tuple[int, int], int] = {}
+                code = k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        tab[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                j += 17 + cnt
+        elif marker in _JPEG_SOF:
+            if marker != 0xC0 or len(data) < 9:
+                return None  # baseline sequential only
+            prec = data[0]
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            if prec != 8 or data[5] != 1 or data[7] != 0x11:
+                return None  # 8-bit, one component, 1x1 sampling
+            sof = (w, h, data[8])
+        elif marker == 0xDD:
+            return None  # restart interval: out of profile
+        elif marker == 0xDA:
+            if len(data) < 4 or data[0] != 1:
+                return None
+            scan = (i + 2 + seg_len, data[2] >> 4, data[2] & 15)
+            break
+        i += 2 + seg_len
+    if sof is None or scan is None:
+        return None
+    w, h, qid = sof
+    start, dc_id, ac_id = scan
+    if w == 0 or h == 0 or qid not in qtables:
+        return None
+    if dc_id not in dc_tabs or ac_id not in ac_tabs:
+        return None
+    dct_tab, act_tab = dc_tabs[dc_id], ac_tabs[ac_id]
+    # Entropy-coded segment: ends at the first non-stuffed, non-RST marker.
+    j = start
+    end = n
+    while j + 1 < n:
+        if payload[j] == 0xFF:
+            if payload[j + 1] == 0x00:
+                j += 2
+                continue
+            if 0xD0 <= payload[j + 1] <= 0xD7:
+                return None  # restart markers: out of profile
+            end = j
+            break
+        j += 1
+    raw = payload[start:end].replace(b"\xff\x00", b"\xff")
+    bl = np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).tolist()
+    total = len(bl)
+    pos = 0
+
+    def read_code(tab: dict) -> "int | None":
+        nonlocal pos
+        code = 0
+        for length in range(1, 17):
+            if pos >= total:
+                return None
+            code = (code << 1) | bl[pos]
+            pos += 1
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
+        return None
+
+    def read_amp(size: int) -> "int | None":
+        nonlocal pos
+        if size == 0:
+            return 0
+        if pos + size > total:
+            return None
+        v = 0
+        for b in bl[pos : pos + size]:
+            v = (v << 1) | b
+        pos += size
+        if v < 1 << (size - 1):
+            v -= (1 << size) - 1
+        return v
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    zzvec = np.zeros((bh, bw, 64), dtype=np.int64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            s = read_code(dct_tab)
+            if s is None or s > 11:
+                return None
+            d = read_amp(s)
+            if d is None:
+                return None
+            prev_dc += d
+            blk = zzvec[by, bx]
+            blk[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = read_code(act_tab)
+                if sym is None:
+                    return None
+                if sym == 0x00:
+                    break  # EOB
+                if sym == 0xF0:
+                    k += 16  # ZRL: sixteen zeros
+                    continue
+                k += sym >> 4
+                size = sym & 15
+                if k >= 64 or size == 0:
+                    return None
+                v = read_amp(size)
+                if v is None:
+                    return None
+                blk[k] = v
+                k += 1
+    zzvec *= qtables[qid]  # DQT ships in zigzag order: dequantize there
+    nat = np.empty_like(zzvec)
+    nat[:, :, _JPEG_ZIGZAG] = zzvec
+    m = _jpeg_dct_matrix()
+    f = nat.reshape(bh, bw, 8, 8).astype(np.float64)
+    recon = np.einsum("ux,bcuv,vy->bcxy", m, f, m) + 128.0
+    px = np.clip(np.round(recon), 0, 255).astype(np.uint8)
+    return px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w]
+
+
+def _jpeg_bytes_patterned(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid baseline JPEG whose pixel (x, y) is
+    ``(3*(x//8) + 7*(y//8) + seed) % 256`` — constant per 8x8 block, so
+    the lossy DCT round-trip is bit-EXACT (only the DC coefficient is
+    nonzero and q[0][0] = 8 divides it out), which is what lets the
+    driver's DuckDB oracle predict decoded pixels in closed form. The
+    Huffman/DPCM/byte-stuffing machinery in the stream is the full real
+    baseline path; richer AC content is exercised by the round-trip unit
+    tests against the decoder's reference reconstruction."""
+    import numpy as np
+
+    bw, bh = -(-width // 8), -(-height // 8)
+    v = (
+        3 * np.arange(bw, dtype=np.int64)[None, :]
+        + 7 * np.arange(bh, dtype=np.int64)[:, None]
+        + seed
+    ) % 256
+    px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)[:height, :width]
+    return _jpeg_encode_gray(px.astype(np.uint8))
+
+
 def media_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container bytes, decoded for REAL — the driver-verifiable twin
     of ``decode_media(real_decode=True)``.
@@ -764,12 +1135,13 @@ def resize_media(media: DataFrame, real_resize: bool = False) -> DataFrame:
     fake decoder — the oracle-checkable plumbing twin.
     ``real_resize=True``: REAL pixel-level decode + resample — dispatched
     on magic bytes: 8-bit grayscale PNG (stdlib inflate + full scanline
-    unfilter None/Sub/Up/Average/Paeth) or 8-bit palette GIF (sub-block
-    reassembly + dictionary LZW + palette lookup) — then nearest-neighbor
+    unfilter None/Sub/Up/Average/Paeth), 8-bit palette GIF (sub-block
+    reassembly + dictionary LZW + palette lookup), or baseline grayscale
+    JPEG (Huffman + dequantize + inverse DCT) — then nearest-neighbor
     resample, emitting an extra ``px_sum`` column (sum of resampled pixel
     values, the verifiable fingerprint of the pixel path). Payloads
-    outside those profiles (JPEG/video pixel decode still needs a codec
-    library) yield NULL dimensions and NULL px_sum, the
+    outside those profiles (video, progressive/color variants — still
+    codec-library territory) yield NULL dimensions and NULL px_sum, the
     tolerate-don't-throw crawl contract.
     """
 
@@ -783,6 +1155,8 @@ def resize_media(media: DataFrame, real_resize: bool = False) -> DataFrame:
                     raw = bytes(payload)
                     if raw[:6] in (b"GIF89a", b"GIF87a"):
                         px = _gif_decode_gray(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        px = _jpeg_decode_gray(raw)
                     else:
                         px = _png_decode_gray(raw)
                     if px is None:
@@ -933,4 +1307,77 @@ SELECT doc_id, mime, width, height,
        CAST(trunc(width * least({RESIZE_BOX}.0 / width, {RESIZE_BOX}.0 / height)) AS INT) AS out_w,
        CAST(trunc(height * least({RESIZE_BOX}.0 / width, {RESIZE_BOX}.0 / height)) AS INT) AS out_h
 FROM dims
+"""
+
+
+def patterned_jpeg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mime, payload): one spec-valid baseline JPEG per document,
+    block-constant pattern (3*(x//8) + 7*(y//8) + doc_id) % 256 — see
+    ``_jpeg_bytes_patterned`` for why block-constant makes the lossy codec
+    oracle-exact. Same 100 TB shape as ``patterned_media_table``: narrow
+    doc_id scan repartitioned to cores ahead of the Arrow codec stage."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = (d % 64) + 16
+                h = (d // 64) % 64 + 16
+                rows.append((d, "image/jpeg", _jpeg_bytes_patterned(w, h, d)))
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "payload"])
+
+    return docs.mapInPandas(batches, schema="doc_id bigint, mime string, payload binary")
+
+
+def media_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG twin of ``media_real_resize``: synthesize a real
+    SOF0 stream per document, then the REAL decode path (marker walk,
+    canonical Huffman from DHT, DPCM DC, dequantize, inverse DCT) +
+    nearest-neighbor resample. The oracle predicts the resampled pixel
+    sum in closed form from doc_id alone — possible for a lossy codec
+    only because the pattern is constant per 8x8 block, which the DCT
+    round-trip preserves exactly (see ``_jpeg_bytes_patterned``).
+
+    Closes the reference gap recorded in README/SURVEY: JPEG was
+    header-parse-only (``_parse_image_header``) through round 9."""
+    return resize_media(patterned_jpeg_table(spark, sf_dir), real_resize=True)
+
+
+# Resampled source pixel (i, j) -> ((j*w)//ow, (i*h)//oh); the pattern
+# depends only on that pixel's 8x8 block coordinates.
+MEDIA_REAL_JPEG_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           (doc_id % 64) + 16 AS w,
+           ((doc_id // 64) % 64) + 16 AS h
+    FROM documents
+),
+s AS (
+    SELECT doc_id, w, h,
+           CAST(trunc(w * least({RESIZE_BOX}.0 / w, {RESIZE_BOX}.0 / h)) AS INT) AS ow,
+           CAST(trunc(h * least({RESIZE_BOX}.0 / w, {RESIZE_BOX}.0 / h)) AS INT) AS oh
+    FROM d
+),
+g AS (SELECT doc_id, w, h, ow, oh,
+             unnest(generate_series(0, oh - 1)) AS i
+      FROM s),
+g2 AS (SELECT doc_id, w, h, ow, oh, i,
+              unnest(generate_series(0, ow - 1)) AS j
+       FROM g)
+SELECT doc_id,
+       'image/jpeg' AS mime,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       ow AS out_w,
+       oh AS out_h,
+       CAST(sum((3 * (((j * w) // ow) // 8) + 7 * (((i * h) // oh) // 8) + doc_id) % 256)
+            AS BIGINT) AS px_sum
+FROM g2
+GROUP BY doc_id, w, h, ow, oh
 """

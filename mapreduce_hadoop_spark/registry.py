@@ -126,16 +126,17 @@ move together or pytest goes red in the handoff.
 Retirement candidates (size policy, 88/92 slots used)
 -----------------------------------------------------
 When an addition would exceed MAX_REGISTRY, retire from this ranked
-list; each entry names where its evidence survives retirement:
+list; each entry names where its evidence survives retirement.
+Round 10 exercised the list: ``multimodal_resize_stub`` (then candidate
+#1) retired in favor of ``multimodal_real_jpeg`` — all three real pixel
+paths (PNG r6, GIF r7, JPEG r10) cover the resize plumbing with the
+strictly stronger closed-form px_sum oracle, and the fake-decode path
+keeps a local oracle check in ``tests/test_multimodal.py``.
 
-1. ``multimodal_resize_stub`` — both real pixel paths (PNG round 6, GIF
-   round 7) now cover the resize plumbing end-to-end with a stronger
-   closed-form pixel-sum oracle; the fake-decode batch shape stays
-   exercised by ``tests/test_multimodal.py``.
-2. ``text_language_id`` — the heuristic variant is strictly dominated by
+1. ``text_language_id`` — the heuristic variant is strictly dominated by
    ``text_language_id_ngram`` (same plan shape, richer model); its
    stopword-ratio scoring stays pinned by ``tests/test_corpus_filters.py``.
-3. ``fn_epoch`` — the scalar is consumed (and therefore driver-verified)
+2. ``fn_epoch`` — the scalar is consumed (and therefore driver-verified)
    by every sessionize-family query each round; the NULL→0.0 edge cases
    stay pinned by unit fixtures in ``tests/test_sessionize.py``.
 """
@@ -181,14 +182,15 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "similarity_topk_lsh",
     "similarity_near_dup_lsh",
     # Vectorized LZW + unfilter (bit-identical, golden-pinned) and GIF
-    # decoder hardening (operators/multimodal.py).
+    # decoder hardening (operators/multimodal.py); metadata/frame_sample
+    # are in-head forced rotations re-verifying the same module.
     "multimodal_real_resize",
     "multimodal_real_roundtrip",
-    # multimodal_resize_stub / metadata / frame_sample are in-head forced
-    # rotations and re-verified the same change with fresh rows.
-    "multimodal_resize_stub",
     "multimodal_metadata",
     "multimodal_frame_sample",
+    # NEW round 10: baseline JPEG pixel decode, in the head slot freed by
+    # retiring multimodal_resize_stub (retirement-candidate #1).
+    "multimodal_real_jpeg",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
@@ -226,7 +228,7 @@ HEAD = (
     "text_gopher_rules",
     # Round-8-green tail rotations (rule 2): the entire r9 tail rotates in.
     "dedup_keep_best",
-    "multimodal_resize_stub",
+    "multimodal_real_jpeg",
     "dedup_exact_normalized",
     "dedup_simhash",
     "corpus_clean_stats",
@@ -387,12 +389,20 @@ def _specs() -> dict[str, QuerySpec]:
         # K-means training is not SQL-expressible -> rows-only; recall vs
         # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
         "similarity_topk_ivf_trained": (similarity.topk_ivf_trained, None),
-        # multimodal_decode_stub RETIRED round 6 (size policy): superseded
-        # by multimodal_real_roundtrip + multimodal_real_resize; the fake
-        # decoder's plumbing stays oracle-checked via multimodal_resize_stub.
-        "multimodal_resize_stub": (
-            multimodal.media_resize_query,
-            multimodal.MEDIA_RESIZE_ORACLE,
+        # multimodal_decode_stub RETIRED round 6 (size policy);
+        # multimodal_resize_stub RETIRED round 10 (retirement-candidate #1
+        # when the JPEG query took its slot): the fake-decode plumbing and
+        # its oracle stay exercised by tests/test_multimodal.py
+        # (test_resize_media_fake_path_matches_oracle), and all three real
+        # pixel paths (PNG r6, GIF r7, JPEG r10) cover the resize batch
+        # shape with the strictly stronger closed-form px_sum oracle.
+        # NEW round 10: baseline-sequential grayscale JPEG pixel decode —
+        # the reference gap parked since round 7. Block-constant pattern
+        # makes the lossy DCT round-trip exact, so the oracle predicts
+        # decoded pixels in closed form (multimodal.py:MEDIA_REAL_JPEG_ORACLE).
+        "multimodal_real_jpeg": (
+            multimodal.media_real_jpeg,
+            multimodal.MEDIA_REAL_JPEG_ORACLE,
         ),
         # Real pixel path: patterned PNG encode -> zlib inflate + full
         # unfilter -> NN resample; oracle predicts the pixel SUM in closed

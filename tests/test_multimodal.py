@@ -394,3 +394,122 @@ def test_gif_decode_never_raises_on_random_bytes():
         for _ in range(8):
             payload = b"GIF89a" + rng.integers(0, 256, size, dtype=np.uint8).tobytes()
             _gif_decode_gray(payload)  # any return is fine; raising is not
+
+
+def test_jpeg_block_constant_roundtrip_is_exact():
+    """The oracle contract: a block-constant image survives the lossy DCT
+    round-trip bit-exactly (only DC energy; q[0][0] = 8 divides it out)."""
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _jpeg_bytes_patterned,
+        _jpeg_decode_gray,
+        _parse_image_header,
+    )
+
+    for seed, (w, h) in [(1, (23, 17)), (8, (64, 40)), (901, (79, 79))]:
+        b = _jpeg_bytes_patterned(w, h, seed)
+        assert _parse_image_header(b) == (w, h)  # SOFn header agrees
+        px = _jpeg_decode_gray(b)
+        exp = (
+            3 * (np.arange(w)[None, :] // 8)
+            + 7 * (np.arange(h)[:, None] // 8)
+            + seed
+        ) % 256
+        assert px is not None and np.array_equal(px, exp.astype(np.uint8))
+
+
+def test_jpeg_rich_content_matches_reference_reconstruction():
+    """Full AC path (runs, ZRL, EOB, DPCM) against an independent numpy
+    reference: decode(encode(x)) must equal quantize->dequantize->IDCT
+    computed directly — pinning the decoder's arithmetic exactly, not
+    just 'close to the source'."""
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_dct_matrix,
+        _jpeg_encode_gray,
+        _jpeg_qtable,
+    )
+
+    rng = np.random.default_rng(3)
+    m = _jpeg_dct_matrix()
+    q = _jpeg_qtable()
+    for w, h in [(24, 16), (33, 9), (8, 8), (79, 31)]:
+        src = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        dec = _jpeg_decode_gray(_jpeg_encode_gray(src))
+        assert dec is not None and dec.shape == (h, w)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(src, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = (
+            padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .astype(np.float64)
+            - 128.0
+        )
+        f = np.round(np.einsum("ux,bcxy,vy->bcuv", m, blocks, m) / q) * q
+        recon = np.einsum("ux,bcuv,vy->bcxy", m, f, m) + 128.0
+        ref = (
+            np.clip(np.round(recon), 0, 255)
+            .astype(np.uint8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph, pw)[:h, :w]
+        )
+        assert np.array_equal(dec, ref)
+        # Lossy but bounded on random noise (worst case for a DCT codec).
+        assert np.abs(dec.astype(int) - src.astype(int)).max() <= 64
+
+
+def test_jpeg_decode_tolerates_out_of_profile():
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _jpeg_bytes_patterned,
+        _jpeg_decode_gray,
+    )
+
+    assert _jpeg_decode_gray(b"not a jpeg") is None
+    assert _jpeg_decode_gray(b"\xff\xd8\xff\xd9") is None  # no frame
+    b = bytearray(_jpeg_bytes_patterned(24, 16, 5))
+    assert _jpeg_decode_gray(bytes(b)) is not None  # sanity
+    assert _jpeg_decode_gray(bytes(b[: len(b) // 2])) is None  # truncated
+    # Progressive frame marker (SOF2) is out of profile.
+    p = bytes(b).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert _jpeg_decode_gray(p) is None
+    # Restart-interval definition is out of profile.
+    i = bytes(b).index(b"\xff\xda")
+    with_dri = bytes(b[:i]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(b[i:])
+    assert _jpeg_decode_gray(with_dri) is None
+    # Random bytes after SOI never raise.
+    rng = np.random.default_rng(9)
+    for size in (0, 2, 64, 1024):
+        for _ in range(8):
+            _jpeg_decode_gray(b"\xff\xd8" + rng.integers(0, 256, size, dtype=np.uint8).tobytes())
+
+
+def test_resize_media_fake_path_matches_oracle(spark, sf_dir):
+    """The retired registry query multimodal_resize_stub, kept honest
+    locally: the fake-decode plumbing twin still matches its DuckDB
+    oracle row-for-row (this test replaced the driver row when
+    multimodal_real_jpeg took the registry slot in round 10)."""
+    import duckdb
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        MEDIA_RESIZE_ORACLE,
+        media_resize_query,
+    )
+
+    got = {
+        r["doc_id"]: (r["mime"], r["width"], r["height"], r["out_w"], r["out_h"])
+        for r in media_resize_query(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    exp = {
+        int(d): (m, int(w), int(h), int(ow), int(oh))
+        for d, m, w, h, ow, oh in con.execute(MEDIA_RESIZE_ORACLE).fetchall()
+    }
+    assert got == exp
