@@ -9,9 +9,10 @@ Four families over `documents`, each SQL-expressible for the DuckDB oracle:
   x 2 rows -> banded bucket join for candidates -> exact-Jaccard verify.
   The classic MinHash-LSH pipeline: candidate generation is equality joins
   on band signatures (shuffle on the band key, never all-pairs).
-- ``simhash``: 32-bit simhash from shingle hashes; candidate pairs via
-  4 x 8-bit block join (pigeonhole: hamming <= 3 guarantees a shared
-  block), emitted with hamming <= 6.
+- ``simhash``: 60-bit simhash from full-width shingle hashes; candidate
+  pairs via multi-index Hamming search (4 x 15-bit blocks, 1-bit-flip
+  probe join — pigeonhole-COMPLETE for hamming <= 7), emitted with
+  hamming <= 7.
 - ``ngram_jaccard``: Jaccard over the shingle inverted index — shingles
   hashed to 60-bit longs, bucketed in one shuffle, pairs generated in-row
   per bucket, with a document-frequency cap to bound fan-out at scale.
@@ -51,9 +52,24 @@ NUM_PERMS = 16
 BANDS = 8
 ROWS_PER_BAND = 2
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 32
+# Round 10: 60-bit simhash (the full md5_long hash, not the 31-bit
+# mod-P minhash domain) in 4 x 15-bit blocks with 1-bit-flip probe
+# enumeration — multi-index Hamming search. The 32-bit/4x8 scheme
+# saturated at scale: 2^8 block values over 500k docs put ~2k docs in
+# every bucket (173 s at sf10, candidate-bound — README round-8 lever 2),
+# and block-EQUALITY join was only pigeonhole-complete for hamming <= 3
+# despite filtering at <= 6. Now each side's blocks join against the
+# probe side's <=1-bit-flip neighborhood, which by pigeonhole is
+# COMPLETE for hamming <= SIMHASH_BLOCKS*2 - 1 = 7: the operator's
+# semantics become exactly "all pairs with hamming(simhash60) <= 7", and
+# the oracle can state that directly. 2^15 block values keep buckets
+# ~n/32768 — at 500k docs ~15 docs/bucket, 16 probes/block/doc: linear.
+# Quality at sf0.01 vs exact Jaccard>=0.5 pairs: recall 1.0 (was 0.96)
+# with 25 emitted pairs (was 82) — tighter per-bit threshold AND fewer
+# false candidates; re-pinned in tests/test_dedup_quality.py.
+SIMHASH_BITS = 60
 SIMHASH_BLOCKS = 4
-HAMMING_MAX = 6
+HAMMING_MAX = 7
 NGRAM_DF_CAP = 200  # shingles in more docs than this don't generate pairs
 # Band buckets larger than this don't generate candidate pairs. Boilerplate
 # corpora collapse many docs onto one band signature, making that bucket's
@@ -452,17 +468,37 @@ MINHASH_LSH_ORACLE = f"WITH {_minhash_lsh_ctes()} {_MINHASH_LSH_SELECT}"
 # --- SimHash ---------------------------------------------------------------
 
 
+def _shingle_hashes60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs: array<long>) — FULL 60-bit md5 hash per shingle.
+
+    SimHash's own relation (round 10): the minhash pipeline's mod-P
+    domain is 31-bit, which left bits 31+ of a wider signature dead —
+    the 60-bit signature needs the full hash. Separate from
+    ``_shingle_hashes`` so the minhash/jaccard relation (and everything
+    persisted against it) is untouched."""
+    return _doc_shingles(spark, sf_dir).select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda s: md5_long(s)).alias("hs"),
+    )
+
+
+SHINGLE_HASHES60_SQL = (
+    f"SELECT doc_id, [({md5_long_sql('s')}) for s in sh] AS hs "
+    f"FROM ({DOC_SHINGLES_SQL})"
+)
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — 32-bit simhash over shingle hashes.
+    """(doc_id, simhash) — 60-bit simhash over full-width shingle hashes.
 
     Per bit j: count of set bits vs array length decides the sign. One
-    ``aggregate`` fold carries all 32 bit-counters in an array accumulator
+    ``aggregate`` fold carries all 60 bit-counters in an array accumulator
     (same pattern as the minhash rewrite above): a single traversal of each
-    doc's hash array and a ~32x smaller expression tree than the naive
+    doc's hash array and a ~60x smaller expression tree than the naive
     one-list_filter-per-bit formulation, whose plan/codegen latency
     dominated cold runs.
     """
-    return _simhash_from_hs(_shingle_hashes(spark, sf_dir))
+    return _simhash_from_hs(_shingle_hashes60(spark, sf_dir))
 
 
 def simhash_signatures_from(docs: DataFrame) -> DataFrame:
@@ -471,9 +507,7 @@ def simhash_signatures_from(docs: DataFrame) -> DataFrame:
     return _simhash_from_hs(
         docs.select(
             "doc_id",
-            F.transform(
-                T.shingles("text"), lambda s: md5_long(s) % F.lit(P)
-            ).alias("hs"),
+            F.transform(T.shingles("text"), lambda s: md5_long(s)).alias("hs"),
         )
     )
 
@@ -511,39 +545,52 @@ def _simhash_sigs_sql() -> str:
         for j in range(SIMHASH_BITS)
     )
     return f"""
-hsv AS ({SHINGLE_HASHES_SQL}),
+hsv AS ({SHINGLE_HASHES60_SQL}),
 sigs AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM hsv WHERE len(hs) > 0)
 """
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= 6, found via
-    4 x 8-bit block join (complete for hamming <= 3 by pigeonhole).
+    """(doc_a, doc_b, hamming) — ALL pairs with hamming(simhash60) <= 7,
+    via multi-index Hamming search: 4 x 15-bit blocks, the probe side
+    joining its <=1-bit-flip block neighborhood (16 probes/block) against
+    the exact side. Pigeonhole: 7 errors over 4 blocks leave some block
+    with <= 1, so the search is COMPLETE at the stated threshold — unlike
+    the round-4..9 equality-join scheme, which filtered at hamming <= 6
+    but could only guarantee pairs up to hamming 3.
 
     The signature relation is persisted before the self-join: without it,
     BOTH join sides re-run the whole shingle->md5->fold pipeline (and the
     broadcast side evaluates it on a single thread), which measured ~14x
     slower than persist+join at sf0.1. O(docs) longs of storage.
 
-    Dedup of pairs colliding in several blocks is in-row, not a shuffle:
-    both simhashes ride the join, so "this is the pair's FIRST matching
-    block" is a pure bit expression, and the hamming filter runs straight
-    at the join output — the old ``distinct`` over the full candidate
-    stream (~n^2 * blocks/2^block_bits rows) is gone. Locally neutral at
-    sf1 (the distinct's map-side partial agg was absorbing the
-    duplicates), but at cluster scale it removes the per-partition pair
-    hash state and the candidate exchange entirely; output byte-identical
-    (623,600 pairs at sf1).
+    Scale shape: 2^15 block values keep bucket occupancy ~n/32768 (the
+    32-bit scheme's 2^8 buckets held ~n/256 — the measured 173 s
+    candidate-bound wall at sf10). Probe fan-out is a fixed 64 rows/doc
+    of (blk, val, simhash) — the standard multi-index trade: candidates
+    ~ 64 * n * n/2^15, linear for any corpus this side of ~10^7 docs per
+    partition-table. Pair dedup is in-row, not a shuffle: a pair's rows
+    exist exactly at the blocks with <= 1 differing bit, so "first such
+    block" is a pure bit expression on the two signatures riding the
+    join, and the hamming filter runs straight at the join output.
     """
     return simhash_pairs_from(_persisted(simhash_signatures(spark, sf_dir)))
 
 
 def simhash_pairs_from(sigs: DataFrame) -> DataFrame:
-    """Block-join pair generation from a (doc_id, simhash) relation; see
+    """Probe-join pair generation from a (doc_id, simhash) relation; see
     ``simhash_pairs`` (callers persist ``sigs`` — both join sides scan it).
     """
     block_size = SIMHASH_BITS // SIMHASH_BLOCKS
-    blocks = sigs.select(
+
+    def _blk(sig: Column, i: int) -> Column:
+        return F.shiftright(sig, i * block_size).bitwiseAND(
+            F.lit((1 << block_size) - 1)
+        )
+
+    # Probe side: each block value plus its 1-bit-flip neighborhood.
+    flips = [0] + [1 << t for t in range(block_size)]
+    probes = sigs.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -551,29 +598,45 @@ def simhash_pairs_from(sigs: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), i * block_size)
-                        .bitwiseAND(F.lit((1 << block_size) - 1))
+                        _blk(F.col("simhash"), i)
+                        .bitwiseXOR(F.lit(f))
                         .alias("val"),
+                    )
+                    for i in range(SIMHASH_BLOCKS)
+                    for f in flips
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.blk", "bk.val")
+    exact = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        _blk(F.col("simhash"), i).alias("val"),
                     )
                     for i in range(SIMHASH_BLOCKS)
                 ]
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.blk", "bk.val")
-    a, b = blocks.alias("a"), blocks.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-
-    def _blk(sig: Column, i: int) -> Column:
-        return F.shiftright(sig, i * block_size).bitwiseAND(
-            F.lit((1 << block_size) - 1)
-        )
-
+    a, b = probes.alias("a"), exact.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # A (pair, block) match exists iff that block has <= 1 differing bit
+    # (and then for exactly one flip), so first-match dedup reduces to
+    # "this is the first block whose hamming is <= 1".
     first_match = F.array_position(
         F.array(
             *[
-                _blk(F.col("a.simhash"), i) == _blk(F.col("b.simhash"), i)
+                F.bit_count(
+                    _blk(F.col("a.simhash"), i).bitwiseXOR(
+                        _blk(F.col("b.simhash"), i)
+                    )
+                )
+                <= F.lit(1)
                 for i in range(SIMHASH_BLOCKS)
             ]
         ),
@@ -601,15 +664,23 @@ def _simhash_oracle() -> str:
     block_rows = ", ".join(
         f"({i}, (simhash >> {i * block_size}) & {mask})" for i in range(SIMHASH_BLOCKS)
     )
+    # Same probe search in SQL (complete for hamming <= 7, so DISTINCT
+    # over probe matches IS the full hamming-<=7 pair set) — subquadratic
+    # like the Spark plan, so the sf1 gates stay cheap.
     return f"""
 WITH {_simhash_sigs_sql()},
 blocks AS (
     SELECT doc_id, simhash, bk.* FROM sigs,
     LATERAL (VALUES {block_rows}) AS bk(blk, val)
+),
+probes AS (
+    SELECT doc_id, simhash, blk,
+           xor(val, CASE WHEN f = 0 THEN 0 ELSE 1 << (f - 1) END) AS val
+    FROM blocks, LATERAL (SELECT unnest(generate_series(0, {block_size})) AS f)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM blocks a JOIN blocks b
+FROM probes a JOIN blocks b
   ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """

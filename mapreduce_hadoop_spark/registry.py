@@ -191,6 +191,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # NEW round 10: baseline JPEG pixel decode, in the head slot freed by
     # retiring multimodal_resize_stub (retirement-candidate #1).
     "multimodal_real_jpeg",
+    # 60-bit simhash + multi-index Hamming probe join (README lever 2):
+    # semantics change (complete hamming <= 7 on the full-width hash),
+    # in-head forced rotation (operators/dedup.py).
+    "dedup_simhash",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
