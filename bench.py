@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
+    "similarity_topk_pq",
     "events_session_window",
     # Composed training-data pipeline (quality -> dedup -> near-dup -> stats).
     "corpus_clean_stats",
@@ -133,7 +134,7 @@ def main() -> None:
     # substitutes it into LATER queries' plans, flattering their numbers
     # (r2: simhash benched 7.3s vs 153s standalone). Clearing between
     # queries makes each number reproduce standalone.
-    from mapreduce_hadoop_spark.operators import dedup
+    from mapreduce_hadoop_spark.operators import dedup, similarity
 
     # Two timed executions per query, report the min. Single-shot numbers
     # on this shared VM swing +-40% run-to-run (measured: 21.8s / 30.4s /
@@ -149,6 +150,7 @@ def main() -> None:
         for _ in range(2):
             spark.catalog.clearCache()
             dedup.unpersist_intermediates()
+            similarity.unpersist_intermediates()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

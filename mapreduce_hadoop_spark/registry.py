@@ -200,15 +200,20 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
 # Assembled in the end-of-round evidence commit (the pin references the
-# regenerated r9 logs, which exist only once the round's code is final);
-# empty until then. Round 10's plan expects the widen-fix consumers
-# left in the tail (text_language_id_ngram, corpus_vocab_topk) to land
-# here once the regenerated r10 gate logs prove their hashes unchanged.
+# regenerated r10 logs, whose SRCHASH must match the FINAL tree — filling
+# it earlier would red the suite on every subsequent operator commit);
+# empty until then. Round 10's plan: the widen-fix consumers left in the
+# tail (text_language_id_ngram, corpus_vocab_topk) land here once the
+# final-tree gate logs prove their hashes unchanged.
 REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
-# EMPTY this round: no query was added after the head filled.
-STAGED_NEXT_ROUND: tuple[str, ...] = ()
+# Round 10: similarity_topk_pq (product-quantization ANN — ADC scan over
+# 4-byte codes with exact shortlist re-rank, operators/similarity.py) was
+# built after the head window filled; it is gate-verified at all five
+# scales this round (GATE_*_r10.log) and takes its first driver row when
+# it rotates into the round-11 head.
+STAGED_NEXT_ROUND: tuple[str, ...] = ("similarity_topk_pq",)
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
 # surface (always in window) + 5 round-10 change slots (rule 1 — a plan at
@@ -585,6 +590,11 @@ def _specs() -> dict[str, QuerySpec]:
             temporal.events_cohort_retention,
             temporal.EVENTS_COHORT_ORACLE,
         ),
+        # Rule 1b, round 10: PQ ANN — ADC scan over 4-byte sign-pattern
+        # codes (64x vector compression), two-phase shortlist, exact
+        # re-rank. The memory half of IVF-PQ; codebooks are one exact
+        # fixed-point aggregation so the oracle reproduces them.
+        "similarity_topk_pq": (similarity.topk_pq, similarity.TOPK_PQ_ORACLE),
     }
     # Impose the driver-window ordering: HEAD first (in order), then the
     # tail in definition order. A HEAD name missing from specs (or vice
