@@ -1381,3 +1381,215 @@ SELECT doc_id,
 FROM g2
 GROUP BY doc_id, w, h, ow, oh
 """
+
+
+# --- real audio: RIFF/WAVE PCM decode + resample + window features ----------
+
+WAV_TARGET_SR = 4000        # resample target (feature-extraction rate)
+_WAV_RATES = (8000, 12000, 16000, 20000)
+
+
+def _wav_bytes_patterned(doc_id: int) -> bytes:
+    """A spec-valid RIFF/WAVE PCM file per document: mono, 8-bit unsigned
+    (even doc_id, sample i = (5i + doc_id) % 256) or 16-bit signed LE (odd
+    doc_id, sample i = (7i + doc_id) % 65536 - 32768), sample rate cycling
+    8/12/16/20 kHz by doc_id % 4, 256..767 samples. Every fifth document
+    carries an odd-length junk LIST chunk (with its spec pad byte) before
+    `data`, so a decoder must genuinely walk and skip chunks."""
+    import struct
+
+    import numpy as np
+
+    d = int(doc_id)
+    sr = _WAV_RATES[d % 4]
+    n = 256 + d % 512
+    if d % 2 == 0:
+        samples = ((5 * np.arange(n, dtype=np.int64) + d) % 256).astype(np.uint8)
+        bits = 8
+    else:
+        samples = (
+            (7 * np.arange(n, dtype=np.int64) + d) % 65536 - 32768
+        ).astype("<i2")
+        bits = 16
+    data = samples.tobytes()
+    block = bits // 8
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if d % 5 == 0:
+        junk = b"INFOabc"  # 7 bytes: odd size forces the RIFF pad byte
+        chunks += b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2 == 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _wav_decode(payload: bytes) -> "tuple[int, object] | None":
+    """REAL RIFF/WAVE parser: magic check, chunk walk with word-alignment
+    padding, fmt validation (PCM, mono, 8/16-bit), sample decode to int64
+    (8-bit kept raw 0..255, 16-bit signed). Returns (sample_rate, samples)
+    or None on anything malformed — tolerate, never throw."""
+    import struct
+
+    import numpy as np
+
+    if not isinstance(payload, (bytes, bytearray)) or len(payload) < 12:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + csz]
+        if len(body) < csz:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            if csz < 16:
+                return None
+            audio_format, channels, sr, _byte_rate, _block, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_format != 1 or channels != 1 or bits not in (8, 16) or sr == 0:
+                return None
+            fmt = (sr, bits)
+        elif cid == b"data":
+            if fmt is None:
+                return None  # data before fmt: reject
+            sr, bits = fmt
+            if bits == 8:
+                samples = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+            else:
+                if csz % 2 == 1:
+                    return None
+                samples = np.frombuffer(body, dtype="<i2").astype(np.int64)
+            return sr, samples
+        # unknown chunk: skip (word-aligned)
+        pos += 8 + csz + (csz & 1)
+    return None  # no data chunk
+
+
+def patterned_wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mime, payload) with one real WAV per document. Same 100 TB
+    shape as ``patterned_media_table``: narrow doc_id scan repartitioned
+    to cores ahead of the Arrow synth stage."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (int(d), "audio/wav", _wav_bytes_patterned(int(d)))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "payload"])
+
+    return docs.mapInPandas(batches, schema="doc_id bigint, mime string, payload binary")
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature stage: REAL WAV parse, nearest-neighbor
+    resample to WAV_TARGET_SR (out[j] = in[(j*n)//out_n] — the same
+    floor-index mapping the image resampler uses), integer sum/sq-sum of
+    the resampled signal (the exactly-checkable stand-ins for
+    energy/loudness features). Malformed payloads yield NULL features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                decoded = _wav_decode(payload) if mime == "audio/wav" else None
+                if decoded is None:
+                    out.append((int(doc_id), mime, None, None, None, None, None))
+                    continue
+                sr, samples = decoded
+                n = len(samples)
+                out_n = (n * WAV_TARGET_SR) // sr if sr else 0
+                if out_n < 1 or n < 1:
+                    out.append((int(doc_id), mime, int(sr), int(n), None, None, None))
+                    continue
+                import numpy as np
+
+                idx = (np.arange(out_n, dtype=np.int64) * n) // out_n
+                rs = samples[idx]
+                out.append(
+                    (
+                        int(doc_id),
+                        mime,
+                        int(sr),
+                        int(n),
+                        int(out_n),
+                        int(rs.sum()),
+                        int((rs * rs).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "mime",
+                    "sr",
+                    "n_samples",
+                    "out_n",
+                    "samp_sum",
+                    "samp_sq_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, mime string, sr int, n_samples int, out_n int, "
+            "samp_sum bigint, samp_sq_sum bigint"
+        ),
+    )
+
+
+def media_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of ``media_real_resize``: synthesize a real RIFF/WAVE
+    stream per document, then the REAL decode path (magic check, chunk
+    walk with pad bytes, PCM fmt validation, 8/16-bit sample decode) +
+    floor-index resample + integer energy features. The oracle predicts
+    sum and sum-of-squares of the resampled signal in closed form from
+    doc_id alone, so the hash only matches if header parse, chunk
+    skipping, sample decode, and index mapping are all byte-correct.
+
+    100 TB shape: two pipelined map-only Arrow stages over a narrow
+    doc_id scan; payloads never cross a shuffle."""
+    return wav_features(patterned_wav_table(spark, sf_dir))
+
+
+MEDIA_REAL_WAV_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 12000
+                           WHEN 2 THEN 16000 ELSE 20000 END AS sr,
+           256 + doc_id % 512 AS n
+    FROM documents
+),
+s AS (SELECT doc_id, sr, n, (n * {WAV_TARGET_SR}) // sr AS out_n FROM d),
+g AS (SELECT doc_id, sr, n, out_n,
+             unnest(generate_series(0, out_n - 1)) AS j
+      FROM s),
+v AS (SELECT doc_id, sr, n, out_n,
+             CASE WHEN doc_id % 2 = 0
+                  THEN (5 * ((j * n) // out_n) + doc_id) % 256
+                  ELSE (7 * ((j * n) // out_n) + doc_id) % 65536 - 32768
+             END AS sv
+      FROM g)
+SELECT doc_id,
+       'audio/wav' AS mime,
+       CAST(sr AS INT) AS sr,
+       CAST(n AS INT) AS n_samples,
+       CAST(out_n AS INT) AS out_n,
+       CAST(sum(sv) AS BIGINT) AS samp_sum,
+       CAST(sum(sv * sv) AS BIGINT) AS samp_sq_sum
+FROM v
+GROUP BY doc_id, sr, n, out_n
+"""

@@ -209,11 +209,13 @@ REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
 # Round 10: similarity_topk_pq (product-quantization ANN — ADC scan over
-# 4-byte codes with exact shortlist re-rank, operators/similarity.py) was
-# built after the head window filled; it is gate-verified at all five
-# scales this round (GATE_*_r10.log) and takes its first driver row when
-# it rotates into the round-11 head.
-STAGED_NEXT_ROUND: tuple[str, ...] = ("similarity_topk_pq",)
+# 4-byte codes with exact shortlist re-rank, operators/similarity.py) and
+# multimodal_real_wav (real RIFF/WAVE PCM decode + resample + energy
+# features, operators/multimodal.py) were built after the head window
+# filled; both are gate-verified at all five scales this round
+# (GATE_*_r10.log) and take their first driver rows when they rotate
+# into the round-11 head.
+STAGED_NEXT_ROUND: tuple[str, ...] = ("similarity_topk_pq", "multimodal_real_wav")
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
 # surface (always in window) + 5 round-10 change slots (rule 1 — a plan at
@@ -595,6 +597,11 @@ def _specs() -> dict[str, QuerySpec]:
         # re-rank. The memory half of IVF-PQ; codebooks are one exact
         # fixed-point aggregation so the oracle reproduces them.
         "similarity_topk_pq": (similarity.topk_pq, similarity.TOPK_PQ_ORACLE),
+        # Rule 1b, round 10: real audio — RIFF/WAVE PCM parse (chunk walk,
+        # pad bytes, fmt validation, 8/16-bit decode), floor-index
+        # resample, integer energy features; closed-form oracle from
+        # doc_id. Completes the audio modality that was metadata-only.
+        "multimodal_real_wav": (multimodal.media_real_wav, multimodal.MEDIA_REAL_WAV_ORACLE),
     }
     # Impose the driver-window ordering: HEAD first (in order), then the
     # tail in definition order. A HEAD name missing from specs (or vice
