@@ -68,7 +68,14 @@ ROUND_NOTES = {
         "rebuilt as 60-bit multi-index Hamming search (4x15-bit blocks, "
         "1-flip probes, COMPLETE for hamming<=7 — was equality-join "
         "complete only to 3): sf10mut output now grows 10.0x for 10x "
-        "data vs the old scheme's 98x quadratic noise."
+        "data vs the old scheme's 98x quadratic noise. NEW staged "
+        "(rule 1b): similarity_topk_pq — product-quantization ANN, 4x8-bit "
+        "sign-pattern codebooks built in one exact fixed-point "
+        "aggregation, broadcast ADC lookup scan over 4-byte codes, "
+        "two-phase shortlist, 50-deep exact re-rank (recall@5 0.86 at "
+        "sf0.01); multimodal_real_wav — real RIFF/WAVE PCM chunk-walk "
+        "parse, 8/16-bit decode, floor-index resample, integer energy "
+        "features, closed-form oracle."
     ),
 }
 
