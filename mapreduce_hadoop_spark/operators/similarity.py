@@ -1316,3 +1316,253 @@ WHERE rank <= {TOP_K}
 
 
 TOPK_PQ_ORACLE = _topk_pq_oracle()
+
+
+# --- IVF-PQ composition ------------------------------------------------------
+
+
+def topk_ivfpq(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF-PQ: the two ANN halves composed into the standard billion-scale
+    serving shape (FAISS IVFPQ, no-residual variant) — coarse IVF pruning
+    cuts WHICH vectors are scanned (nprobe/K of the corpus per query),
+    PQ-ADC cuts WHAT is read per scanned vector (4 code bytes + 4 lookup
+    adds instead of 64 floats), and a 50-deep exact re-rank restores
+    precision on the shortlist.
+
+    Plan shape: centroids and probe assignments broadcast (model-sized);
+    the candidate scan is ONE pass over (vec_id, cent_id, 4 PQ codes) —
+    codes computed in the same projection as the list assignment, so no
+    corpus-side join materializes — with five broadcast hash joins
+    (probe filter + four ADC lookups); the shortlist runs the same
+    two-phase vec_id % 64 fan-out as ``topk_pq``. Every stage is
+    deterministic (fixed centroids, sign-pattern codebooks, fixed-point
+    centroid means), so the full composition is SQL-expressible and
+    hash-verified; ``topk_ivf_trained`` shows how the trained coarse
+    quantizer drops in without changing this plan.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    nvt = emb.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv")
+    )
+
+    # PQ index build: identical codebook/ADC machinery to topk_pq.
+    codes_full = nvt.select(
+        "vec_id",
+        "nv",
+        *[_pq_code(F.col("nv"), m).alias(f"c{m}") for m in range(PQ_M)],
+    )
+    subs = codes_full.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.col(f"c{m}").alias("code"),
+                        F.slice("nv", m * PQ_SUB + 1, PQ_SUB).alias("sub"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s")
+    ).select("s.m", "s.code", "s.sub")
+    cb = subs.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.expr(f"cast(floor(element_at(sub, {d}) * 1e9 + 0.5D) as bigint)")
+            ).alias(f"s{d}")
+            for d in range(1, PQ_SUB + 1)
+        ],
+    )
+    cent = cb.select(
+        "m",
+        "code",
+        *[
+            (F.col(f"s{d}").cast("double") / F.col("n") / F.lit(1e9)).alias(f"cd{d}")
+            for d in range(1, PQ_SUB + 1)
+        ],
+    )
+    q = nvt.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv")
+    )
+    adc_terms = " + ".join(
+        f"(element_at(qnv, m * {PQ_SUB} + {d}) - cd{d})"
+        f" * (element_at(qnv, m * {PQ_SUB} + {d}) - cd{d})"
+        for d in range(1, PQ_SUB + 1)
+    )
+    adc = _persisted(
+        q.crossJoin(cent).select(
+            "query_id", "m", "code", F.expr(f"0.0D + {adc_terms}").alias("t")
+        )
+    )
+
+    # IVF halves: list assignment rides the same projection as the codes.
+    cents = _ivf_centroids(emb)
+    lists = _assign(emb, cents, 1, "cent_id")
+    nv_of_v = F.transform(
+        F.col("v"), lambda x: x / F.col("norm")
+    )
+    base = lists.select(
+        "vec_id",
+        "cent_id",
+        *[_pq_code(nv_of_v, m).alias(f"c{m}") for m in range(PQ_M)],
+    )
+    probes = _assign(
+        emb.filter(F.col("vec_id") < N_QUERIES), cents, nprobe, "cent_id"
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+
+    sc = base.join(F.broadcast(probes), "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    for m in range(PQ_M):
+        am = adc.select(
+            F.col("query_id").alias(f"q{m}"),
+            F.col("m").alias(f"m{m}"),
+            F.col("code").alias(f"k{m}"),
+            F.col("t").alias(f"t{m}"),
+        )
+        sc = sc.join(
+            F.broadcast(am),
+            (F.col(f"m{m}") == m)
+            & (F.col(f"k{m}") == F.col(f"c{m}"))
+            & (F.col(f"q{m}") == F.col("query_id")),
+        )
+    scored = sc.select(
+        "query_id",
+        "vec_id",
+        F.round(F.expr("0.0D + t0 + t1 + t2 + t3"), 6).alias("adc"),
+    )
+
+    w1 = Window.partitionBy(
+        "query_id", F.col("vec_id") % PQ_TOPK_BUCKETS
+    ).orderBy(F.col("adc").asc(), F.col("vec_id"))
+    local = (
+        scored.select("*", F.row_number().over(w1).alias("lr"))
+        .filter(F.col("lr") <= PQ_SHORTLIST)
+        .drop("lr")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    short = (
+        local.select("*", F.row_number().over(w2).alias("sr"))
+        .filter(F.col("sr") <= PQ_SHORTLIST)
+        .drop("sr")
+    )
+    rer = (
+        nvt.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qnv"), F.col("nv")), 6).alias("cosine"),
+            "adc",
+        )
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rer.select("*", F.row_number().over(w3).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "adc", "rank")
+    )
+
+
+def _topk_ivfpq_oracle() -> str:
+    def code_sql(m: int) -> str:
+        return " + ".join(
+            f"CASE WHEN nv[{m * PQ_SUB + j + 1}] >= 0.0 THEN {1 << j} ELSE 0 END"
+            for j in range(PQ_CODE_BITS)
+        )
+
+    sums = ",\n         ".join(
+        f"sum(CAST(floor(nv[m*{PQ_SUB}+{d}] * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS s{d}"
+        for d in range(1, PQ_SUB + 1)
+    )
+    cents = ", ".join(
+        f"CAST(s{d} AS DOUBLE)/n/1e9 AS cd{d}" for d in range(1, PQ_SUB + 1)
+    )
+    adc_terms = " + ".join(
+        f"(q.qnv[c.m*{PQ_SUB}+{d}] - c.cd{d}) * (q.qnv[c.m*{PQ_SUB}+{d}] - c.cd{d})"
+        for d in range(1, PQ_SUB + 1)
+    )
+    joins = "\n  ".join(
+        f"JOIN adc a{m} ON a{m}.query_id = p.query_id AND a{m}.m = {m} "
+        f"AND a{m}.code = b.c{m}"
+        for m in range(PQ_M)
+    )
+    case_code = "CASE ms.m " + " ".join(
+        f"WHEN {m} THEN c{m}" for m in range(PQ_M - 1)
+    ) + f" ELSE c{PQ_M - 1} END"
+    return f"""
+WITH e AS ({EMB_NORM_SQL}),
+c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e
+      WHERE vec_id >= {IVF_CENT_LO} AND vec_id < {IVF_CENT_HI}),
+assigned AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) DESC,
+                            c.cent_id) AS crank
+        FROM e CROSS JOIN c
+    ) WHERE crank <= 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) DESC,
+                            c.cent_id) AS crank
+        FROM e CROSS JOIN c
+        WHERE e.vec_id < {N_QUERIES}
+    ) WHERE crank <= {IVF_NPROBE}
+),
+nvt AS (SELECT vec_id, [v[i]/norm for i in range(1, {EMB_DIM + 1})] AS nv FROM e),
+codes AS (SELECT vec_id, nv,
+          {", ".join(f"{code_sql(m)} AS c{m}" for m in range(PQ_M))}
+          FROM nvt),
+subs AS (SELECT ms.m AS m, {case_code} AS code, nv
+         FROM codes, (SELECT unnest(range({PQ_M})) AS m) ms),
+cb AS (SELECT m, code, count(*) AS n,
+         {sums}
+       FROM subs GROUP BY m, code),
+cent AS (SELECT m, code, {cents} FROM cb),
+q AS (SELECT vec_id AS query_id, nv AS qnv FROM nvt WHERE vec_id < {N_QUERIES}),
+adc AS (SELECT q.query_id, c.m, c.code,
+          CAST(0 AS DOUBLE) + {adc_terms} AS t
+        FROM q, cent c),
+b AS (SELECT a.vec_id, a.cent_id, cd.c0, cd.c1, cd.c2, cd.c3
+      FROM assigned a JOIN codes cd ON cd.vec_id = a.vec_id),
+scored AS (
+  SELECT p.query_id, b.vec_id,
+         round(CAST(0 AS DOUBLE) + a0.t + a1.t + a2.t + a3.t, 6) AS adc
+  FROM b
+  JOIN probes p ON b.cent_id = p.cent_id
+  {joins}
+  WHERE b.vec_id <> p.query_id
+),
+local AS (SELECT query_id, vec_id, adc FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id, vec_id % {PQ_TOPK_BUCKETS}
+        ORDER BY adc, vec_id) AS lr
+    FROM scored) WHERE lr <= {PQ_SHORTLIST}),
+short AS (SELECT query_id, vec_id, adc FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc, vec_id) AS sr
+    FROM local) WHERE sr <= {PQ_SHORTLIST}),
+rer AS (SELECT s.query_id, s.vec_id,
+          round({DOT_SQL.format(a="qq.qnv", b="nvt.nv")}, 6) AS cosine,
+          s.adc
+        FROM short s
+        JOIN nvt ON nvt.vec_id = s.vec_id
+        JOIN q qq ON qq.query_id = s.query_id)
+SELECT query_id, vec_id, cosine, adc, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM rer)
+WHERE rank <= {TOP_K}
+"""
+
+
+TOPK_IVFPQ_ORACLE = _topk_ivfpq_oracle()

@@ -123,7 +123,7 @@ and the SAME commit updates the test-side pin dict — the round-8/9
 lesson, twice over, is that the registry tuple and the test pin must
 move together or pytest goes red in the handoff.
 
-Retirement candidates (size policy, 88/92 slots used)
+Retirement candidates (size policy, 91/92 slots used)
 -----------------------------------------------------
 When an addition would exceed MAX_REGISTRY, retire from this ranked
 list; each entry names where its evidence survives retirement.
@@ -211,11 +211,16 @@ REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 # Round 10: similarity_topk_pq (product-quantization ANN — ADC scan over
 # 4-byte codes with exact shortlist re-rank, operators/similarity.py) and
 # multimodal_real_wav (real RIFF/WAVE PCM decode + resample + energy
-# features, operators/multimodal.py) were built after the head window
-# filled; both are gate-verified at all five scales this round
-# (GATE_*_r10.log) and take their first driver rows when they rotate
-# into the round-11 head.
-STAGED_NEXT_ROUND: tuple[str, ...] = ("similarity_topk_pq", "multimodal_real_wav")
+# features, operators/multimodal.py), and similarity_topk_ivfpq (the
+# IVF x PQ composition — the standard billion-scale ANN serving shape)
+# were built after the head window filled; all three are gate-verified
+# at all five scales this round (GATE_*_r10.log) and take their first
+# driver rows when they rotate into the round-11 head.
+STAGED_NEXT_ROUND: tuple[str, ...] = (
+    "similarity_topk_pq",
+    "multimodal_real_wav",
+    "similarity_topk_ivfpq",
+)
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
 # surface (always in window) + 5 round-10 change slots (rule 1 — a plan at
@@ -602,6 +607,12 @@ def _specs() -> dict[str, QuerySpec]:
         # resample, integer energy features; closed-form oracle from
         # doc_id. Completes the audio modality that was metadata-only.
         "multimodal_real_wav": (multimodal.media_real_wav, multimodal.MEDIA_REAL_WAV_ORACLE),
+        # Rule 1b, round 10: the two ANN halves composed — IVF pruning of
+        # WHICH vectors are scanned x PQ-ADC cutting WHAT is read per
+        # vector, exact re-rank on the shortlist. The standard
+        # billion-scale serving shape (FAISS IVFPQ, no-residual variant),
+        # fully deterministic and hash-verified.
+        "similarity_topk_ivfpq": (similarity.topk_ivfpq, similarity.TOPK_IVFPQ_ORACLE),
     }
     # Impose the driver-window ordering: HEAD first (in order), then the
     # tail in definition order. A HEAD name missing from specs (or vice

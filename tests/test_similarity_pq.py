@@ -98,3 +98,34 @@ def test_pq_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= PQ_M, "ADC lookups must broadcast"
+
+
+def test_ivfpq_recall_and_plan(spark, sf_dir):
+    from mapreduce_hadoop_spark.operators.similarity import topk_ivfpq
+
+    exact = topk_bruteforce(spark, sf_dir).collect()
+    df = topk_ivfpq(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    approx = df.collect()
+    unpersist_intermediates()
+
+    # IVF pruning caps recall at the fixed-centroid nprobe=8 ceiling
+    # (~0.74); the PQ stage should cost little beyond that (measured 0.72
+    # at sf0.001 and sf0.01).
+    exact_sets: dict = {}
+    approx_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(exact_sets[q]) for q in exact_sets)
+    assert hits / total >= 0.5, f"IVF-PQ recall@5={hits / total:.2f}"
+
+    # Corpus-side joins must all be broadcast: probe filter + 4 ADC
+    # lookups + re-rank; no sort-merge join, no cartesian anywhere.
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= PQ_M + 1
