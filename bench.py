@@ -41,6 +41,7 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "events_session_window",
     # Composed training-data pipeline (quality -> dedup -> near-dup -> stats).
     "corpus_clean_stats",
@@ -75,7 +76,9 @@ ROUND_NOTES = {
         "two-phase shortlist, 50-deep exact re-rank (recall@5 0.86 at "
         "sf0.01); multimodal_real_wav — real RIFF/WAVE PCM chunk-walk "
         "parse, 8/16-bit decode, floor-index resample, integer energy "
-        "features, closed-form oracle."
+        "features, closed-form oracle; similarity_topk_ivfpq — the IVF x PQ "
+        "composition (FAISS-IVFPQ no-residual shape), recall@5 0.72 at the "
+        "nprobe=8 pruning ceiling."
     ),
 }
 
