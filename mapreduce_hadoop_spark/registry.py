@@ -199,13 +199,20 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
-# Assembled in the end-of-round evidence commit (the pin references the
-# regenerated r10 logs, whose SRCHASH must match the FINAL tree — filling
-# it earlier would red the suite on every subsequent operator commit);
-# empty until then. Round 10's plan: the widen-fix consumers left in the
-# tail (text_language_id_ngram, corpus_vocab_topk) land here once the
-# final-tree gate logs prove their hashes unchanged.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
+# Round 10 (assembled in the end-of-round evidence commit, as policy
+# requires — filling it earlier reds the suite on every subsequent
+# operator commit): the two widen-fix consumers left in the tail. Their
+# code path changed via sources/tables.py (parquet_scan_width
+# unknown-never-narrow fallback + bytesPerCore openCost term, commit
+# 9fe956a) and their output is hash-identical at every gate scale:
+# GATE_rule1a_pre_r10.log (the committed pre-change baseline) matches
+# the final-tree GATE_*_r10.log hash-for-hash. Pinned by
+# tests/test_registry_rotation.py PINNED_REWRITE_HASHES — updated in
+# THIS same commit (the round-8/9 lesson).
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
+    "text_language_id_ngram",
+    "corpus_vocab_topk",
+)
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
 # Round 10: similarity_topk_pq (product-quantization ANN — ADC scan over

@@ -55,7 +55,15 @@ def test_head_window_size_and_total():
 # Must cover exactly registry.REWRITTEN_HASH_IDENTICAL — and MUST be
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
-PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {}
+PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
+    # Round 10: the parquet_scan_width widen-fix consumers left in the
+    # tail. Pre-rewrite hashes from GATE_rule1a_pre_r10.log (sf0.01
+    # scale block, commit 268511d — generated on the pre-fix tree); the
+    # final-tree round-10 log must carry the same hashes and a SRCHASH
+    # matching the tree as committed.
+    "text_language_id_ngram": ("GATE_sf0.01_r10.log", "963bc6886415dfab"),
+    "corpus_vocab_topk": ("GATE_sf0.01_r10.log", "e38ec2f54cddc197"),
+}
 
 
 def test_hash_identical_rewrites_pinned():
