@@ -76,9 +76,15 @@ ROUND_NOTES = {
         "two-phase shortlist, 50-deep exact re-rank (recall@5 0.86 at "
         "sf0.01); multimodal_real_wav — real RIFF/WAVE PCM chunk-walk "
         "parse, 8/16-bit decode, floor-index resample, integer energy "
-        "features, closed-form oracle; similarity_topk_ivfpq — the IVF x PQ "
-        "composition (FAISS-IVFPQ no-residual shape), recall@5 0.72 at the "
-        "nprobe=8 pruning ceiling."
+        "features, closed-form oracle; similarity_topk_ivfpq — now the FULL "
+        "FAISS IVFPQ (residual encoding x per-list codebooks, recall@5 0.78 "
+        "at sf0.001 = the nprobe=8 pruning ceiling exactly; a global "
+        "residual book measured 0.56 and was rejected); "
+        "similarity_topk_ivfpq_trained — k-means coarse quantizer in the "
+        "identical plan, recall@5 0.80 at both small scales = the trained "
+        "ceiling, rows-only. ADC-via-broadcast-maps was measured and "
+        "REJECTED (46% slower on the ivfpq scan: Spark map element_at "
+        "linear-scans vs O(1) hash-join probes)."
     ),
 }
 

@@ -123,8 +123,8 @@ and the SAME commit updates the test-side pin dict — the round-8/9
 lesson, twice over, is that the registry tuple and the test pin must
 move together or pytest goes red in the handoff.
 
-Retirement candidates (size policy, 91/92 slots used)
------------------------------------------------------
+Retirement candidates (size policy, 92/92 slots used — AT THE CAP)
+-------------------------------------------------------------------
 When an addition would exceed MAX_REGISTRY, retire from this ranked
 list; each entry names where its evidence survives retirement.
 Round 10 exercised the list: ``multimodal_resize_stub`` (then candidate
@@ -216,17 +216,21 @@ REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
 # Round 10: similarity_topk_pq (product-quantization ANN — ADC scan over
-# 4-byte codes with exact shortlist re-rank, operators/similarity.py) and
+# 4-byte codes with exact shortlist re-rank, operators/similarity.py),
 # multimodal_real_wav (real RIFF/WAVE PCM decode + resample + energy
-# features, operators/multimodal.py), and similarity_topk_ivfpq (the
-# IVF x PQ composition — the standard billion-scale ANN serving shape)
-# were built after the head window filled; all three are gate-verified
-# at all five scales this round (GATE_*_r10.log) and take their first
-# driver rows when they rotate into the round-11 head.
+# features, operators/multimodal.py), similarity_topk_ivfpq (the full
+# FAISS IVFPQ composition: residual encoding, per-list codebooks,
+# joined-ADC scan — the standard billion-scale ANN serving shape), and
+# similarity_topk_ivfpq_trained (the same plan under the k-means coarse
+# quantizer; rows-only by nature) were built after the head window
+# filled; all four are gate-verified at all five scales this round
+# (GATE_*_r10.log) and take their first driver rows when they rotate
+# into the round-11 head.
 STAGED_NEXT_ROUND: tuple[str, ...] = (
     "similarity_topk_pq",
     "multimodal_real_wav",
     "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_trained",
 )
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
@@ -615,11 +619,23 @@ def _specs() -> dict[str, QuerySpec]:
         # doc_id. Completes the audio modality that was metadata-only.
         "multimodal_real_wav": (multimodal.media_real_wav, multimodal.MEDIA_REAL_WAV_ORACLE),
         # Rule 1b, round 10: the two ANN halves composed — IVF pruning of
-        # WHICH vectors are scanned x PQ-ADC cutting WHAT is read per
-        # vector, exact re-rank on the shortlist. The standard
-        # billion-scale serving shape (FAISS IVFPQ, no-residual variant),
-        # fully deterministic and hash-verified.
+        # WHICH vectors are scanned x PQ-ADC over the RESIDUAL
+        # x - c_list cutting WHAT is read per vector, exact re-rank on
+        # the shortlist. The standard billion-scale serving shape (full
+        # FAISS IVFPQ: residual encoding, per-list codebooks), fully
+        # deterministic and hash-verified; recall@5 0.78 at sf0.001 (the
+        # nprobe=8 pruning ceiling exactly).
         "similarity_topk_ivfpq": (similarity.topk_ivfpq, similarity.TOPK_IVFPQ_ORACLE),
+        # Rule 1b, round 10: residual IVF-PQ under the TRAINED coarse
+        # quantizer — k-means centroids dropped into the identical
+        # _ivfpq_from plan (README lever 2). Training is not
+        # SQL-expressible -> rows-only, like similarity_topk_ivf_trained;
+        # recall bounded vs brute force in tests/test_similarity_pq.py and
+        # the fixed-centroid similarity_topk_ivfpq hash-verifies the plan.
+        # Takes the registry's LAST free slot (92/92 = MAX_REGISTRY):
+        # any further addition requires retiring from the ranked list in
+        # the module docstring.
+        "similarity_topk_ivfpq_trained": (similarity.topk_ivfpq_trained, None),
     }
     # Impose the driver-window ordering: HEAD first (in order), then the
     # tail in definition order. A HEAD name missing from specs (or vice

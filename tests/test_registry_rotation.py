@@ -35,7 +35,7 @@ def test_head_window_size_and_total():
     names = _names()
     assert len(names) >= registry.DRIVER_WINDOW, len(names)
     # Update alongside registering/retiring queries.
-    assert len(names) == 91, len(names)
+    assert len(names) == 92, len(names)
     # Size policy: past MAX_REGISTRY the 2-round rotation cadence cannot
     # cover every entry — adding a query then requires retiring one.
     assert len(names) <= registry.MAX_REGISTRY, (

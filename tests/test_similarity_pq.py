@@ -112,8 +112,10 @@ def test_ivfpq_recall_and_plan(spark, sf_dir):
     unpersist_intermediates()
 
     # IVF pruning caps recall at the fixed-centroid nprobe=8 ceiling
-    # (~0.74); the PQ stage should cost little beyond that (measured 0.72
-    # at sf0.001 and sf0.01).
+    # (0.78 at sf0.001, 0.74 at sf0.01); residual encoding with per-list
+    # books makes the PQ stage nearly free (measured: 0.78 at sf0.001 —
+    # the ceiling exactly — and 0.72 at sf0.01; the r10 no-residual
+    # variant measured 0.72/0.72, and a global-residual book 0.56).
     exact_sets: dict = {}
     approx_sets: dict = {}
     for r in exact:
@@ -122,10 +124,32 @@ def test_ivfpq_recall_and_plan(spark, sf_dir):
         approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
     hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
     total = sum(len(exact_sets[q]) for q in exact_sets)
-    assert hits / total >= 0.5, f"IVF-PQ recall@5={hits / total:.2f}"
+    assert hits / total >= 0.6, f"IVF-PQ recall@5={hits / total:.2f}"
 
     # Corpus-side joins must all be broadcast: probe filter + 4 ADC
     # lookups + re-rank; no sort-merge join, no cartesian anywhere.
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= PQ_M + 1
+
+
+def test_ivfpq_trained_recall(spark, sf_dir):
+    """The trained coarse quantizer drops into the identical residual
+    IVF-PQ plan and must at least match the fixed-centroid composition's
+    recall (balanced lists raise the pruning ceiling at equal nprobe)."""
+    from mapreduce_hadoop_spark.operators.similarity import topk_ivfpq_trained
+
+    exact = topk_bruteforce(spark, sf_dir).collect()
+    approx = topk_ivfpq_trained(spark, sf_dir).collect()
+    unpersist_intermediates()
+
+    exact_sets: dict = {}
+    approx_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert all(len(s) == TOP_K for s in approx_sets.values())
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(exact_sets[q]) for q in exact_sets)
+    assert hits / total >= 0.6, f"trained IVF-PQ recall@5={hits / total:.2f}"

@@ -6,7 +6,7 @@
 set -u
 cd "$(dirname "$0")/.."
 R=10
-HDR_TREE="final round-${R} tree: parquet_scan_width unknown-never-narrow + bytesPerCore openCost, measured_sign_bits probe memo, vectorized LZW + PNG unfilter, hardened GIF, baseline JPEG pixel decode, 60-bit multi-index simhash, staged PQ ANN + IVF-PQ composition + real WAV decode"
+HDR_TREE="final round-${R} tree: residual IVF-PQ with per-list codebooks + trained-coarse IVFPQ (ADC-map alternative measured and rejected), parquet_scan_width unknown-never-narrow + bytesPerCore openCost, measured_sign_bits probe memo, vectorized LZW + PNG unfilter, hardened GIF, baseline JPEG pixel decode, 60-bit multi-index simhash, staged PQ ANN + real WAV decode"
 
 BIG_EXCL="similarity_near_dup_cosine"
 ALLQ=$(python - <<'EOF'
@@ -29,8 +29,8 @@ run_gate() {
   echo "== ${label} exit ${rc}"
 }
 
-run_gate /root/testdata/sf0.001     GATE_sf0.001_r10.log sf0.001 "$ALLQ" "full registry, 91 queries"
-run_gate /root/testdata/sf0.01      GATE_sf0.01_r10.log  sf0.01  "$ALLQ" "full registry, 91 queries"
-run_gate /root/testdata/sf0.1       GATE_sf0.1_r10.log   sf0.1   "$ALLQ" "full registry, 91 queries"
-run_gate /root/repo/.scale_data/sf1     GATE_sf1_r10.log     sf1     "$BIGQ" "90 queries: full registry minus ${BIG_EXCL} (LABELED O(n^2) baseline; its DuckDB twin cannot finish 50k x 50k in the gate budget); derived 10x via tools/make_scale_data.py"
-run_gate /root/repo/.scale_data/sf1skew GATE_sf1skew_r10.log sf1skew "$BIGQ" "90 queries, hot-key derivation (--skew: one taxi ~10% of positions, one source ~50% of documents); same exclusion as sf1"
+run_gate /root/testdata/sf0.001     GATE_sf0.001_r10.log sf0.001 "$ALLQ" "full registry, 92 queries"
+run_gate /root/testdata/sf0.01      GATE_sf0.01_r10.log  sf0.01  "$ALLQ" "full registry, 92 queries"
+run_gate /root/testdata/sf0.1       GATE_sf0.1_r10.log   sf0.1   "$ALLQ" "full registry, 92 queries"
+run_gate /root/repo/.scale_data/sf1     GATE_sf1_r10.log     sf1     "$BIGQ" "91 queries: full registry minus ${BIG_EXCL} (LABELED O(n^2) baseline; its DuckDB twin cannot finish 50k x 50k in the gate budget); derived 10x via tools/make_scale_data.py"
+run_gate /root/repo/.scale_data/sf1skew GATE_sf1skew_r10.log sf1skew "$BIGQ" "91 queries, hot-key derivation (--skew: one taxi ~10% of positions, one source ~50% of documents); same exclusion as sf1"
