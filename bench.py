@@ -84,7 +84,16 @@ ROUND_NOTES = {
         "identical plan, recall@5 0.80 at both small scales = the trained "
         "ceiling, rows-only. ADC-via-broadcast-maps was measured and "
         "REJECTED (46% slower on the ivfpq scan: Spark map element_at "
-        "linear-scans vs O(1) hash-join probes)."
+        "linear-scans vs O(1) hash-join probes). Late round 10: the nprobe "
+        "sweep exposed a FLAT recall curve at sf0.1 - the fixed 50-deep ADC "
+        "shortlist was the bottleneck, not pruning - so the shortlist is "
+        "now scale-adaptive max(50, n/250), oracle-derived from count(*) "
+        "(sf0.1: pq 0.36 -> 0.82, ivfpq back to its 0.72 ceiling); NEW "
+        "multimodal_real_avi (real RIFF/AVI container parse: stream "
+        "enumeration, palette, foreign-stream skipping, idx1 cross-check, "
+        "bottom-up stride-padded DIB decode, quadrant-sum oracle) replaces "
+        "the retired text_language_id (dominated by the ngram variant, "
+        "scoring pinned in tests)."
     ),
 }
 

@@ -1593,3 +1593,328 @@ SELECT doc_id,
 FROM v
 GROUP BY doc_id, sr, n, out_n
 """
+
+
+# --- real video: RIFF/AVI container parse + frame sample + features ----------
+#
+# Video twin of the real WAV path (reference has no video surface; this is
+# the training-pipeline extension): one spec-valid uncompressed 8-bit-DIB
+# AVI per document, then a REAL container parse — RIFF walk, hdrl/avih
+# header, strl stream enumeration (vids + a to-be-skipped audio stream),
+# BITMAPINFOHEADER + 256-entry RGBQUAD palette, movi sub-chunk walk with
+# word-alignment pads, idx1 frame-count cross-check — and bottom-up
+# stride-padded DIB row decode through the (non-identity) palette. The
+# closed-form oracle predicts quadrant/full pixel sums from doc_id, so the
+# hash only matches if chunk skipping, stride handling, row orientation,
+# AND the palette lookup are all byte-correct (a full-frame sum alone
+# would be orientation-blind; the top-left-quadrant sum is not).
+
+AVI_SAMPLE_FRAMES = 4       # frames sampled per video (floor-index mapping)
+_AVI_PAL_MULT = 37          # palette r = (index * 37) % 256 — a bijection,
+#                             so a decoder that skips the palette is caught
+
+
+def _avi_bytes_patterned(doc_id: int) -> bytes:
+    """A spec-valid RIFF/AVI file per document: one 'vids' stream of
+    3..8 uncompressed 8-bit palettized DIB frames (w 6..14, h 5..11 —
+    stride padding exercised whenever w % 4 != 0), pixel index
+    (doc_id + 11*frame + 7*y + 5*x) % 256 stored BOTTOM-UP, palette
+    r=g=b=(i*37)%256. Every 5th document carries an odd-length JUNK chunk
+    before movi (pad byte), every 7th an audio '01wb' sub-chunk inside
+    movi that a frame walker must skip; idx1 indexes the frames."""
+    import struct
+
+    d = int(doc_id)
+    w = 6 + d % 9
+    h = 5 + d % 7
+    nf = 3 + d % 6
+    stride = (w + 3) & ~3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(four: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four + body)
+
+    frames = []
+    for f in range(nf):
+        rows = bytearray()
+        for r in range(h):  # bottom-up storage
+            y = h - 1 - r
+            rows += bytes((d + 11 * f + 7 * y + 5 * x) % 256 for x in range(w))
+            rows += b"\x00" * (stride - w)
+        frames.append(bytes(rows))
+
+    avih = struct.pack("<10I", 40000, 0, 0, 0, nf, 0, 1, 0, w, h) + b"\x00" * 16
+    strh = (
+        b"vids"
+        + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 25, 0, nf, 0, 0, -1)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    bmih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h, 0, 0, 256, 0
+    )
+    palette = b"".join(
+        struct.pack("<4B", (i * _AVI_PAL_MULT) % 256, (i * _AVI_PAL_MULT) % 256,
+                    (i * _AVI_PAL_MULT) % 256, 0)
+        for i in range(256)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", bmih + palette)),
+    )
+
+    movi_body = b""
+    idx_entries = []
+    for f, fr in enumerate(frames):
+        # idx1 offsets count from the 'movi' fourcc at offset 0.
+        idx_entries.append((b"00db", 0x10, 4 + len(movi_body), len(fr)))
+        movi_body += chunk(b"00db", fr)
+        if f == 0 and d % 7 == 0:
+            movi_body += chunk(b"01wb", b"\x80" * 5)  # odd-size audio: pad byte
+    movi = lst(b"movi", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            cid + struct.pack("<III", flags, off, sz)
+            for cid, flags, off, sz in idx_entries
+        ),
+    )
+
+    body = b"AVI " + hdrl
+    if d % 5 == 0:
+        body += chunk(b"JUNK", b"notaframe" * 3)  # 27 bytes: odd, forces pad
+    body += movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_decode(payload: bytes) -> "tuple[int, int, list] | None":
+    """REAL RIFF/AVI parser: magic check, top-level chunk walk with pad
+    bytes, hdrl -> avih dims + strl stream scan ('vids' required,
+    biBitCount==8, BI_RGB, 256-entry palette read), movi walk collecting
+    stream-00 'db'/'dc' frames (skipping other streams' chunks), idx1
+    frame-count cross-check, bottom-up stride-padded row decode THROUGH
+    the palette. Returns (w, h, [numpy (h, w) int64 top-down frames]) or
+    None on anything malformed — tolerate, never throw."""
+    import struct
+
+    import numpy as np
+
+    if not isinstance(payload, (bytes, bytearray)) or len(payload) < 12:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+
+    dims = None          # (w, h, declared_frames) from avih
+    vids_fmt = None      # (w, h, palette) from the vids strl
+    frames_raw: list = []
+    idx_frames = 0
+
+    def walk_list(body: bytes, handler) -> bool:
+        pos = 0
+        while pos + 8 <= len(body):
+            cid = body[pos : pos + 4]
+            (csz,) = struct.unpack_from("<I", body, pos + 4)
+            cbody = body[pos + 8 : pos + 8 + csz]
+            if len(cbody) < csz:
+                return False  # truncated chunk
+            if not handler(cid, cbody):
+                return False
+            pos += 8 + csz + (csz & 1)
+        return True
+
+    def on_strl(cid: bytes, cbody: bytes, state: dict) -> bool:
+        if cid == b"strh":
+            if len(cbody) < 4:
+                return False
+            state["type"] = cbody[0:4]
+        elif cid == b"strf" and state.get("type") == b"vids":
+            nonlocal vids_fmt
+            if len(cbody) < 40:
+                return False
+            (bisize, bw, bh, planes, bits, comp, _szimg, _xp, _yp, clrused,
+             _clrimp) = struct.unpack_from("<IiiHHIIiiII", cbody, 0)
+            if bisize < 40 or planes != 1 or bits != 8 or comp != 0:
+                return False
+            n_pal = clrused if clrused else 256
+            if n_pal != 256 or len(cbody) < 40 + 256 * 4:
+                return False
+            pal = np.frombuffer(cbody, dtype=np.uint8, count=256 * 4, offset=40)
+            # RGBQUAD little-endian byte order is (b, g, r, reserved); a
+            # grayscale palette must agree across channels.
+            b, g, r = pal[0::4], pal[1::4], pal[2::4]
+            if not (np.array_equal(b, g) and np.array_equal(g, r)):
+                return False
+            vids_fmt = (bw, bh, r.astype(np.int64))
+        return True
+
+    def on_hdrl(cid: bytes, cbody: bytes) -> bool:
+        nonlocal dims
+        if cid == b"avih":
+            if len(cbody) < 56:
+                return False
+            vals = struct.unpack_from("<10I", cbody, 0)
+            dims = (vals[8], vals[9], vals[4])  # dwWidth, dwHeight, dwTotalFrames
+        elif cid == b"LIST" and cbody[0:4] == b"strl":
+            state: dict = {}
+            return walk_list(cbody[4:], lambda c, b: on_strl(c, b, state))
+        return True
+
+    def on_movi(cid: bytes, cbody: bytes) -> bool:
+        if cid[0:2] == b"00" and cid[2:4] in (b"db", b"dc"):
+            frames_raw.append(cbody)
+        return True  # other streams' chunks: skip
+
+    def on_top(cid: bytes, cbody: bytes) -> bool:
+        nonlocal idx_frames
+        if cid == b"LIST":
+            kind = cbody[0:4]
+            if kind == b"hdrl":
+                return walk_list(cbody[4:], on_hdrl)
+            if kind == b"movi":
+                return walk_list(cbody[4:], on_movi)
+        elif cid == b"idx1":
+            if len(cbody) % 16 != 0:
+                return False
+            for off in range(0, len(cbody), 16):
+                e = cbody[off : off + 4]
+                if e[0:2] == b"00" and e[2:4] in (b"db", b"dc"):
+                    idx_frames += 1
+        return True  # JUNK and friends: skip
+
+    if not walk_list(payload[12:], on_top):
+        return None
+    if dims is None or vids_fmt is None or not frames_raw:
+        return None
+    w, h, declared = dims
+    bw, bh, pal = vids_fmt
+    if w != bw or h != bh or w < 1 or h < 1:
+        return None
+    if declared != len(frames_raw) or idx_frames != len(frames_raw):
+        return None  # header/index/stream disagreement
+    stride = (w + 3) & ~3
+    frames = []
+    for fr in frames_raw:
+        if len(fr) != stride * h:
+            return None
+        arr = np.frombuffer(fr, dtype=np.uint8).reshape(h, stride)[:, :w]
+        frames.append(pal[arr[::-1, :]])  # bottom-up -> top-down, palettized
+    return int(w), int(h), frames
+
+
+def patterned_avi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mime, payload) with one real AVI per document. Same 100 TB
+    shape as ``patterned_wav_table``: narrow doc_id scan repartitioned to
+    cores ahead of the Arrow synth stage."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (int(d), "video/avi", _avi_bytes_patterned(int(d)))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "payload"])
+
+    return docs.mapInPandas(batches, schema="doc_id bigint, mime string, payload binary")
+
+
+def avi_frame_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched video feature stage: REAL AVI parse, floor-index
+    sampling of AVI_SAMPLE_FRAMES frames (frame j -> (j * n_frames) //
+    AVI_SAMPLE_FRAMES — the WAV/image resampler's mapping), then integer
+    full-frame and top-left-quadrant pixel sums over the sampled frames.
+    The quadrant sum is what makes row ORIENTATION observable (a full-
+    frame sum is permutation-invariant; bottom-up confusion shifts which
+    rows land in the quadrant). Malformed payloads yield NULL features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                decoded = _avi_decode(payload) if mime == "video/avi" else None
+                if decoded is None:
+                    out.append((int(doc_id), mime, None, None, None, None, None, None))
+                    continue
+                w, h, frames = decoded
+                nf = len(frames)
+                f_sum = 0
+                q_sum = 0
+                for j in range(AVI_SAMPLE_FRAMES):
+                    fr = frames[(j * nf) // AVI_SAMPLE_FRAMES]
+                    f_sum += int(fr.sum())
+                    q_sum += int(fr[: h // 2, : w // 2].sum())
+                out.append(
+                    (int(doc_id), mime, int(w), int(h), int(nf),
+                     int(AVI_SAMPLE_FRAMES), f_sum, q_sum)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "mime", "width", "height", "n_frames",
+                         "sampled_n", "f_sum", "q_sum"],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, mime string, width int, height int, n_frames int, "
+            "sampled_n int, f_sum bigint, q_sum bigint"
+        ),
+    )
+
+
+def media_real_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video twin of ``media_real_wav``: synthesize a real RIFF/AVI
+    container per document, then the REAL parse path (chunk walk, header/
+    stream/palette validation, movi frame collection with foreign-stream
+    skipping, idx1 cross-check) + frame sampling + integer pixel features.
+    The oracle predicts full-frame and quadrant sums in closed form from
+    doc_id alone, so the hash only matches if container walk, stride
+    handling, bottom-up orientation, and palette lookup are all
+    byte-correct.
+
+    100 TB shape: two pipelined map-only Arrow stages over a narrow
+    doc_id scan; payloads never cross a shuffle."""
+    return avi_frame_features(patterned_avi_table(spark, sf_dir))
+
+
+MEDIA_REAL_AVI_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           6 + doc_id % 9 AS w,
+           5 + doc_id % 7 AS h,
+           3 + doc_id % 6 AS nf
+    FROM documents
+),
+j AS (SELECT doc_id, w, h, nf,
+             unnest(generate_series(0, {AVI_SAMPLE_FRAMES - 1})) AS js
+      FROM d),
+f AS (SELECT doc_id, w, h, nf, (js * nf) // {AVI_SAMPLE_FRAMES} AS fr FROM j),
+y AS (SELECT doc_id, w, h, nf, fr, unnest(generate_series(0, h - 1)) AS yy FROM f),
+p AS (SELECT doc_id, w, h, nf, fr, yy,
+             unnest(generate_series(0, w - 1)) AS xx
+      FROM y),
+v AS (SELECT doc_id, w, h, nf, yy, xx,
+             ({_AVI_PAL_MULT} * ((doc_id + 11 * fr + 7 * yy + 5 * xx) % 256)) % 256 AS px
+      FROM p)
+SELECT doc_id,
+       'video/avi' AS mime,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       {AVI_SAMPLE_FRAMES} AS sampled_n,
+       CAST(sum(px) AS BIGINT) AS f_sum,
+       CAST(sum(CASE WHEN yy < h // 2 AND xx < w // 2 THEN px ELSE 0 END) AS BIGINT) AS q_sum
+FROM v
+GROUP BY doc_id, w, h, nf
+"""

@@ -17,12 +17,18 @@
   default, near-dup pair recall 0.82 at 8 bands). The 100 TB shape:
   (band, bucket) is the shuffle/join key; bands is the recall dial,
   bits the scale guard — neither changes the plan.
-- ``topk_ivf_trained`` (PRIMARY ANN) / ``topk_ivf`` (oracle twin):
+- ``topk_ivf_trained`` / ``topk_ivf`` (oracle twin):
   inverted-file ANN — broadcast coarse centroids, nearest-list assignment,
   nprobe-list probe join. Default nprobe=8 is the measured knee (sf0.01
   recall@5: 0.80 trained / 0.74 fixed at ~49% candidate budget); the
   trained variant fits k-means once per sf_dir (cached) and probes with
   the identical plan.
+- ``topk_ivfpq_trained`` (PRIMARY ANN — the deployed serving shape) /
+  ``topk_ivfpq`` (oracle twin): full FAISS IVFPQ — IVF pruning x
+  residual-encoded PQ-ADC with per-list codebooks x scale-adaptive exact re-rank.
+  Matches the trained-IVF recall ceiling (0.80 at nprobe=8) while
+  scanning ~1/16th the bytes per candidate; the memory shape that lets
+  a 100 TB corpus' index live in cluster RAM.
 
 All arithmetic is a strict left-to-right fold (F.aggregate / list_reduce)
 over double-cast elements, so Spark and DuckDB produce bit-identical
@@ -767,8 +773,10 @@ _KMEANS_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 
 
 def clear_stats_cache() -> None:
-    """Drop cached fitted centroids (call after mutating a dataset dir)."""
+    """Drop cached fitted centroids and corpus counts (call after
+    mutating a dataset dir)."""
     _KMEANS_CACHE.clear()
+    _EMB_COUNT_CACHE.clear()
 
 
 def _trained_centroids(
@@ -1069,8 +1077,43 @@ FROM x
 PQ_M = 4                    # subspaces
 PQ_SUB = EMB_DIM // PQ_M    # 16 dims per subspace
 PQ_CODE_BITS = 8            # sign bits per subspace -> 256-entry codebooks
-PQ_SHORTLIST = 50           # ADC shortlist per query, exact-re-ranked to TOP_K
 PQ_TOPK_BUCKETS = 64        # phase-1 fan-out of the two-phase shortlist top-R
+
+# ADC shortlist per query (exact-re-ranked to TOP_K): SCALE-ADAPTIVE,
+# max(MIN, n // DIV). A fixed 50-deep shortlist collapses as the corpus
+# grows — quantization noise dilutes true neighbors' ADC rank roughly
+# linearly in n, so the rank needed to retain them grows with n
+# (measured at sf0.1 / 50k vectors: shortlist 50 -> pq recall@5 0.36,
+# 200 -> 0.82, 800 -> 1.00; at sf0.01 / 5k the 50 floor already gives
+# 0.86, and ivfpq under 200 recovers its nprobe=8 pruning ceiling 0.72).
+# n // 250 keeps the shortlist a ~0.4% fraction of the corpus — the
+# re-rank stays model-sized (Q x n/250 rows broadcast) while recall
+# tracks the same curve at every scale. The oracle derives the SAME
+# integer from count(*), so the plans stay hash-comparable.
+PQ_SHORTLIST_MIN = 50
+PQ_SHORTLIST_DIV = 250
+PQ_SHORTLIST_SQL = (
+    f"greatest({PQ_SHORTLIST_MIN}, (SELECT count(*) FROM e) // {PQ_SHORTLIST_DIV})"
+)
+
+
+def _pq_shortlist(n: int) -> int:
+    return max(PQ_SHORTLIST_MIN, n // PQ_SHORTLIST_DIV)
+
+
+# Embedding-corpus row counts per sf_dir (one metadata-cheap count job,
+# reused across PQ invocations; same immutable-snapshot assumption as
+# _KMEANS_CACHE — clear_stats_cache drops both).
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _emb_count(emb: DataFrame, sf_dir: str) -> int:
+    key = os.path.realpath(sf_dir)
+    n = _EMB_COUNT_CACHE.get(key)
+    if n is None:
+        n = emb.count()
+        _EMB_COUNT_CACHE[key] = n
+    return n
 
 # The ADC lookup table is the broadcast side of all four scan joins; built
 # unpersisted, each broadcast build would recompute its codebook lineage
@@ -1106,7 +1149,7 @@ def _pq_code(nv: Column, m: int) -> Column:
 def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: top-5 cosine neighbors for the demo query
     set via an ADC (asymmetric distance computation) scan over 4-byte PQ
-    codes, exact-re-ranked on a 50-deep shortlist.
+    codes, exact-re-ranked on a scale-adaptive (max(50, n/250))-deep shortlist.
 
     The memory story int8/IVF/LSH don't cover: vectors are normalized
     (so L2^2 = 2 - 2*cos and ADC ranking == cosine ranking), split into
@@ -1133,6 +1176,7 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strict left-to-right form the other similarity oracles share.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    shortlist = _pq_shortlist(_emb_count(emb, sf_dir))
     nvt = emb.select(
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv")
     )
@@ -1226,13 +1270,13 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("adc").asc(), F.col("vec_id"))
     local = (
         scored.select("*", F.row_number().over(w1).alias("lr"))
-        .filter(F.col("lr") <= PQ_SHORTLIST)
+        .filter(F.col("lr") <= shortlist)
         .drop("lr")
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
     short = (
         local.select("*", F.row_number().over(w2).alias("sr"))
-        .filter(F.col("sr") <= PQ_SHORTLIST)
+        .filter(F.col("sr") <= shortlist)
         .drop("sr")
     )
 
@@ -1309,11 +1353,11 @@ local AS (SELECT query_id, vec_id, adc FROM (
     SELECT *, row_number() OVER (
         PARTITION BY query_id, vec_id % {PQ_TOPK_BUCKETS}
         ORDER BY adc, vec_id) AS lr
-    FROM scored) WHERE lr <= {PQ_SHORTLIST}),
+    FROM scored) WHERE lr <= {PQ_SHORTLIST_SQL}),
 short AS (SELECT query_id, vec_id, adc FROM (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adc, vec_id) AS sr
-    FROM local) WHERE sr <= {PQ_SHORTLIST}),
+    FROM local) WHERE sr <= {PQ_SHORTLIST_SQL}),
 rer AS (SELECT s.query_id, s.vec_id,
           round({DOT_SQL.format(a="qq.qnv", b="nvt.nv")}, 6) AS cosine,
           s.adc
@@ -1384,10 +1428,13 @@ def topk_ivfpq(
     this identical plan.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    return _ivfpq_from(emb, _ivf_centroids(emb), nprobe)
+    shortlist = _pq_shortlist(_emb_count(emb, sf_dir))
+    return _ivfpq_from(emb, _ivf_centroids(emb), nprobe, shortlist)
 
 
-def _ivfpq_from(emb: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+def _ivfpq_from(
+    emb: DataFrame, cents: DataFrame, nprobe: int, shortlist: int
+) -> DataFrame:
     """Shared residual IVF-PQ plan; ``cents`` is any (cent_id, cv, cn)
     relation (fixed rows for the oracle twin, k-means for the trained)."""
     nvt = emb.select(
@@ -1520,13 +1567,13 @@ def _ivfpq_from(emb: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     ).orderBy(F.col("adc").asc(), F.col("vec_id"))
     local = (
         scored.select("*", F.row_number().over(w1).alias("lr"))
-        .filter(F.col("lr") <= PQ_SHORTLIST)
+        .filter(F.col("lr") <= shortlist)
         .drop("lr")
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
     short = (
         local.select("*", F.row_number().over(w2).alias("sr"))
-        .filter(F.col("sr") <= PQ_SHORTLIST)
+        .filter(F.col("sr") <= shortlist)
         .drop("sr")
     )
     rer = (
@@ -1633,11 +1680,11 @@ local AS (SELECT query_id, vec_id, adc FROM (
     SELECT *, row_number() OVER (
         PARTITION BY query_id, vec_id % {PQ_TOPK_BUCKETS}
         ORDER BY adc, vec_id) AS lr
-    FROM scored) WHERE lr <= {PQ_SHORTLIST}),
+    FROM scored) WHERE lr <= {PQ_SHORTLIST_SQL}),
 short AS (SELECT query_id, vec_id, adc FROM (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adc, vec_id) AS sr
-    FROM local) WHERE sr <= {PQ_SHORTLIST}),
+    FROM local) WHERE sr <= {PQ_SHORTLIST_SQL}),
 rer AS (SELECT s.query_id, s.vec_id,
           round({DOT_SQL.format(a="qq.qnv", b="nvt.nv")}, 6) AS cosine,
           s.adc
@@ -1673,4 +1720,4 @@ def topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     cents = _trained_centroids(spark, emb, sf_dir)
-    return _ivfpq_from(emb, cents, IVF_NPROBE)
+    return _ivfpq_from(emb, cents, IVF_NPROBE, _pq_shortlist(_emb_count(emb, sf_dir)))

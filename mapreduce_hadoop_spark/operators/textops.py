@@ -39,8 +39,16 @@ def _lang_counts(toks: Column) -> dict[str, Column]:
 
 
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-count language ID: argmax over per-language hit counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Stopword-count language ID: argmax over per-language hit counts.
+
+    RETIRED from the registry late round 10 (size policy; strictly
+    dominated by ``language_id_ngram``) — the scoring stays pinned by
+    tests/test_corpus_filters.py::test_language_id_scoring via
+    ``language_id_from``."""
+    return language_id_from(load_table(spark, sf_dir, "documents"))
+
+
+def language_id_from(docs: DataFrame) -> DataFrame:
     toks = T.tokens("text")
     counts = _lang_counts(toks)
     pred = F.lit("unknown")

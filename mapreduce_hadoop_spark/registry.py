@@ -133,12 +133,19 @@ paths (PNG r6, GIF r7, JPEG r10) cover the resize plumbing with the
 strictly stronger closed-form px_sum oracle, and the fake-decode path
 keeps a local oracle check in ``tests/test_multimodal.py``.
 
-1. ``text_language_id`` — the heuristic variant is strictly dominated by
-   ``text_language_id_ngram`` (same plan shape, richer model); its
-   stopword-ratio scoring stays pinned by ``tests/test_corpus_filters.py``.
-2. ``fn_epoch`` — the scalar is consumed (and therefore driver-verified)
+Exercised again late in round 10: ``text_language_id`` (then candidate
+#1) retired in favor of ``multimodal_real_avi`` — the heuristic LID is
+strictly dominated by ``text_language_id_ngram`` (same plan shape,
+richer model), and its stopword-argmax scoring is pinned by a dedicated
+fixture in ``tests/test_corpus_filters.py`` (added in the same commit).
+
+1. ``fn_epoch`` — the scalar is consumed (and therefore driver-verified)
    by every sessionize-family query each round; the NULL→0.0 edge cases
    stay pinned by unit fixtures in ``tests/test_sessionize.py``.
+2. ``multimodal_frame_sample`` — fake-payload frame sampling is strictly
+   dominated by ``multimodal_real_avi`` (REAL container parse, same
+   sampling law, stronger closed-form oracle); the fake-path plumbing
+   stays pinned by ``tests/test_multimodal.py``.
 """
 
 from __future__ import annotations
@@ -231,6 +238,7 @@ STAGED_NEXT_ROUND: tuple[str, ...] = (
     "multimodal_real_wav",
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_trained",
+    "multimodal_real_avi",
 )
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
@@ -392,7 +400,10 @@ def _specs() -> dict[str, QuerySpec]:
             similarity.near_dup_cosine,
             similarity.NEAR_DUP_ORACLE,
         ),
-        "text_language_id": (textops.language_id, textops.LANGUAGE_ID_ORACLE),
+        # text_language_id RETIRED late round 10 (size policy, candidate
+        # #1 when multimodal_real_avi took its slot): strictly dominated
+        # by text_language_id_ngram; its stopword-argmax scoring stays
+        # pinned by tests/test_corpus_filters.py::test_language_id_scoring.
         "global_top_orders": (
             analytics.global_top_orders,
             analytics.GLOBAL_TOP_ORDERS_ORACLE,
@@ -636,6 +647,15 @@ def _specs() -> dict[str, QuerySpec]:
         # any further addition requires retiring from the ranked list in
         # the module docstring.
         "similarity_topk_ivfpq_trained": (similarity.topk_ivfpq_trained, None),
+        # Rule 1b, late round 10 (slot freed by retiring text_language_id):
+        # real video — RIFF/AVI container parse (chunk walk, avih/strl/
+        # BITMAPINFOHEADER + palette validation, movi frame collection
+        # with foreign-stream skipping, idx1 cross-check), bottom-up
+        # stride-padded 8-bit DIB decode through a non-identity palette,
+        # floor-index frame sampling, integer pixel features; closed-form
+        # oracle from doc_id. Completes the video modality to parity with
+        # audio (real WAV) and images (PNG/GIF/JPEG).
+        "multimodal_real_avi": (multimodal.media_real_avi, multimodal.MEDIA_REAL_AVI_ORACLE),
     }
     # Impose the driver-window ordering: HEAD first (in order), then the
     # tail in definition order. A HEAD name missing from specs (or vice
