@@ -87,8 +87,12 @@ ROUND_NOTES = {
         "linear-scans vs O(1) hash-join probes). Late round 10: the nprobe "
         "sweep exposed a FLAT recall curve at sf0.1 - the fixed 50-deep ADC "
         "shortlist was the bottleneck, not pruning - so the shortlist is "
-        "now scale-adaptive max(50, n/250), oracle-derived from count(*) "
-        "(sf0.1: pq 0.36 -> 0.82, ivfpq back to its 0.72 ceiling); NEW "
+        "now scale-adaptive max(50, n/10), oracle-derived from count(*) "
+        "(sf0.1: pq 0.36 -> 0.82, ivfpq back to its 0.72 ceiling; the "
+        "linear law is the honest cost of one-step codebooks); "
+        "similarity_topk_ivfpq_trained now fits K=sqrt(n) lists with "
+        "nprobe=K/3 (sf0.1: recall 0.84 at 36% of the corpus vs 0.72 at "
+        "51% for fixed K=16); NEW "
         "multimodal_real_avi (real RIFF/AVI container parse: stream "
         "enumeration, palette, foreign-stream skipping, idx1 cross-check, "
         "bottom-up stride-padded DIB decode, quadrant-sum oracle) replaces "

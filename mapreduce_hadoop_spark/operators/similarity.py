@@ -24,11 +24,12 @@
   trained variant fits k-means once per sf_dir (cached) and probes with
   the identical plan.
 - ``topk_ivfpq_trained`` (PRIMARY ANN — the deployed serving shape) /
-  ``topk_ivfpq`` (oracle twin): full FAISS IVFPQ — IVF pruning x
-  residual-encoded PQ-ADC with per-list codebooks x scale-adaptive exact re-rank.
-  Matches the trained-IVF recall ceiling (0.80 at nprobe=8) while
-  scanning ~1/16th the bytes per candidate; the memory shape that lets
-  a 100 TB corpus' index live in cluster RAM.
+  ``topk_ivfpq`` (oracle twin): full FAISS IVFPQ — K=sqrt(n) trained
+  coarse quantizer x residual-encoded PQ-ADC with per-list codebooks x
+  scale-adaptive exact re-rank. Recall@5 0.84 at sf0.1 scanning 36% of
+  the corpus (the fixed-K twin: 0.72 at 51%), 4 code bytes per scanned
+  vector instead of 64 floats; the memory shape that lets a 100 TB
+  corpus' index live in cluster RAM.
 
 All arithmetic is a strict left-to-right fold (F.aggregate / list_reduce)
 over double-cast elements, so Spark and DuckDB produce bit-identical
@@ -769,7 +770,7 @@ IVF_NPROBE = 8
 # centroids fitted on the old corpus (and topk_ivf_trained is rows-only,
 # so no oracle hash would catch it). Call clear_stats_cache() after any
 # in-place rewrite (tools/make_scale_data.py does).
-_KMEANS_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+_KMEANS_CACHE: "dict[tuple[str, int], list[tuple[int, list[float]]]]" = {}
 
 
 def clear_stats_cache() -> None:
@@ -780,19 +781,19 @@ def clear_stats_cache() -> None:
 
 
 def _trained_centroids(
-    spark: SparkSession, emb: DataFrame, sf_dir: str
+    spark: SparkSession, emb: DataFrame, sf_dir: str, k: int = IVF_K
 ) -> DataFrame:
     """K-means coarse centroids as a (cent_id, cv, cn) relation — the
-    trained drop-in for ``_ivf_centroids`` (cached per sf_dir; see
+    trained drop-in for ``_ivf_centroids`` (cached per (sf_dir, k); see
     ``_KMEANS_CACHE``). Model parameters, legitimately driver-sized."""
-    cache_key = os.path.realpath(sf_dir)
+    cache_key = (os.path.realpath(sf_dir), k)
     cents_rows = _KMEANS_CACHE.get(cache_key)
     if cents_rows is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         feats = emb.select("vec_id", array_to_vector(F.col("v")).alias("features"))
-        km = KMeans(k=IVF_K, seed=42, maxIter=10).fit(feats)
+        km = KMeans(k=k, seed=42, maxIter=10).fit(feats)
         cents_rows = [
             (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
         ]
@@ -1081,17 +1082,21 @@ PQ_TOPK_BUCKETS = 64        # phase-1 fan-out of the two-phase shortlist top-R
 
 # ADC shortlist per query (exact-re-ranked to TOP_K): SCALE-ADAPTIVE,
 # max(MIN, n // DIV). A fixed 50-deep shortlist collapses as the corpus
-# grows — quantization noise dilutes true neighbors' ADC rank roughly
-# linearly in n, so the rank needed to retain them grows with n
-# (measured at sf0.1 / 50k vectors: shortlist 50 -> pq recall@5 0.36,
-# 200 -> 0.82, 800 -> 1.00; at sf0.01 / 5k the 50 floor already gives
-# 0.86, and ivfpq under 200 recovers its nprobe=8 pruning ceiling 0.72).
-# n // 250 keeps the shortlist a ~0.4% fraction of the corpus — the
-# re-rank stays model-sized (Q x n/250 rows broadcast) while recall
-# tracks the same curve at every scale. The oracle derives the SAME
-# integer from count(*), so the plans stay hash-comparable.
+# grows: sign-orthant codebooks are one k-means step, so their ADC
+# distortion is a CONSTANT of the data — the true neighbor's expected
+# ADC rank therefore grows LINEARLY in n, and holding recall needs
+# shortlist ~ n/10. Measured (embeddings: n=500 at sf0.001 AND sf0.01,
+# 2000 at sf0.1, 20000 at the derived sf1): shortlist 50 = n/10 at
+# n=500 -> pq recall@5 0.86; at n=2000, 50 (n/40) -> 0.36, 200 (n/10)
+# -> 0.82, 800 -> 1.00. The honest reading: with one-step codebooks the
+# exact re-rank reads ~10% of the corpus' full vectors, so PQ's scan
+# savings cap at ~10x unless codebook distortion IMPROVES with n —
+# that is exactly what trained (Lloyd-iterated) codebooks buy and why
+# they are the named next lever; the shortlist law is the stopgap that
+# keeps recall honest meanwhile. The oracle derives the SAME integer
+# from count(*), so the plans stay hash-comparable.
 PQ_SHORTLIST_MIN = 50
-PQ_SHORTLIST_DIV = 250
+PQ_SHORTLIST_DIV = 10
 PQ_SHORTLIST_SQL = (
     f"greatest({PQ_SHORTLIST_MIN}, (SELECT count(*) FROM e) // {PQ_SHORTLIST_DIV})"
 )
@@ -1703,21 +1708,28 @@ TOPK_IVFPQ_ORACLE = _topk_ivfpq_oracle()
 
 
 def topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual IVF-PQ under the TRAINED coarse quantizer — the deployed
-    form (README round-11 lever 2, landed round 10): ``topk_ivf_trained``'s
-    k-means centroids drop into the identical ``_ivfpq_from`` plan;
-    balanced lists raise the IVF pruning ceiling at equal nprobe (sf0.01
-    recall@5 ceiling 0.80 trained vs 0.74 fixed) and the per-list residual
-    books track whatever lists the quantizer produces. Measured: recall@5
-    0.80 at BOTH sf0.001 and sf0.01 — the trained-IVF ceiling exactly,
-    i.e. the residual-PQ stage costs zero recall here while scanning
-    ~1/16th the bytes per candidate.
+    """Residual IVF-PQ under the TRAINED coarse quantizer at K = sqrt(n)
+    lists — the deployed serving form: k-means centroids drop into the
+    identical ``_ivfpq_from`` plan, and the list count grows with the
+    corpus so the candidate fraction per query (nprobe/K ~ nprobe/sqrt(n))
+    SHRINKS as data grows — the FAISS nlist recipe, vs the fixed K=16
+    whose fraction is constant. Measured recall@5 as shipped (nprobe =
+    max(8, K//3), scale-adaptive shortlist): 0.76 / 0.74 / 0.84 at
+    sf0.001 / sf0.01 / sf0.1, vs the fixed-K twin's 0.78 / 0.72 / 0.72 —
+    at sf0.1 that is +0.12 recall while scanning 36% of the corpus
+    instead of 51% (K=44 vs 16), strictly better on both axes, and the
+    gap widens with n as nprobe/sqrt(n) falls.
 
     K-means training is not SQL-expressible -> rows-only driver check;
     recall is bounded against brute force in tests/test_similarity_pq.py,
     and the fixed-centroid ``topk_ivfpq`` is the hash-verified oracle twin
-    of this exact plan.
+    of the plan shape.
     """
+    import math
+
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    cents = _trained_centroids(spark, emb, sf_dir)
-    return _ivfpq_from(emb, cents, IVF_NPROBE, _pq_shortlist(_emb_count(emb, sf_dir)))
+    n = _emb_count(emb, sf_dir)
+    k = max(IVF_K, math.isqrt(n))
+    nprobe = max(IVF_NPROBE, k // 3)
+    cents = _trained_centroids(spark, emb, sf_dir, k=k)
+    return _ivfpq_from(emb, cents, nprobe, _pq_shortlist(n))

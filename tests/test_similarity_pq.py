@@ -112,10 +112,11 @@ def test_ivfpq_recall_and_plan(spark, sf_dir):
     unpersist_intermediates()
 
     # IVF pruning caps recall at the fixed-centroid nprobe=8 ceiling
-    # (0.78 at sf0.001, 0.74 at sf0.01); residual encoding with per-list
-    # books makes the PQ stage nearly free (measured: 0.78 at sf0.001 —
-    # the ceiling exactly — and 0.72 at sf0.01; the r10 no-residual
-    # variant measured 0.72/0.72, and a global-residual book 0.56).
+    # (0.78 at sf0.001, 0.74 at sf0.01, 0.74 at sf0.1); residual encoding
+    # with per-list books + the scale-adaptive n/10 shortlist keeps the
+    # composition at/near that ceiling (measured: 0.78 / 0.72 / 0.72; the
+    # r10 no-residual variant measured 0.72/0.72, a global-residual book
+    # 0.56, and the pre-fix FIXED 50-deep shortlist 0.40 at sf0.1).
     exact_sets: dict = {}
     approx_sets: dict = {}
     for r in exact:
@@ -134,9 +135,10 @@ def test_ivfpq_recall_and_plan(spark, sf_dir):
 
 
 def test_ivfpq_trained_recall(spark, sf_dir):
-    """The trained coarse quantizer drops into the identical residual
-    IVF-PQ plan and must at least match the fixed-centroid composition's
-    recall (balanced lists raise the pruning ceiling at equal nprobe)."""
+    """The K=sqrt(n) trained coarse quantizer drops into the identical
+    residual IVF-PQ plan; measured recall@5 0.76/0.74/0.84 at
+    sf0.001/0.01/0.1 vs the fixed-K=16 twin's 0.78/0.72/0.72 — parity at
+    the small fixtures, strictly better where K grows past 16."""
     from mapreduce_hadoop_spark.operators.similarity import topk_ivfpq_trained
 
     exact = topk_bruteforce(spark, sf_dir).collect()

@@ -6,7 +6,7 @@
 set -u
 cd "$(dirname "$0")/.."
 R=10
-HDR_TREE="final round-${R} tree: residual IVF-PQ with per-list codebooks + trained-coarse IVFPQ (ADC-map alternative measured and rejected), parquet_scan_width unknown-never-narrow + bytesPerCore openCost, measured_sign_bits probe memo, vectorized LZW + PNG unfilter, hardened GIF, baseline JPEG pixel decode, 60-bit multi-index simhash, staged PQ ANN + real WAV decode"
+HDR_TREE="final round-${R} tree: residual IVF-PQ with per-list codebooks, scale-adaptive n/10 ADC shortlist, K=sqrt(n) trained-coarse IVFPQ, real AVI container decode (ADC-map alternative measured and rejected), parquet_scan_width unknown-never-narrow + bytesPerCore openCost, measured_sign_bits probe memo, vectorized LZW + PNG unfilter, hardened GIF, baseline JPEG pixel decode, 60-bit multi-index simhash, staged PQ ANN + real WAV decode"
 
 BIG_EXCL="similarity_near_dup_cosine"
 ALLQ=$(python - <<'EOF'
