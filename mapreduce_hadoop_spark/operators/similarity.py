@@ -1154,7 +1154,7 @@ def _pq_code(nv: Column, m: int) -> Column:
 def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: top-5 cosine neighbors for the demo query
     set via an ADC (asymmetric distance computation) scan over 4-byte PQ
-    codes, exact-re-ranked on a scale-adaptive (max(50, n/250))-deep shortlist.
+    codes, exact-re-ranked on a scale-adaptive (max(50, n/10))-deep shortlist.
 
     The memory story int8/IVF/LSH don't cover: vectors are normalized
     (so L2^2 = 2 - 2*cos and ADC ranking == cosine ranking), split into

@@ -155,3 +155,15 @@ def test_ivfpq_trained_recall(spark, sf_dir):
     hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
     total = sum(len(exact_sets[q]) for q in exact_sets)
     assert hits / total >= 0.6, f"trained IVF-PQ recall@5={hits / total:.2f}"
+
+
+def test_pq_shortlist_law():
+    """max(50, n // 10): the floor covers the fixtures where 50 = n/10
+    already holds recall (n=500 -> 0.86); past it the linear law binds
+    (n=2000 -> 200, the measured 0.82 point)."""
+    from mapreduce_hadoop_spark.operators.similarity import _pq_shortlist
+
+    assert _pq_shortlist(10) == 50
+    assert _pq_shortlist(500) == 50
+    assert _pq_shortlist(2000) == 200
+    assert _pq_shortlist(20000) == 2000
