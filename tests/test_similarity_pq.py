@@ -167,3 +167,20 @@ def test_pq_shortlist_law():
     assert _pq_shortlist(500) == 50
     assert _pq_shortlist(2000) == 200
     assert _pq_shortlist(20000) == 2000
+
+
+def test_ivfpq_trained_plan_shape(spark, sf_dir):
+    """The deployed serving plan must stay broadcast-only against the
+    corpus even under the K=sqrt(n) trained quantizer: no sort-merge
+    join, no cartesian product; ADC lookups + probe filter + re-rank all
+    broadcast-hash."""
+    from mapreduce_hadoop_spark.operators.similarity import topk_ivfpq_trained
+
+    df = topk_ivfpq_trained(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    unpersist_intermediates()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= PQ_M + 1
