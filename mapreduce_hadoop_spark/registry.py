@@ -123,6 +123,26 @@ and the SAME commit updates the test-side pin dict — the round-8/9
 lesson, twice over, is that the registry tuple and the test pin must
 move together or pytest goes red in the handoff.
 
+Round-11 application: the cadence forces the full rotation a fourth
+time — all 37 r11-tail candidates with rows (the r10 tail minus the 5
+rule-1b staged entries) have r9 rows, so they all rotate in, and the 5
+staged queries take their first driver rows (rule 1b mandates head).
+Head = 7 reference + 5 staged promotions + 37 rotations + 1 spare
+change slot = 50; the spare initially holds ``similarity_topk_ivf``
+(fresh r10 row; the similarity module is this round's main work
+surface — trained PQ codebooks + persisted index artifacts — so a
+re-verifying row for the untrained IVF twin is the defensive choice).
+The round-11 plan consumes the spare and one rotation slot with two
+NEW queries as they land: ``similarity_topk_pq_trained`` (Lloyd-refined
+subspace codebooks, the judge's named lever against the linear n/10
+shortlist) retiring ``fn_epoch`` (candidate #1, in the rotation set →
+frees its head slot), and ``multimodal_real_jpeg_color`` (4:2:0 YCbCr
+baseline JPEG on the committed Huffman/IDCT kernels) retiring
+``multimodal_frame_sample`` (candidate #2, in the new tail → frees a
+registry slot; the new query takes the spare slot and
+``similarity_topk_ivf`` returns to the tail on its r10 row). As
+before, CHANGED_THIS_ROUND starts EMPTY and grows commit-by-commit.
+
 Retirement candidates (size policy, 92/92 slots used — AT THE CAP)
 -------------------------------------------------------------------
 When an addition would exceed MAX_REGISTRY, retire from this ranked
@@ -169,83 +189,38 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 10
+ROUND = 11
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row. Starts EMPTY at
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
-CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # parquet_scan_width remote-path fallback + bytesPerCore openCost
-    # term (sources/tables.py): every in-head widen consumer re-verifies
-    # with a fresh driver row. The two tail consumers
-    # (text_language_id_ngram, corpus_vocab_topk) take the rule-1a pin
-    # in the end-of-round evidence commit.
-    "text_gopher_rules",
-    "text_repetition_score",
-    "text_fingerprints",
-    # measured_sign_bits probe memo per (session, plan): the two LSH
-    # twins are the consumers (operators/similarity.py).
-    "similarity_topk_lsh",
-    "similarity_near_dup_lsh",
-    # Vectorized LZW + unfilter (bit-identical, golden-pinned) and GIF
-    # decoder hardening (operators/multimodal.py); metadata/frame_sample
-    # are in-head forced rotations re-verifying the same module.
-    "multimodal_real_resize",
-    "multimodal_real_roundtrip",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    # NEW round 10: baseline JPEG pixel decode, in the head slot freed by
-    # retiring multimodal_resize_stub (retirement-candidate #1).
-    "multimodal_real_jpeg",
-    # 60-bit simhash + multi-index Hamming probe join (README lever 2):
-    # semantics change (complete hamming <= 7 on the full-width hash),
-    # in-head forced rotation (operators/dedup.py).
-    "dedup_simhash",
-)
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
-# Round 10 (assembled in the end-of-round evidence commit, as policy
-# requires — filling it earlier reds the suite on every subsequent
-# operator commit): the two widen-fix consumers left in the tail. Their
-# code path changed via sources/tables.py (parquet_scan_width
-# unknown-never-narrow fallback + bytesPerCore openCost term, commit
-# 9fe956a) and their output is hash-identical at every gate scale:
-# GATE_rule1a_pre_r10.log (the committed pre-change baseline) matches
-# the final-tree GATE_*_r10.log hash-for-hash. Pinned by
-# tests/test_registry_rotation.py PINNED_REWRITE_HASHES — updated in
-# THIS same commit (the round-8/9 lesson).
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
-    "text_language_id_ngram",
-    "corpus_vocab_topk",
-)
+# Round 11: empty at rotation — the round-10 pinned pair
+# (text_language_id_ngram, corpus_vocab_topk) is in this round's forced
+# rotation set and takes ordinary fresh driver rows instead, retiring
+# the pin. Fills (if at all) only in the end-of-round evidence commit,
+# together with the test-side pin dict (the round-8/9 lesson).
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
-# Round 10: similarity_topk_pq (product-quantization ANN — ADC scan over
-# 4-byte codes with exact shortlist re-rank, operators/similarity.py),
-# multimodal_real_wav (real RIFF/WAVE PCM decode + resample + energy
-# features, operators/multimodal.py), similarity_topk_ivfpq (the full
-# FAISS IVFPQ composition: residual encoding, per-list codebooks,
-# joined-ADC scan — the standard billion-scale ANN serving shape), and
-# similarity_topk_ivfpq_trained (the same plan under the k-means coarse
-# quantizer; rows-only by nature) were built after the head window
-# filled; all four are gate-verified at all five scales this round
-# (GATE_*_r10.log) and take their first driver rows when they rotate
-# into the round-11 head.
-STAGED_NEXT_ROUND: tuple[str, ...] = (
-    "similarity_topk_pq",
-    "multimodal_real_wav",
-    "similarity_topk_ivfpq",
-    "similarity_topk_ivfpq_trained",
-    "multimodal_real_avi",
-)
+# Round 11: empty at rotation — the five round-10 staged queries promote
+# into the head below for their first driver rows. This round's two
+# planned NEW queries (similarity_topk_pq_trained,
+# multimodal_real_jpeg_color) land directly in head slots freed by
+# retirements, so they should not need staging; anything unplanned that
+# arrives after the head fills goes here.
+STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
-# surface (always in window) + 5 round-10 change slots (rule 1 — a plan at
-# rotation time; CHANGED_THIS_ROUND records what actually lands) + all 38
-# round-8-green tail entries (rule 2 — the 2-round cadence's forced full
-# rotation: every r9-tail entry's newest driver row is r8).
+# surface (always in window) + 5 rule-1b staged promotions (first driver
+# rows for the round-10 PQ/IVFPQ + WAV/AVI work) + 1 spare change slot
+# (similarity_topk_ivf — see the Round-11 application paragraph) + all 37
+# row-carrying round-10 tail entries (rule 2 — the 2-round cadence's
+# forced full rotation: every r10-tail entry's newest driver row is r9).
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -255,51 +230,53 @@ HEAD = (
     "airport_trips_parity",
     "daily_revenue",
     "total_revenue",
-    # Round-10 change slots (rule 1).
-    "multimodal_real_resize",
-    "multimodal_real_roundtrip",
-    "similarity_topk_lsh",
-    "similarity_near_dup_lsh",
-    "text_gopher_rules",
-    # Round-8-green tail rotations (rule 2): the entire r9 tail rotates in.
-    "dedup_keep_best",
-    "multimodal_real_jpeg",
-    "dedup_exact_normalized",
-    "dedup_simhash",
-    "corpus_clean_stats",
-    "events_daily_by_type",
-    "market_segment_balance",
-    "text_fingerprints",
-    "text_tfidf_top_terms",
-    "text_document_chunks",
-    "text_normalize",
-    "text_repetition_score",
-    "similarity_topk_bruteforce",
-    "similarity_topk_filtered",
+    # Rule-1b staged promotions (first driver rows).
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_trained",
+    "multimodal_real_wav",
+    "multimodal_real_avi",
+    # Round-11 spare change slot (see Round-11 application paragraph).
     "similarity_topk_ivf",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "events_rollup",
-    "purchase_asof_view",
-    "event_props_json",
-    "distinct_users_daily",
-    "approx_distinct_users_daily",
-    "segment_customer_setops",
-    "contamination_check",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "revenue_by_nation",
-    "pricing_summary",
-    "top_orders_per_customer",
-    "shipping_priority",
-    "text_quality_score",
-    "text_token_counts",
-    "events_session_window",
-    "text_span_dedup",
-    "embedding_quantize_int8",
-    "events_funnel",
-    "events_cohort_retention",
+    # Round-9-green tail rotations (rule 2): the entire row-carrying
+    # round-10 tail rotates in.
+    "events_cube",
+    "customer_balance_windows",
+    "events_hash_sample",
+    "events_stratified_sample",
+    "customer_order_semi_anti",
+    "events_grouping_sets",
+    "orders_pivot_priority",
+    "lineitem_measures_unpivot",
+    "lineitem_percentiles",
+    "approx_lineitem_percentiles",
+    "events_salted_agg",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_daily_gapfill",
+    "fn_distance",
+    "fn_width_bucket",
+    "fn_epoch",
+    "corpus_domain_mix",
+    "corpus_pack_sequences",
+    "events_keyed_dedup",
+    "events_enriched",
+    "similarity_near_dup_cosine",
+    "global_top_orders",
+    "sql_revenue_by_nation",
+    "trips_concurrency",
+    "text_pii_scrub",
+    "views_before_purchase_range_join",
+    "similarity_topk_ivf_trained",
+    "airport_trips_timeout",
+    "corpus_weighted_sample",
+    "corpus_train_split",
+    "corpus_domain_quota",
+    "customer_activity_reconcile",
+    "sql_orders_above_customer_avg",
+    "corpus_vocab_topk",
+    "text_language_id_ngram",
+    "dedup_minhash_lsh",
 )
 
 

@@ -56,13 +56,10 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 10: the parquet_scan_width widen-fix consumers left in the
-    # tail. Pre-rewrite hashes from GATE_rule1a_pre_r10.log (sf0.01
-    # scale block, commit 268511d — generated on the pre-fix tree); the
-    # final-tree round-10 log must carry the same hashes and a SRCHASH
-    # matching the tree as committed.
-    "text_language_id_ngram": ("GATE_sf0.01_r10.log", "963bc6886415dfab"),
-    "corpus_vocab_topk": ("GATE_sf0.01_r10.log", "e38ec2f54cddc197"),
+    # Round 11: empty at rotation — the round-10 pinned pair is in the
+    # forced rotation set and takes ordinary fresh driver rows, retiring
+    # the pin (registry.REWRITTEN_HASH_IDENTICAL emptied in this same
+    # commit). Refill only together with that tuple.
 }
 
 
