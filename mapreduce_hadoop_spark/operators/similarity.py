@@ -1390,8 +1390,8 @@ def topk_ivfpq(
     coarse IVF pruning cuts WHICH vectors are scanned (nprobe/K of the
     corpus per query), PQ-ADC over the RESIDUAL x - c_list cuts WHAT is
     read per scanned vector (4 code bytes + 4 lookup adds instead of 64
-    floats), and a 50-deep exact re-rank restores precision on the
-    shortlist.
+    floats), and a scale-adaptive (max(50, n/10))-deep exact re-rank
+    (``_pq_shortlist``) restores precision on the shortlist.
 
     Residual encoding (round 10, README lever 1): each vector is coded as
     r = nv - nc_list (its normalized self minus its normalized coarse
