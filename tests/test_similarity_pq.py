@@ -87,9 +87,11 @@ def test_pq_codebook_centroid_is_exact_fixed_point(spark, sf_dir):
 
 
 def test_pq_plan_shape(spark, sf_dir):
-    """The ADC scan must be broadcast-only against the corpus: no sort-merge
-    join, no cartesian product anywhere; the single nested-loop join is the
-    bounded queries x codebook cross (<= N_QUERIES * PQ_M * 2^bits rows)."""
+    """The ADC scan must be broadcast-only against the corpus: no
+    sort-merge join, no cartesian product anywhere. The nested-loop joins
+    are all BOUNDED broadcasts (queries x codebook for the ADC build,
+    the <= N_QUERIES-row per-query lookup-array relation for the scan
+    fan-out); the re-rank joins broadcast-hash."""
     df = topk_pq(spark, sf_dir)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -97,7 +99,8 @@ def test_pq_plan_shape(spark, sf_dir):
     unpersist_intermediates()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= PQ_M, "ADC lookups must broadcast"
+    assert "BroadcastNestedLoopJoin" in plan, "scan fan-out must broadcast"
+    assert plan.count("BroadcastHashJoin") >= 2, "re-rank must broadcast-hash"
 
 
 def test_ivfpq_recall_and_plan(spark, sf_dir):
@@ -127,18 +130,21 @@ def test_ivfpq_recall_and_plan(spark, sf_dir):
     total = sum(len(exact_sets[q]) for q in exact_sets)
     assert hits / total >= 0.6, f"IVF-PQ recall@5={hits / total:.2f}"
 
-    # Corpus-side joins must all be broadcast: probe filter + 4 ADC
-    # lookups + re-rank; no sort-merge join, no cartesian anywhere.
+    # Corpus-side joins must all be broadcast: the cent_id probe-filter
+    # join (which also delivers the per-query ADC lookup arrays) +
+    # re-rank; no sort-merge join, no cartesian anywhere.
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= PQ_M + 1
+    assert plan.count("BroadcastHashJoin") >= 3
 
 
 def test_ivfpq_trained_recall(spark, sf_dir):
-    """The K=sqrt(n) trained coarse quantizer drops into the identical
-    residual IVF-PQ plan; measured recall@5 0.76/0.74/0.84 at
-    sf0.001/0.01/0.1 vs the fixed-K=16 twin's 0.78/0.72/0.72 — parity at
-    the small fixtures, strictly better where K grows past 16."""
+    """The K=sqrt(n) trained coarse quantizer + the round-11 GLOBAL
+    Lloyd-trained residual book drop into the identical residual IVF-PQ
+    plan; measured recall@5 0.76/0.74/0.80/1.00 at sf0.001/0.01/0.1/sf1
+    vs the fixed-K sign-orthant twin's 0.78/0.72/0.72 — at/near the
+    nprobe pruning ceiling everywhere, now with a NEAR-CONSTANT re-rank
+    (max(100, n/100)) instead of n/10. Curve in SCALE_ann_r11.md."""
     from mapreduce_hadoop_spark.operators.similarity import topk_ivfpq_trained
 
     exact = topk_bruteforce(spark, sf_dir).collect()
@@ -169,11 +175,80 @@ def test_pq_shortlist_law():
     assert _pq_shortlist(20000) == 2000
 
 
+def test_pq_trained_recall_vs_bruteforce(spark, sf_dir):
+    """Lloyd-trained subspace codebooks at a NEAR-CONSTANT shortlist
+    (max(50, n/100)) must clear the recall bar the sign-orthant twin
+    needs n/10 re-rank depth for: measured recall@5 1.00 / 1.00 / 0.80 /
+    1.00 at sf0.001 / 0.01 / 0.1 / sf1 (the sign-orthant twin at its
+    LINEAR n/10 depth: 0.76 / 0.86 / 0.82) — trained-cell ADC distortion
+    falls as data fills the cells, the sign-orthant scheme's is a
+    constant of the coding, so only the trained books hold recall as the
+    re-rank depth stops growing with n. Curve in SCALE_ann_r11.md."""
+    from mapreduce_hadoop_spark.operators.similarity import topk_pq_trained
+
+    exact = topk_bruteforce(spark, sf_dir).collect()
+    approx = topk_pq_trained(spark, sf_dir).collect()
+    unpersist_intermediates()
+
+    exact_sets: dict = {}
+    approx_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(approx_sets) == set(range(N_QUERIES))
+    assert all(len(s) == TOP_K for s in approx_sets.values())
+    hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+    total = sum(len(exact_sets[q]) for q in exact_sets)
+    recall = hits / total
+    assert recall >= 0.8, f"trained PQ recall@5={recall:.2f}"
+
+
+def test_pq_trained_plan_shape(spark, sf_dir):
+    """Trained books must not change the serving plan: broadcast-only
+    against the corpus (M=8 ADC lookups + re-rank all broadcast-hash),
+    no sort-merge join, no cartesian; encoding is one Arrow-batched
+    map-only UDF stage."""
+    from mapreduce_hadoop_spark.operators.similarity import (
+        PQ_TRAINED_M,
+        topk_pq_trained,
+    )
+
+    df = topk_pq_trained(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    unpersist_intermediates()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, "scan fan-out must broadcast"
+    assert plan.count("BroadcastHashJoin") >= 2, "re-rank must broadcast-hash"
+    assert "ArrowEvalPython" in plan, "PQ encode must be Arrow-batched"
+
+
+def test_trained_shortlist_laws():
+    """Near-constant re-rank depth under trained books: flat PQ floors at
+    50, residual IVF-PQ at 100 (residual ADC noise compounds coarse-
+    assignment boundary effects — measured 0.60 at depth 50 vs 0.72 = the
+    pruning ceiling at depth 100); both then grow only as n/100."""
+    from mapreduce_hadoop_spark.operators.similarity import (
+        _pq_trained_ivf_shortlist,
+        _pq_trained_shortlist,
+    )
+
+    assert _pq_trained_shortlist(500) == 50
+    assert _pq_trained_shortlist(2000) == 50
+    assert _pq_trained_shortlist(20000) == 200
+    assert _pq_trained_ivf_shortlist(500) == 100
+    assert _pq_trained_ivf_shortlist(2000) == 100
+    assert _pq_trained_ivf_shortlist(20000) == 200
+
+
 def test_ivfpq_trained_plan_shape(spark, sf_dir):
     """The deployed serving plan must stay broadcast-only against the
     corpus even under the K=sqrt(n) trained quantizer: no sort-merge
-    join, no cartesian product; ADC lookups + probe filter + re-rank all
-    broadcast-hash."""
+    join, no cartesian product; the cent_id probe-filter join (carrying
+    the per-query ADC lookup arrays) + re-rank all broadcast."""
     from mapreduce_hadoop_spark.operators.similarity import topk_ivfpq_trained
 
     df = topk_ivfpq_trained(spark, sf_dir)
@@ -183,4 +258,4 @@ def test_ivfpq_trained_plan_shape(spark, sf_dir):
     unpersist_intermediates()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= PQ_M + 1
+    assert plan.count("BroadcastHashJoin") >= 3
