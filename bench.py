@@ -41,7 +41,10 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "similarity_topk_pq",
+    "similarity_topk_pq_trained",
     "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_trained",
+    "multimodal_real_jpeg_color",
     "events_session_window",
     # Composed training-data pipeline (quality -> dedup -> near-dup -> stats).
     "corpus_clean_stats",
@@ -67,9 +70,16 @@ ROUND_NOTES = {
         "(pq/ivfpq/ivfpq_trained + wav/avi); metric line now hard-capped "
         "at 1800 chars (r10's 2.4k note pushed the JSON out of the "
         "driver's 2000-char tail: parsed:null); streaming timeout "
-        "eviction measured (see 'stream' key: staged multi-file replay, "
-        "state rows peak/removed from StateOperatorProgress). Narrative "
-        "for the round lives in SCALE_ann_r11.md and README."
+        "eviction measured (see 'stream' key). NEW "
+        "similarity_topk_pq_trained (Lloyd codebooks, near-constant "
+        "max(50,n/100) re-rank, recall 1.0/1.0/0.8/1.0) + persisted ANN "
+        "index artifacts (warm sessions plan zero training jobs) + "
+        "array-ADC scan + Arrow coarse assign (ivfpq_trained sf1 "
+        "44->17.7s, global trained residual book replaces the per-list "
+        "8GB-at-scale caveat). NEW multimodal_real_jpeg_color (4:2:0 "
+        "YCbCr, closed-form RGB-sum oracle). fn_epoch + "
+        "multimodal_frame_sample retired (unit-pinned). Narrative in "
+        "SCALE_ann_r11.md and README."
     ),
     10: (
         "r10: parquet_scan_width reports unknown (never narrow) on "

@@ -36,6 +36,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -271,3 +273,42 @@ def pq_codebooks(
             )
     _MODEL_MEMO[memo_key] = rows
     return rows
+
+
+# --- persisted relations (the FAISS ``add`` half) ----------------------------
+
+
+def cached_relation(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: "Callable[[], DataFrame]",
+) -> DataFrame:
+    """Load a DATA-sized index relation (e.g. the encoded PQ codes) from
+    a parquet artifact under the corpus snapshot dir, or build + persist
+    it — the FAISS ``add`` half next to the ``train`` half above. A warm
+    session's ADC scan then starts from a plain parquet scan (column
+    pruning and all) instead of re-running the encode UDF over the
+    corpus every query.
+
+    Safe because encoding is DETERMINISTIC given the persisted books
+    (np.argmin ties break to the lowest code) and the artifact lives
+    under the same corpus fingerprint as the books that produced it — an
+    in-place corpus rewrite orphans both together. Volatile (unlistable)
+    corpora skip disk, same as the model artifacts. Partial writes
+    cannot be served: the build lands in a ``.tmp`` sibling and is
+    renamed into place only after Spark commits it (_SUCCESS present).
+    """
+    key = _fingerprint(sf_dir)
+    if not _durable(key):
+        return build()
+    path = os.path.join(_corpus_dir(sf_dir, create=True), name)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        build().write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    return spark.read.parquet(path)

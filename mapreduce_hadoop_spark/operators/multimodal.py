@@ -716,6 +716,81 @@ def _pack_codes_msb(codes: "list[int]", widths: "list[int]") -> bytes:
     return packed.tobytes()
 
 
+def _jpeg_quantized_blocks(plane, q, mult: int = 8):
+    """(h, w) uint8 plane -> (bh, bw, 8, 8) int64 quantized DCT blocks,
+    edge-padded to a multiple of ``mult`` (8 for standalone components,
+    16 for the luma plane of a 4:2:0 frame whose MCU is 16x16)."""
+    import numpy as np
+
+    a = np.asarray(plane, dtype=np.uint8)
+    h, w = a.shape
+    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    m = _jpeg_dct_matrix()
+    # F = M @ block @ M.T for every block: F[u,v] = sum_xy M[u,x] b[x,y] M[v,y]
+    coeffs = np.einsum("ux,bcxy,vy->bcuv", m, blocks, m)
+    return np.round(coeffs / q).astype(np.int64)
+
+
+class _JpegScanWriter:
+    """Entropy-coded-segment builder: DPCM DC + run-length AC per block,
+    any (dc, ac) canonical table pair per call — the shared half of the
+    grayscale and 4:2:0 color encoders."""
+
+    def __init__(self) -> None:
+        self.codes: list[int] = []
+        self.widths: list[int] = []
+        self._zz = None
+
+    def _put(self, code_len: "tuple[int, int]") -> None:
+        self.codes.append(code_len[0])
+        self.widths.append(code_len[1])
+
+    def _put_amp(self, v: int) -> None:
+        size = abs(int(v)).bit_length()
+        if size:
+            amp = v if v > 0 else v + (1 << size) - 1
+            self.codes.append(amp)
+            self.widths.append(size)
+
+    def block(self, coeff_block, prev_dc: int, dc_codes: dict, ac_codes: dict) -> int:
+        """Encode one quantized 8x8 block; returns its DC (the next
+        prev_dc for this block's component)."""
+        import numpy as np
+
+        if self._zz is None:
+            self._zz = np.asarray(_JPEG_ZIGZAG)
+        flat = coeff_block.reshape(64)[self._zz]
+        diff = int(flat[0]) - prev_dc
+        size = abs(diff).bit_length()
+        self._put(dc_codes[size])
+        if size:
+            self._put_amp(diff)
+        run = 0
+        for k in range(1, 64):
+            v = int(flat[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                self._put(ac_codes[0xF0])  # ZRL: sixteen zeros
+                run -= 16
+            size = abs(v).bit_length()
+            self._put(ac_codes[(run << 4) | size])
+            self._put_amp(v)
+            run = 0
+        if run:
+            self._put(ac_codes[0x00])  # EOB
+        return int(flat[0])
+
+    def tobytes(self) -> bytes:
+        return _pack_codes_msb(self.codes, self.widths)
+
+
 def _jpeg_encode_gray(px) -> bytes:
     """Spec-valid baseline JPEG bytes for an (h, w) uint8 array."""
     import struct
@@ -724,60 +799,17 @@ def _jpeg_encode_gray(px) -> bytes:
 
     a = np.asarray(px, dtype=np.uint8)
     h, w = a.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
-    blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
-        - 128.0
-    )
-    m = _jpeg_dct_matrix()
     q = _jpeg_qtable()
-    # F = M @ block @ M.T for every block: F[u,v] = sum_xy M[u,x] b[x,y] M[v,y]
-    coeffs = np.einsum("ux,bcxy,vy->bcuv", m, blocks, m)
-    coeffs = np.round(coeffs / q).astype(np.int64)
+    coeffs = _jpeg_quantized_blocks(a, q)
     zz = np.asarray(_JPEG_ZIGZAG)
     dc_codes = _jpeg_canonical_codes(*_JPEG_DC_SPEC)
     ac_codes = _jpeg_canonical_codes(*_JPEG_AC_SPEC)
-    codes: list[int] = []
-    widths: list[int] = []
-
-    def put(code_len: "tuple[int, int]") -> None:
-        codes.append(code_len[0])
-        widths.append(code_len[1])
-
-    def put_amp(v: int) -> None:
-        size = abs(int(v)).bit_length()
-        if size:
-            amp = v if v > 0 else v + (1 << size) - 1
-            codes.append(amp)
-            widths.append(size)
-
+    writer = _JpegScanWriter()
     prev_dc = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            flat = coeffs[by, bx].reshape(64)[zz]
-            diff = int(flat[0]) - prev_dc
-            prev_dc = int(flat[0])
-            size = abs(diff).bit_length()
-            put(dc_codes[size])
-            if size:
-                put_amp(diff)
-            run = 0
-            for k in range(1, 64):
-                v = int(flat[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    put(ac_codes[0xF0])  # ZRL: sixteen zeros
-                    run -= 16
-                size = abs(v).bit_length()
-                put(ac_codes[(run << 4) | size])
-                put_amp(v)
-                run = 0
-            if run:
-                put(ac_codes[0x00])  # EOB
-    scan = _pack_codes_msb(codes, widths)
+    for by in range(coeffs.shape[0]):
+        for bx in range(coeffs.shape[1]):
+            prev_dc = writer.block(coeffs[by, bx], prev_dc, dc_codes, ac_codes)
+    scan = writer.tobytes()
     qz = bytes(int(q.reshape(64)[zz[i]]) for i in range(64))
     segs = [b"\xff\xd8"]
     segs.append(b"\xff\xdb" + struct.pack(">HB", 67, 0) + qz)
@@ -795,15 +827,15 @@ def _jpeg_encode_gray(px) -> bytes:
     return b"".join(segs)
 
 
-def _jpeg_decode_gray(payload: bytes) -> "object | None":
-    """REAL pixel decode for baseline-sequential 8-bit single-component
-    JPEG (SOF0): marker walk -> DQT/DHT (any canonical tables the file
-    declares) -> 0xFF00 unstuffing -> Huffman + DPCM DC + run-length AC
-    -> dequantize -> inverse DCT (one einsum over all blocks) -> level
-    shift, round-half-even, clamp, crop. Returns an (h, w) uint8 array,
-    or None for anything outside the profile (progressive SOF2, multiple
-    components, restart intervals, 12-bit precision, corrupt streams) —
-    the same tolerate-don't-throw contract as the PNG and GIF paths."""
+def _jpeg_walk(payload: bytes):
+    """Baseline marker walk shared by the grayscale and 4:2:0 color
+    decoders: DQT (8-bit only), DHT (any canonical tables the file
+    declares), the SOF0 frame header, and the SOS scan header. Returns
+    ``(qtables, dc_tabs, ac_tabs, sof_data, sos_data, scan_start)`` with
+    sof_data/sos_data the RAW segment payloads (component layout is
+    profile-specific, each decoder validates its own), or None for
+    anything outside baseline sequential (progressive SOF2 and friends,
+    16-bit DQT, restart intervals, corrupt segment structure)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -812,7 +844,7 @@ def _jpeg_decode_gray(payload: bytes) -> "object | None":
     qtables: dict[int, "object"] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
-    sof = scan = None
+    sof = sos = scan_start = None
     i = 2
     while i + 4 <= n:
         if payload[i] != 0xFF:
@@ -861,32 +893,65 @@ def _jpeg_decode_gray(payload: bytes) -> "object | None":
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 j += 17 + cnt
         elif marker in _JPEG_SOF:
-            if marker != 0xC0 or len(data) < 9:
+            if marker != 0xC0 or len(data) < 6 or len(data) < 6 + 3 * data[5]:
                 return None  # baseline sequential only
-            prec = data[0]
-            h = int.from_bytes(data[1:3], "big")
-            w = int.from_bytes(data[3:5], "big")
-            if prec != 8 or data[5] != 1 or data[7] != 0x11:
-                return None  # 8-bit, one component, 1x1 sampling
-            sof = (w, h, data[8])
+            sof = data
         elif marker == 0xDD:
             return None  # restart interval: out of profile
         elif marker == 0xDA:
-            if len(data) < 4 or data[0] != 1:
+            if len(data) < 1 or len(data) < 4 + 2 * (data[0] - 1):
                 return None
-            scan = (i + 2 + seg_len, data[2] >> 4, data[2] & 15)
+            sos = data
+            scan_start = i + 2 + seg_len
             break
         i += 2 + seg_len
-    if sof is None or scan is None:
+    if sof is None or sos is None:
         return None
-    w, h, qid = sof
-    start, dc_id, ac_id = scan
-    if w == 0 or h == 0 or qid not in qtables:
+    return qtables, dc_tabs, ac_tabs, sof, sos, scan_start
+
+
+class _JpegBitReader:
+    """Entropy-segment bit cursor: canonical-Huffman code reads and T.81
+    amplitude (SSSS-extended) reads, shared by both MCU loops."""
+
+    def __init__(self, bits: "list[int]") -> None:
+        self.bl = bits
+        self.total = len(bits)
+        self.pos = 0
+
+    def read_code(self, tab: dict) -> "int | None":
+        code = 0
+        for length in range(1, 17):
+            if self.pos >= self.total:
+                return None
+            code = (code << 1) | self.bl[self.pos]
+            self.pos += 1
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
         return None
-    if dc_id not in dc_tabs or ac_id not in ac_tabs:
-        return None
-    dct_tab, act_tab = dc_tabs[dc_id], ac_tabs[ac_id]
-    # Entropy-coded segment: ends at the first non-stuffed, non-RST marker.
+
+    def read_amp(self, size: int) -> "int | None":
+        if size == 0:
+            return 0
+        if self.pos + size > self.total:
+            return None
+        v = 0
+        for b in self.bl[self.pos : self.pos + size]:
+            v = (v << 1) | b
+        self.pos += size
+        if v < 1 << (size - 1):
+            v -= (1 << size) - 1
+        return v
+
+
+def _jpeg_entropy_bits(payload: bytes, start: int) -> "list[int] | None":
+    """Entropy-coded segment -> bit list: ends at the first non-stuffed
+    marker, 0xFF00 unstuffed; None if restart markers appear (out of
+    profile)."""
+    import numpy as np
+
+    n = len(payload)
     j = start
     end = n
     while j + 1 < n:
@@ -900,78 +965,102 @@ def _jpeg_decode_gray(payload: bytes) -> "object | None":
             break
         j += 1
     raw = payload[start:end].replace(b"\xff\x00", b"\xff")
-    bl = np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).tolist()
-    total = len(bl)
-    pos = 0
+    return np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).tolist()
 
-    def read_code(tab: dict) -> "int | None":
-        nonlocal pos
-        code = 0
-        for length in range(1, 17):
-            if pos >= total:
-                return None
-            code = (code << 1) | bl[pos]
-            pos += 1
-            sym = tab.get((length, code))
-            if sym is not None:
-                return sym
+
+def _jpeg_read_block(rd: _JpegBitReader, dc_tab: dict, ac_tab: dict, blk, prev_dc: int) -> "int | None":
+    """Huffman + DPCM DC + run-length AC for one block into ``blk`` (a
+    64-wide zigzag int64 view); returns the block's DC, or None on any
+    stream error."""
+    s = rd.read_code(dc_tab)
+    if s is None or s > 11:
         return None
-
-    def read_amp(size: int) -> "int | None":
-        nonlocal pos
-        if size == 0:
-            return 0
-        if pos + size > total:
+    d = rd.read_amp(s)
+    if d is None:
+        return None
+    dc = prev_dc + d
+    blk[0] = dc
+    k = 1
+    while k < 64:
+        sym = rd.read_code(ac_tab)
+        if sym is None:
             return None
-        v = 0
-        for b in bl[pos : pos + size]:
-            v = (v << 1) | b
-        pos += size
-        if v < 1 << (size - 1):
-            v -= (1 << size) - 1
-        return v
+        if sym == 0x00:
+            break  # EOB
+        if sym == 0xF0:
+            k += 16  # ZRL: sixteen zeros
+            continue
+        k += sym >> 4
+        size = sym & 15
+        if k >= 64 or size == 0:
+            return None
+        v = rd.read_amp(size)
+        if v is None:
+            return None
+        blk[k] = v
+        k += 1
+    return dc
 
+
+def _jpeg_idct_plane(zzvec, qtab):
+    """(bh, bw, 64) zigzag coefficients + zigzag qtable -> (bh*8, bw*8)
+    uint8 plane: dequantize, unzigzag, one inverse-DCT einsum over all
+    blocks, level shift, round-half-even, clamp."""
+    import numpy as np
+
+    zzvec = zzvec * qtab  # DQT ships in zigzag order: dequantize there
+    nat = np.empty_like(zzvec)
+    nat[:, :, _JPEG_ZIGZAG] = zzvec
+    m = _jpeg_dct_matrix()
+    bh, bw = zzvec.shape[:2]
+    f = nat.reshape(bh, bw, 8, 8).astype(np.float64)
+    recon = np.einsum("ux,bcuv,vy->bcxy", m, f, m) + 128.0
+    px = np.clip(np.round(recon), 0, 255).astype(np.uint8)
+    return px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def _jpeg_decode_gray(payload: bytes) -> "object | None":
+    """REAL pixel decode for baseline-sequential 8-bit single-component
+    JPEG (SOF0): marker walk -> DQT/DHT (any canonical tables the file
+    declares) -> 0xFF00 unstuffing -> Huffman + DPCM DC + run-length AC
+    -> dequantize -> inverse DCT (one einsum over all blocks) -> level
+    shift, round-half-even, clamp, crop. Returns an (h, w) uint8 array,
+    or None for anything outside the profile (progressive SOF2, multiple
+    components, restart intervals, 12-bit precision, corrupt streams) —
+    the same tolerate-don't-throw contract as the PNG and GIF paths."""
+    import numpy as np
+
+    walked = _jpeg_walk(payload)
+    if walked is None:
+        return None
+    qtables, dc_tabs, ac_tabs, sof, sos, start = walked
+    if len(sof) < 9 or sof[0] != 8 or sof[5] != 1 or sof[7] != 0x11:
+        return None  # 8-bit, one component, 1x1 sampling
+    h = int.from_bytes(sof[1:3], "big")
+    w = int.from_bytes(sof[3:5], "big")
+    qid = sof[8]
+    if sos[0] != 1 or len(sos) < 4:
+        return None
+    dc_id, ac_id = sos[2] >> 4, sos[2] & 15
+    if w == 0 or h == 0 or qid not in qtables:
+        return None
+    if dc_id not in dc_tabs or ac_id not in ac_tabs:
+        return None
+    bits = _jpeg_entropy_bits(payload, start)
+    if bits is None:
+        return None
+    rd = _JpegBitReader(bits)
     bh, bw = -(-h // 8), -(-w // 8)
     zzvec = np.zeros((bh, bw, 64), dtype=np.int64)
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
-            s = read_code(dct_tab)
-            if s is None or s > 11:
+            prev_dc = _jpeg_read_block(
+                rd, dc_tabs[dc_id], ac_tabs[ac_id], zzvec[by, bx], prev_dc
+            )
+            if prev_dc is None:
                 return None
-            d = read_amp(s)
-            if d is None:
-                return None
-            prev_dc += d
-            blk = zzvec[by, bx]
-            blk[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = read_code(act_tab)
-                if sym is None:
-                    return None
-                if sym == 0x00:
-                    break  # EOB
-                if sym == 0xF0:
-                    k += 16  # ZRL: sixteen zeros
-                    continue
-                k += sym >> 4
-                size = sym & 15
-                if k >= 64 or size == 0:
-                    return None
-                v = read_amp(size)
-                if v is None:
-                    return None
-                blk[k] = v
-                k += 1
-    zzvec *= qtables[qid]  # DQT ships in zigzag order: dequantize there
-    nat = np.empty_like(zzvec)
-    nat[:, :, _JPEG_ZIGZAG] = zzvec
-    m = _jpeg_dct_matrix()
-    f = nat.reshape(bh, bw, 8, 8).astype(np.float64)
-    recon = np.einsum("ux,bcuv,vy->bcxy", m, f, m) + 128.0
-    px = np.clip(np.round(recon), 0, 255).astype(np.uint8)
-    return px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w]
+    return _jpeg_idct_plane(zzvec, qtables[qid])[:h, :w]
 
 
 def _jpeg_bytes_patterned(width: int, height: int, seed: int) -> bytes:
@@ -993,6 +1082,215 @@ def _jpeg_bytes_patterned(width: int, height: int, seed: int) -> bytes:
     ) % 256
     px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)[:height, :width]
     return _jpeg_encode_gray(px.astype(np.uint8))
+
+
+# --- Baseline 4:2:0 YCbCr color JPEG (SOF0, three components) ---------------
+#
+# One real-media step past round 10's grayscale decode, on the same
+# committed kernels (_jpeg_walk / _JpegBitReader / _jpeg_read_block /
+# _jpeg_idct_plane / _JpegScanWriter): interleaved MCUs of 16x16 pixels
+# (four Y blocks at 2x2 sampling + one Cb + one Cr at 1x1), separate
+# luma/chroma quantization AND Huffman tables (ids 0/1 — distinct specs,
+# so a decoder that ignores table ids fails loudly), per-component DPCM
+# DC predictors, JFIF YCbCr -> RGB with floor(x + 0.5) rounding (chosen
+# over numpy's round-half-even because DuckDB can reproduce it exactly —
+# the cross-engine rounding discipline of functions/fixedpoint.py).
+
+# Chroma tables: same canonical-code construction as the luma specs but
+# different widths (DC 6-bit, AC 10-bit) and a different qtable slope, so
+# the component -> table-id wiring is actually exercised end-to-end.
+_JPEG_DC_SPEC_CHROMA = ([0, 0, 0, 0, 0, 12] + [0] * 10, list(range(12)))
+_JPEG_AC_SPEC_CHROMA = (
+    [0] * 9 + [162] + [0] * 6,
+    [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0],
+)
+
+
+def _jpeg_qtable_chroma():
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    v = np.arange(8).reshape(1, 8)
+    q = 8 + 6 * (u + v)  # q[0][0] = 8: same block-constant exactness anchor
+    return q.astype(np.int64)
+
+
+def _jpeg_encode_color420(y, cb, cr) -> bytes:
+    """Spec-valid baseline 4:2:0 YCbCr JPEG: ``y`` is (h, w) uint8, ``cb``
+    and ``cr`` are (ceil(h/2), ceil(w/2)) uint8 (the subsampled planes a
+    4:2:0 encoder actually codes)."""
+    import struct
+
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    ql, qc = _jpeg_qtable(), _jpeg_qtable_chroma()
+    # Y pads to the 16x16 MCU grid; chroma blocks are 1:1 with MCUs, so
+    # the chroma planes pad to 8 (ceil(ceil(w/2)/8) == ceil(w/16)).
+    cy = _jpeg_quantized_blocks(y, ql, mult=16)
+    ccb = _jpeg_quantized_blocks(cb, qc)
+    ccr = _jpeg_quantized_blocks(cr, qc)
+    mcu_h, mcu_w = ccb.shape[0], ccb.shape[1]
+    if cy.shape[0] != 2 * mcu_h or cy.shape[1] != 2 * mcu_w or ccr.shape != ccb.shape:
+        raise ValueError("plane shapes disagree with the 4:2:0 MCU grid")
+    dc_l = _jpeg_canonical_codes(*_JPEG_DC_SPEC)
+    ac_l = _jpeg_canonical_codes(*_JPEG_AC_SPEC)
+    dc_c = _jpeg_canonical_codes(*_JPEG_DC_SPEC_CHROMA)
+    ac_c = _jpeg_canonical_codes(*_JPEG_AC_SPEC_CHROMA)
+    writer = _JpegScanWriter()
+    pdc = [0, 0, 0]  # per-component DPCM predictors
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):  # Y raster order
+                pdc[0] = writer.block(cy[2 * my + dy, 2 * mx + dx], pdc[0], dc_l, ac_l)
+            pdc[1] = writer.block(ccb[my, mx], pdc[1], dc_c, ac_c)
+            pdc[2] = writer.block(ccr[my, mx], pdc[2], dc_c, ac_c)
+    zz = np.asarray(_JPEG_ZIGZAG)
+    segs = [b"\xff\xd8"]
+    for qid, q in ((0, ql), (1, qc)):
+        qz = bytes(int(q.reshape(64)[zz[i]]) for i in range(64))
+        segs.append(b"\xff\xdb" + struct.pack(">HB", 67, qid) + qz)
+    segs.append(
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + b"\x01\x22\x00"  # Y: 2x2 sampling, qtable 0
+        + b"\x02\x11\x01"  # Cb: 1x1, qtable 1
+        + b"\x03\x11\x01"  # Cr: 1x1, qtable 1
+    )
+    for cls, tid, (bits, vals) in (
+        (0, 0, _JPEG_DC_SPEC),
+        (1, 0, _JPEG_AC_SPEC),
+        (0, 1, _JPEG_DC_SPEC_CHROMA),
+        (1, 1, _JPEG_AC_SPEC_CHROMA),
+    ):
+        payload = bytes(bits) + bytes(vals)
+        segs.append(
+            b"\xff\xc4"
+            + struct.pack(">HB", 3 + len(payload), (cls << 4) | tid)
+            + payload
+        )
+    segs.append(
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + b"\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    )
+    segs.append(writer.tobytes())
+    segs.append(b"\xff\xd9")
+    return b"".join(segs)
+
+
+def _jpeg_decode_color420(payload: bytes) -> "object | None":
+    """REAL pixel decode for baseline-sequential 8-bit 4:2:0 YCbCr JPEG
+    (SOF0, three components, Y at 2x2 + chroma at 1x1 sampling):
+    interleaved-MCU entropy decode with per-component Huffman tables and
+    DC predictors, per-plane dequantize + inverse DCT, nearest-neighbor
+    chroma upsample, crop. Returns (Y, Cb, Cr) full-resolution uint8
+    planes, or None for anything outside the profile — grayscale streams
+    go to ``_jpeg_decode_gray``; other samplings (4:2:2, 4:4:4) are out
+    of profile for now."""
+    import numpy as np
+
+    walked = _jpeg_walk(payload)
+    if walked is None:
+        return None
+    qtables, dc_tabs, ac_tabs, sof, sos, start = walked
+    if len(sof) < 15 or sof[0] != 8 or sof[5] != 3:
+        return None  # 8-bit, three components
+    h = int.from_bytes(sof[1:3], "big")
+    w = int.from_bytes(sof[3:5], "big")
+    if w == 0 or h == 0:
+        return None
+    comps = {}  # component id -> (sampling, qtable id)
+    for c in range(3):
+        cid, samp, qid = sof[6 + 3 * c], sof[7 + 3 * c], sof[8 + 3 * c]
+        comps[cid] = (samp, qid)
+    if len(sos) < 10 or sos[0] != 3:
+        return None
+    order = []  # (sampling, qtable, dc_tab, ac_tab) in scan order
+    for c in range(3):
+        cid, tabs = sos[1 + 2 * c], sos[2 + 2 * c]
+        if cid not in comps:
+            return None
+        samp, qid = comps[cid]
+        dc_id, ac_id = tabs >> 4, tabs & 15
+        if qid not in qtables or dc_id not in dc_tabs or ac_id not in ac_tabs:
+            return None
+        order.append((samp, qtables[qid], dc_tabs[dc_id], ac_tabs[ac_id]))
+    if order[0][0] != 0x22 or order[1][0] != 0x11 or order[2][0] != 0x11:
+        return None  # 4:2:0 only
+    bits = _jpeg_entropy_bits(payload, start)
+    if bits is None:
+        return None
+    rd = _JpegBitReader(bits)
+    mh, mw = -(-h // 16), -(-w // 16)
+    zzy = np.zeros((2 * mh, 2 * mw, 64), dtype=np.int64)
+    zzc = [np.zeros((mh, mw, 64), dtype=np.int64) for _ in range(2)]
+    pdc = [0, 0, 0]
+    for my in range(mh):
+        for mx in range(mw):
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                pdc[0] = _jpeg_read_block(
+                    rd, order[0][2], order[0][3], zzy[2 * my + dy, 2 * mx + dx], pdc[0]
+                )
+                if pdc[0] is None:
+                    return None
+            for ci in (1, 2):
+                pdc[ci] = _jpeg_read_block(
+                    rd, order[ci][2], order[ci][3], zzc[ci - 1][my, mx], pdc[ci]
+                )
+                if pdc[ci] is None:
+                    return None
+    yp = _jpeg_idct_plane(zzy, order[0][1])[:h, :w]
+    ch, cw = -(-h // 2), -(-w // 2)
+    planes = [yp]
+    for ci in (1, 2):
+        c = _jpeg_idct_plane(zzc[ci - 1], order[ci][1])[:ch, :cw]
+        planes.append(np.repeat(np.repeat(c, 2, axis=0), 2, axis=1)[:h, :w])
+    return tuple(planes)
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """JFIF YCbCr -> RGB, floor(x + 0.5) rounding (NOT numpy's
+    round-half-even) so a DuckDB oracle can replicate every ulp: both
+    engines evaluate the identical left-associated double expression and
+    the identical floor."""
+    import numpy as np
+
+    yf = np.asarray(y, dtype=np.float64)
+    cbf = np.asarray(cb, dtype=np.float64) - 128.0
+    crf = np.asarray(cr, dtype=np.float64) - 128.0
+    r = np.floor(yf + 1.402 * crf + 0.5)
+    g = np.floor(yf - 0.344136 * cbf - 0.714136 * crf + 0.5)
+    b = np.floor(yf + 1.772 * cbf + 0.5)
+    clip = lambda p: np.clip(p, 0, 255).astype(np.int64)  # noqa: E731
+    return clip(r), clip(g), clip(b)
+
+
+def _jpeg_color_bytes_patterned(width: int, height: int, seed: int) -> bytes:
+    """A spec-valid 4:2:0 color JPEG whose Y/Cb/Cr are each constant per
+    16x16 MCU — Y(x, y) = (3*(x//16) + 7*(y//16) + seed) % 256,
+    Cb = (11*mx + 5*my + 2*seed) % 256, Cr = (13*mx + 3*my + 3*seed) % 256
+    — so every 8x8 block in every component plane is constant and the
+    lossy DCT round-trip is bit-exact for all three planes (both qtables
+    anchor q[0][0] = 8), which is what lets the DuckDB oracle predict the
+    decoded RGB sums in closed form. Richer AC/chroma content is
+    exercised by the round-trip unit tests."""
+    import numpy as np
+
+    mw, mh = -(-width // 16), -(-height // 16)
+    mx = np.arange(mw, dtype=np.int64)[None, :]
+    my = np.arange(mh, dtype=np.int64)[:, None]
+    yv = (3 * mx + 7 * my + seed) % 256
+    cbv = (11 * mx + 5 * my + 2 * seed) % 256
+    crv = (13 * mx + 3 * my + 3 * seed) % 256
+    y = np.repeat(np.repeat(yv, 16, axis=0), 16, axis=1)[:height, :width]
+    ch, cw = -(-height // 2), -(-width // 2)
+    cb = np.repeat(np.repeat(cbv, 8, axis=0), 8, axis=1)[:ch, :cw]
+    cr = np.repeat(np.repeat(crv, 8, axis=0), 8, axis=1)[:ch, :cw]
+    return _jpeg_encode_color420(
+        y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)
+    )
 
 
 def media_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1380,6 +1678,119 @@ SELECT doc_id,
             AS BIGINT) AS px_sum
 FROM g2
 GROUP BY doc_id, w, h, ow, oh
+"""
+
+
+def media_real_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 YCbCr color twin of ``media_real_jpeg`` — one real-media step
+    past grayscale, on the same committed kernels: synthesize a spec-valid
+    three-component SOF0 stream per document (interleaved MCUs, distinct
+    luma/chroma quantization AND Huffman tables), then the REAL decode
+    path (``_jpeg_decode_color420``: marker walk, per-component table
+    wiring, per-component DPCM, dequantize + inverse DCT per plane,
+    nearest-neighbor chroma upsample) and the JFIF YCbCr -> RGB
+    conversion, reporting per-channel pixel sums. The oracle predicts all
+    three sums in closed form from doc_id alone — possible for a lossy
+    SUBSAMPLED codec only because Y/Cb/Cr are each constant per 16x16 MCU
+    (every 8x8 block in every plane constant -> DC-only -> bit-exact DCT
+    round-trip, see ``_jpeg_color_bytes_patterned``) and the RGB rounding
+    is floor(x + 0.5) in IDENTICAL left-associated double arithmetic on
+    both engines (``_ycbcr_to_rgb``).
+
+    Encode -> decode -> convert runs in ONE Arrow-batched ``mapInPandas``
+    pass (same 100 TB shape as ``media_real_roundtrip``: narrow doc_id
+    scan repartitioned to cores; payloads live and die inside each
+    batch). Richer AC/chroma content is pinned by the round-trip unit
+    tests in tests/test_multimodal.py, where the decoder is checked
+    against the encoder's reference reconstruction.
+    """
+    import numpy as np
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = (d % 64) + 16
+                h = (d // 64) % 64 + 16
+                payload = _jpeg_color_bytes_patterned(w, h, d)
+                decoded = _jpeg_decode_color420(payload)
+                if decoded is None:
+                    rows.append((d, "image/jpeg", w, h, None, None, None))
+                    continue
+                r, g, b = _ycbcr_to_rgb(*decoded)
+                rows.append(
+                    (
+                        d,
+                        "image/jpeg",
+                        w,
+                        h,
+                        int(np.sum(r)),
+                        int(np.sum(g)),
+                        int(np.sum(b)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "width", "height", "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, mime string, width int, height int,"
+            " r_sum bigint, g_sum bigint, b_sum bigint"
+        ),
+    )
+
+
+# Per-MCU closed form: each 16x16 MCU (mx, my) carries one (Y, Cb, Cr)
+# triple -> one RGB triple; the sum weights it by the MCU's un-cropped
+# pixel count. The floor/LEAST/GREATEST arithmetic mirrors _ycbcr_to_rgb
+# term for term (identical left-associated doubles on both engines).
+MEDIA_REAL_JPEG_COLOR_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           (doc_id % 64) + 16 AS w,
+           ((doc_id // 64) % 64) + 16 AS h
+    FROM documents
+),
+g AS (SELECT doc_id, w, h,
+             unnest(generate_series(0, (h + 15) // 16 - 1)) AS my
+      FROM d),
+g2 AS (SELECT doc_id, w, h, my,
+              unnest(generate_series(0, (w + 15) // 16 - 1)) AS mx
+       FROM g),
+m AS (
+    SELECT doc_id, w, h,
+           LEAST(16, w - 16 * mx) * LEAST(16, h - 16 * my) AS cnt,
+           (3 * mx + 7 * my + doc_id) % 256 AS y,
+           (11 * mx + 5 * my + 2 * doc_id) % 256 AS cb,
+           (13 * mx + 3 * my + 3 * doc_id) % 256 AS cr
+    FROM g2
+)
+SELECT doc_id,
+       'image/jpeg' AS mime,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(sum(cnt * LEAST(GREATEST(FLOOR(y + 1.402 * (cr - 128) + 0.5), 0), 255))
+            AS BIGINT) AS r_sum,
+       CAST(sum(cnt * LEAST(GREATEST(
+                FLOOR(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+                0), 255))
+            AS BIGINT) AS g_sum,
+       CAST(sum(cnt * LEAST(GREATEST(FLOOR(y + 1.772 * (cb - 128) + 0.5), 0), 255))
+            AS BIGINT) AS b_sum
+FROM m
+GROUP BY doc_id, w, h
 """
 
 

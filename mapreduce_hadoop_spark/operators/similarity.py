@@ -1627,10 +1627,18 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, nvt, sf_dir, PQ_TRAINED_M, PQ_TRAINED_SUB, k, tag="nv"
     )
 
-    enc = _pq_encode_udf(_books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB))
-    codes = nvt.select("vec_id", enc(F.col("nv")).alias("cs")).select(
-        "vec_id",
-        *[F.element_at("cs", m + 1).alias(f"c{m}") for m in range(PQ_TRAINED_M)],
+    def encode() -> DataFrame:
+        enc = _pq_encode_udf(_books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB))
+        return nvt.select("vec_id", enc(F.col("nv")).alias("cs")).select(
+            "vec_id",
+            *[F.element_at("cs", m + 1).alias(f"c{m}") for m in range(PQ_TRAINED_M)],
+        )
+
+    # The FAISS ``add`` half: codes persist next to the books (encode is
+    # deterministic given them), so a warm session's scan starts from a
+    # pruned parquet read instead of re-encoding the corpus per query.
+    codes = ann_index.cached_relation(
+        spark, sf_dir, f"codes_nv_m{PQ_TRAINED_M}_k{k}.parquet", encode
     )
 
     q = nvt.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1776,13 +1784,32 @@ def _ivfpq_from(
             spark, base.select("vec_id", F.col("r").alias("res")),
             sf_dir, PQ_TRAINED_M, PQ_TRAINED_SUB, k, tag="res",
         )
-        enc = _pq_encode_udf(_books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB))
-        codes = base.select(
-            "vec_id", "cent_id", enc(F.col("r")).alias("cs")
-        ).select(
-            "vec_id",
-            "cent_id",
-            *[F.element_at("cs", m + 1).alias(f"c{m}") for m in range(PQ_TRAINED_M)],
+        def encode() -> DataFrame:
+            enc = _pq_encode_udf(
+                _books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB)
+            )
+            return base.select(
+                "vec_id", "cent_id", enc(F.col("r")).alias("cs")
+            ).select(
+                "vec_id",
+                "cent_id",
+                *[
+                    F.element_at("cs", m + 1).alias(f"c{m}")
+                    for m in range(PQ_TRAINED_M)
+                ],
+            )
+
+        # The FAISS ``add`` half: (cent_id, codes) persist next to the
+        # books — the artifact name keys BOTH the residual book (k) and
+        # the coarse quantizer (K = len(cents_rows)) it was encoded
+        # against. Deterministic given them; assignment included, so a
+        # warm session also skips the corpus assign.
+        coarse_k = len(cents_rows) if cents_rows is not None else -1
+        codes = ann_index.cached_relation(
+            spark,
+            sf_dir,
+            f"codes_res_m{PQ_TRAINED_M}_k{k}_K{coarse_k}.parquet",
+            encode,
         )
         q = nvt.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv")

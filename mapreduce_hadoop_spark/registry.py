@@ -165,10 +165,20 @@ consumed (and therefore driver-verified) by every sessionize-family
 query each round, and the string-parse + NULL→0.0 edge cases got a
 dedicated unit fixture in ``tests/test_timefns.py`` in the same commit.
 
-1. ``multimodal_frame_sample`` — fake-payload frame sampling is strictly
-   dominated by ``multimodal_real_avi`` (REAL container parse, same
-   sampling law, stronger closed-form oracle); the fake-path plumbing
-   stays pinned by ``tests/test_multimodal.py``.
+And a fourth, round 11: ``multimodal_frame_sample`` (then candidate #1)
+retired in favor of ``multimodal_real_jpeg_color`` — fake-payload frame
+sampling is strictly dominated by ``multimodal_real_avi`` (REAL
+container parse, same sampling law, stronger closed-form oracle); the
+fake-path 1->N plumbing stays pinned by
+``tests/test_multimodal.py::test_sample_frames_one_to_n``.
+
+1. ``fn_width_bucket`` — the bin labeling is consumed (and therefore
+   driver-verified) by ``trip_length_histogram`` (reference surface,
+   always in-window) every round; the ``>=80`` clamp edge cases stay
+   pinned by ``tests/test_histogram.py``.
+2. ``fn_distance`` — same argument via the sessionize family and
+   ``trip_length_histogram``; the plane-projection arithmetic stays
+   pinned by ``tests/test_histogram.py`` and ``tests/test_gps.py``.
 """
 
 from __future__ import annotations
@@ -215,13 +225,24 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "similarity_topk_ivfpq_trained",
 )
 
+# (multimodal_real_jpeg also changed this round — the grayscale JPEG
+# encoder/decoder were refactored around kernels shared with the new
+# color path — but its OUTPUT is unchanged at every gate scale, so it
+# rides rule 1a below instead of a head slot.)
+
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
-# Round 11: empty at rotation — the round-10 pinned pair
-# (text_language_id_ngram, corpus_vocab_topk) is in this round's forced
-# rotation set and takes ordinary fresh driver rows instead, retiring
-# the pin. Fills (if at all) only in the end-of-round evidence commit,
-# together with the test-side pin dict (the round-8/9 lesson).
+# Round 11: the round-10 pinned pair (text_language_id_ngram,
+# corpus_vocab_topk) is in this round's forced rotation set and takes
+# ordinary fresh driver rows instead, retiring that pin.
+# multimodal_real_jpeg is DUE here: its grayscale encode/decode was
+# refactored around the kernels the new color path shares
+# (_jpeg_walk/_JpegBitReader/_jpeg_read_block/_jpeg_idct_plane/
+# _JpegScanWriter), outputs verified byte-identical at sf0.001/0.01
+# against the committed r10 hashes. The tuple, the test-side pin dict
+# (tests/test_registry_rotation.py), and the SRCHASH-bound regenerated
+# gate logs land TOGETHER in the end-of-round evidence commit — the
+# round-8/9 lesson.
 REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
@@ -254,8 +275,10 @@ HEAD = (
     "similarity_topk_ivfpq_trained",
     "multimodal_real_wav",
     "multimodal_real_avi",
-    # Round-11 spare change slot (see Round-11 application paragraph).
-    "similarity_topk_ivf",
+    # NEW this round, in the spare change slot (the planned
+    # similarity_topk_ivf re-verify row yields to it and returns to the
+    # tail on its r10 row): 4:2:0 YCbCr color JPEG decode.
+    "multimodal_real_jpeg_color",
     # Round-9-green tail rotations (rule 2): the entire row-carrying
     # round-10 tail rotates in.
     "events_cube",
@@ -449,6 +472,18 @@ def _specs() -> dict[str, QuerySpec]:
             multimodal.media_real_jpeg,
             multimodal.MEDIA_REAL_JPEG_ORACLE,
         ),
+        # NEW round 11 (slot freed by retiring multimodal_frame_sample):
+        # 4:2:0 YCbCr COLOR JPEG — interleaved 16x16 MCUs (4 Y + Cb + Cr),
+        # distinct luma/chroma quantization and Huffman tables,
+        # per-component DPCM, chroma upsample, JFIF YCbCr->RGB with
+        # cross-engine floor(x+0.5) rounding. MCU-constant pattern keeps
+        # the subsampled lossy round-trip bit-exact, so the oracle
+        # predicts per-channel pixel sums in closed form
+        # (multimodal.py:MEDIA_REAL_JPEG_COLOR_ORACLE).
+        "multimodal_real_jpeg_color": (
+            multimodal.media_real_jpeg_color,
+            multimodal.MEDIA_REAL_JPEG_COLOR_ORACLE,
+        ),
         # Real pixel path: patterned PNG encode -> zlib inflate + full
         # unfilter -> NN resample; oracle predicts the pixel SUM in closed
         # form, so the hash verifies the pixel-level decode end-to-end.
@@ -556,10 +591,6 @@ def _specs() -> dict[str, QuerySpec]:
         ),
         "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
         "multimodal_metadata": (multimodal.media_metadata, multimodal.MEDIA_METADATA_ORACLE),
-        "multimodal_frame_sample": (
-            multimodal.frame_sample_query,
-            multimodal.FRAME_SAMPLE_ORACLE,
-        ),
         "events_rollup": (
             relational_ext.events_rollup,
             relational_ext.EVENTS_ROLLUP_ORACLE,

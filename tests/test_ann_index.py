@@ -124,3 +124,30 @@ def test_volatile_corpus_gets_no_disk_artifact(spark, sf_dir, index_dir, tmp_pat
     assert n == emb.count()
     assert key in ann_index._META_MEMO
     assert not os.path.exists(index_dir) or key not in os.listdir(index_dir)
+
+
+def test_cached_relation_builds_once(spark, sf_dir, index_dir):
+    """The FAISS `add` half: second load must come from the parquet
+    artifact — the build callable is poisoned after the first call."""
+    emb = _emb(spark, sf_dir)
+    small = emb.select("vec_id").limit(7)
+    got = ann_index.cached_relation(spark, sf_dir, "t.parquet", lambda: small)
+    assert got.count() == 7
+
+    def boom():  # pragma: no cover - failure path
+        raise AssertionError("warm cached_relation must not rebuild")
+
+    warm = ann_index.cached_relation(spark, sf_dir, "t.parquet", boom)
+    assert warm.count() == 7
+    # And the artifact is a committed Spark parquet directory.
+    d = os.path.join(index_dir, ann_index._fingerprint(sf_dir), "t.parquet")
+    assert os.path.isfile(os.path.join(d, "_SUCCESS"))
+
+
+def test_cached_relation_volatile_skips_disk(spark, sf_dir, index_dir):
+    emb = _emb(spark, sf_dir)
+    small = emb.select("vec_id").limit(3)
+    got = ann_index.cached_relation(spark, "/no/such/dir", "t.parquet", lambda: small)
+    assert got.count() == 3
+    key = ann_index._fingerprint("/no/such/dir")
+    assert not os.path.exists(os.path.join(index_dir, key))

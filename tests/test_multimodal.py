@@ -513,3 +513,137 @@ def test_resize_media_fake_path_matches_oracle(spark, sf_dir):
         for d, m, w, h, ow, oh in con.execute(MEDIA_RESIZE_ORACLE).fetchall()
     }
     assert got == exp
+
+
+def test_jpeg_color420_pattern_roundtrip_exact():
+    """MCU-constant Y/Cb/Cr planes must survive the full 4:2:0 pipeline
+    (encode -> interleaved-MCU decode -> chroma upsample) bit-exactly —
+    the property MEDIA_REAL_JPEG_COLOR_ORACLE's closed form rests on."""
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _jpeg_color_bytes_patterned,
+        _jpeg_decode_color420,
+    )
+
+    for w, h, seed in ((16, 16, 0), (20, 18, 5), (79, 33, 123), (17, 17, 255)):
+        out = _jpeg_decode_color420(_jpeg_color_bytes_patterned(w, h, seed))
+        assert out is not None, (w, h, seed)
+        y, cb, cr = out
+        assert y.shape == cb.shape == cr.shape == (h, w)
+        mx, my = np.meshgrid(np.arange(w) // 16, np.arange(h) // 16)
+        assert np.array_equal(y, ((3 * mx + 7 * my + seed) % 256).astype(np.uint8))
+        assert np.array_equal(cb, ((11 * mx + 5 * my + 2 * seed) % 256).astype(np.uint8))
+        assert np.array_equal(cr, ((13 * mx + 3 * my + 3 * seed) % 256).astype(np.uint8))
+
+
+def test_jpeg_color420_rich_roundtrip_matches_reference():
+    """Random (worst-case) planes: the decoder must reproduce the
+    encoder's quantized reconstruction EXACTLY per component — same
+    dequantize + IDCT arithmetic, per-component tables honored — and the
+    chroma planes must be the 2x nearest upsample of that reconstruction."""
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _jpeg_dct_matrix,
+        _jpeg_decode_color420,
+        _jpeg_encode_color420,
+        _jpeg_qtable,
+        _jpeg_qtable_chroma,
+    )
+
+    m = _jpeg_dct_matrix()
+
+    def ref_plane(src, q, mult):
+        h, w = src.shape
+        ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+        padded = np.pad(src, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = (
+            padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .astype(np.float64)
+            - 128.0
+        )
+        f = np.round(np.einsum("ux,bcxy,vy->bcuv", m, blocks, m) / q) * q
+        recon = np.einsum("ux,bcuv,vy->bcxy", m, f, m) + 128.0
+        return (
+            np.clip(np.round(recon), 0, 255)
+            .astype(np.uint8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph, pw)
+        )
+
+    rng = np.random.default_rng(11)
+    for h, w in ((16, 16), (37, 51), (24, 40)):
+        ch, cw = -(-h // 2), -(-w // 2)
+        ysrc = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        cbsrc = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        crsrc = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        out = _jpeg_decode_color420(_jpeg_encode_color420(ysrc, cbsrc, crsrc))
+        assert out is not None
+        y, cb, cr = out
+        assert np.array_equal(y, ref_plane(ysrc, _jpeg_qtable(), 16)[:h, :w])
+        for got, src in ((cb, cbsrc), (cr, crsrc)):
+            ref = ref_plane(src, _jpeg_qtable_chroma(), 8)[:ch, :cw]
+            up = np.repeat(np.repeat(ref, 2, axis=0), 2, axis=1)[:h, :w]
+            assert np.array_equal(got, up)
+
+
+def test_jpeg_color420_profile_gates():
+    """Color and grayscale streams must route to their own decoders;
+    truncation and junk never raise (the crawl contract)."""
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _jpeg_bytes_patterned,
+        _jpeg_color_bytes_patterned,
+        _jpeg_decode_color420,
+        _jpeg_decode_gray,
+    )
+
+    color = _jpeg_color_bytes_patterned(24, 16, 7)
+    gray = _jpeg_bytes_patterned(24, 16, 7)
+    assert _jpeg_decode_color420(color) is not None
+    assert _jpeg_decode_color420(gray) is None  # one component
+    assert _jpeg_decode_gray(color) is None  # three components
+    assert _jpeg_decode_color420(color[: len(color) // 2]) is None
+    # Progressive marker out of profile for the color path too.
+    assert _jpeg_decode_color420(color.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    rng = np.random.default_rng(13)
+    for size in (0, 2, 64, 1024):
+        _jpeg_decode_color420(
+            b"\xff\xd8" + rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        )
+
+
+def test_ycbcr_to_rgb_rounding_matches_duckdb():
+    """floor(x + 0.5) on identical left-associated doubles: the numpy
+    conversion and the oracle SQL must agree on every (y, cb, cr) —
+    sampled densely across the cube, incl. clamp edges."""
+    import duckdb
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import _ycbcr_to_rgb
+
+    vals = np.arange(0, 256, 17)
+    y, cb, cr = np.meshgrid(vals, vals, vals)
+    r, g, b = _ycbcr_to_rgb(y, cb, cr)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (y INT, cb INT, cr INT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [tuple(map(int, v)) for v in zip(y.ravel(), cb.ravel(), cr.ravel())],
+    )
+    exp = con.execute(
+        """
+        SELECT LEAST(GREATEST(FLOOR(y + 1.402 * (cr - 128) + 0.5), 0), 255),
+               LEAST(GREATEST(FLOOR(y - 0.344136 * (cb - 128)
+                                      - 0.714136 * (cr - 128) + 0.5), 0), 255),
+               LEAST(GREATEST(FLOOR(y + 1.772 * (cb - 128) + 0.5), 0), 255)
+        FROM t
+        """
+    ).fetchnumpy()
+    assert np.array_equal(r.ravel(), exp[next(iter(exp))].astype(np.int64))
+    cols = list(exp)
+    assert np.array_equal(g.ravel(), exp[cols[1]].astype(np.int64))
+    assert np.array_equal(b.ravel(), exp[cols[2]].astype(np.int64))

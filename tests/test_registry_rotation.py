@@ -56,10 +56,15 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 11: empty at rotation — the round-10 pinned pair is in the
-    # forced rotation set and takes ordinary fresh driver rows, retiring
-    # the pin (registry.REWRITTEN_HASH_IDENTICAL emptied in this same
-    # commit). Refill only together with that tuple.
+    # Round 11: the round-10 pair rotated out (ordinary fresh driver
+    # rows). multimodal_real_jpeg is DUE (grayscale JPEG encode/decode
+    # refactored around the kernels shared with the new 4:2:0 color
+    # path, output byte-identical): its entry —
+    #   "multimodal_real_jpeg": ("GATE_sf0.01_r11.log", "35344ea4950d22ff")
+    # (pre-rewrite hash from GATE_sf0.01_r10.log at 2eaaa86) — lands in
+    # the end-of-round evidence commit TOGETHER with
+    # registry.REWRITTEN_HASH_IDENTICAL and the final-tree SRCHASH-bound
+    # regenerated gate logs.
 }
 
 

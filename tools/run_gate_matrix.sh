@@ -1,12 +1,12 @@
 #!/bin/bash
-# Round-10 gate matrix: full registry at the three driver scales, and the
+# Round-11 gate matrix: full registry at the three driver scales, and the
 # sf1 / sf1skew derivations minus the one LABELED O(n^2) baseline whose
 # DuckDB twin cannot finish 50k x 50k in the gate budget
 # (similarity_near_dup_cosine — same exclusion as rounds 4-7).
 set -u
 cd "$(dirname "$0")/.."
-R=10
-HDR_TREE="final round-${R} tree: residual IVF-PQ with per-list codebooks, scale-adaptive n/10 ADC shortlist, K=sqrt(n) trained-coarse IVFPQ, real AVI container decode (ADC-map alternative measured and rejected), parquet_scan_width unknown-never-narrow + bytesPerCore openCost, measured_sign_bits probe memo, vectorized LZW + PNG unfilter, hardened GIF, baseline JPEG pixel decode, 60-bit multi-index simhash, staged PQ ANN + real WAV decode"
+R=11
+HDR_TREE="final round-${R} tree: Lloyd-trained PQ codebooks (flat M=8 + global residual IVFPQ book) with near-constant re-rank, persisted ANN index artifacts (fingerprint-keyed load-or-fit), array-ADC scan + Arrow matmul coarse assignment, 4:2:0 YCbCr color JPEG on shared Huffman/IDCT kernels, fn_epoch and multimodal_frame_sample retired"
 
 BIG_EXCL="similarity_near_dup_cosine"
 ALLQ=$(python - <<'EOF'
@@ -29,8 +29,8 @@ run_gate() {
   echo "== ${label} exit ${rc}"
 }
 
-run_gate /root/testdata/sf0.001     GATE_sf0.001_r10.log sf0.001 "$ALLQ" "full registry, 92 queries"
-run_gate /root/testdata/sf0.01      GATE_sf0.01_r10.log  sf0.01  "$ALLQ" "full registry, 92 queries"
-run_gate /root/testdata/sf0.1       GATE_sf0.1_r10.log   sf0.1   "$ALLQ" "full registry, 92 queries"
-run_gate /root/repo/.scale_data/sf1     GATE_sf1_r10.log     sf1     "$BIGQ" "91 queries: full registry minus ${BIG_EXCL} (LABELED O(n^2) baseline; its DuckDB twin cannot finish 50k x 50k in the gate budget); derived 10x via tools/make_scale_data.py"
-run_gate /root/repo/.scale_data/sf1skew GATE_sf1skew_r10.log sf1skew "$BIGQ" "91 queries, hot-key derivation (--skew: one taxi ~10% of positions, one source ~50% of documents); same exclusion as sf1"
+run_gate /root/testdata/sf0.001     GATE_sf0.001_r11.log sf0.001 "$ALLQ" "full registry, 92 queries"
+run_gate /root/testdata/sf0.01      GATE_sf0.01_r11.log  sf0.01  "$ALLQ" "full registry, 92 queries"
+run_gate /root/testdata/sf0.1       GATE_sf0.1_r11.log   sf0.1   "$ALLQ" "full registry, 92 queries"
+run_gate /root/repo/.scale_data/sf1     GATE_sf1_r11.log     sf1     "$BIGQ" "91 queries: full registry minus ${BIG_EXCL} (LABELED O(n^2) baseline; its DuckDB twin cannot finish 50k x 50k in the gate budget); derived 10x via tools/make_scale_data.py"
+run_gate /root/repo/.scale_data/sf1skew GATE_sf1skew_r11.log sf1skew "$BIGQ" "91 queries, hot-key derivation (--skew: one taxi ~10% of positions, one source ~50% of documents); same exclusion as sf1"
