@@ -942,6 +942,120 @@ SELECT query_id, vec_id, cosine, rank FROM (
 """
 
 
+# --- SPANN-style boundary replication ---------------------------------------
+
+# Closeness criterion (SPANN, Chen et al. 2021 §3.2): a vector files into
+# its nearest list AND any list whose centroid distance is within (1+eps)
+# of the nearest — boundary vectors appear in every list they straddle,
+# so a query probing either side finds them. On normalized vectors
+# ||x-c||^2 = 2 - 2cos, so the criterion is
+#   (1 - cos_i) <= (1 + eps)^2 * (1 - cos_1).
+# eps sweep (K=16 trained, nprobe=8, vs topk_ivf_trained's 0.80 at
+# sf0.01 / 0.88 at sf0.1) — recall @ replication factor:
+#   eps=0.05: 0.88 @ 1.55x / 0.92 @ 1.71x
+#   eps=0.10: 0.98 @ 2.31x / 0.94 @ 2.79x   <- shipped (the knee)
+#   eps=0.15: 1.00 @ 2.97x / 0.96 @ 3.46x
+#   eps=0.25: 1.00 @ 3.66x / 0.98 @ 3.91x (RMAX-saturated)
+# Full table in SCALE_ann_r11.md §6. SPANN_RMAX bounds worst-case
+# fan-out so a vector equidistant from many centroids cannot blow the
+# index up; at larger K the factor falls (boundary shells shrink
+# relative to cell volume).
+SPANN_EPS = 0.1
+SPANN_RMAX = 4
+
+
+def _assign_spann_udf(
+    cents_rows: "list[tuple[int, list[float]]]", eps: float, rmax: int
+):
+    """Arrow-batched SPANN assignment: nearest list + boundary replicas
+    within the (1+eps) closeness bound, capped at ``rmax`` per vector
+    (closest-first). Same matmul core as ``_assign_arrow_udf``; returns a
+    VARIABLE-length cent_id array (>= 1 entry)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows_sorted = sorted(cents_rows)
+    ids = np.asarray([cid for cid, _ in rows_sorted], dtype=np.int64)
+    cmat = np.asarray([cv for _, cv in rows_sorted], dtype=np.float64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    bound = (1.0 + eps) ** 2
+
+    def assign(vcol):
+        x = np.asarray(vcol.tolist(), dtype=np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        cos = (x @ cmat.T) / cn / norms[:, None]
+        gap = 1.0 - cos  # ||x-c||^2 / 2 on normalized vectors
+        order = np.argsort(gap, axis=1, kind="stable")[:, :rmax]
+        ranked = np.take_along_axis(gap, order, axis=1)
+        keep = ranked <= bound * ranked[:, :1]
+        keep[:, 0] = True  # the nearest list always
+        return pd.Series(
+            [ids[row[k]].tolist() for row, k in zip(order, keep)]
+        )
+
+    return pandas_udf(assign, "array<int>")
+
+
+def topk_ivf_spann(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF ANN with SPANN-style boundary replication over the TRAINED
+    coarse quantizer — recall at equal nprobe bought with index size
+    instead of probe width: boundary vectors are filed into EVERY list
+    within the (1+eps) closeness bound of their nearest (SPANN §3.2), so
+    the failure mode of IVF pruning — the true neighbor sitting just
+    across a Voronoi boundary the query didn't probe — disappears for
+    eps-close boundaries. Measured at sf0.01/K=16/nprobe=8 vs
+    ``topk_ivf_trained``: see SCALE_ann_r11.md §6 (recall and the
+    replication factor — the honest cost — are both recorded).
+
+    Plan shape: assignment is one Arrow matmul pass emitting a
+    variable-length list array + one explode (the replication);
+    probe/rank identical to ``topk_ivf_trained``; duplicate (query,
+    candidate) pairs from multi-list membership collapse with one
+    ``dropDuplicates`` BEFORE ranking (same cosine on every copy, so the
+    dedup is value-deterministic). K-means training is not
+    SQL-expressible -> rows-only driver check; recall bounded vs brute
+    force in tests/test_similarity_ivf.py.
+
+    100 TB shape: replication multiplies the INDEX by the measured
+    factor (bounded by SPANN_RMAX), not the scan — a query still reads
+    nprobe lists; each list is ~factor/K of the corpus.
+    """
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents_rows = ann_index.coarse_centroids(spark, emb, sf_dir, IVF_K)
+
+    rep = _assign_spann_udf(cents_rows, SPANN_EPS, SPANN_RMAX)
+    lists = emb.select(
+        "vec_id", "v", "norm", F.explode(rep(F.col("v"))).alias("cent_id")
+    )
+    probe = _assign_arrow_udf(cents_rows, nprobe)
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qn"),
+            F.explode(probe(F.col("v"))).alias("cent_id"),
+        )
+    )
+    pairs = lists.join(F.broadcast(probes), "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine")).dropDuplicates(
+        ["query_id", "vec_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 # --- metadata-filtered search ---------------------------------------------
 
 

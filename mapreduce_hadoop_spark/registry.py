@@ -172,13 +172,19 @@ container parse, same sampling law, stronger closed-form oracle); the
 fake-path 1->N plumbing stays pinned by
 ``tests/test_multimodal.py::test_sample_frames_one_to_n``.
 
-1. ``fn_width_bucket`` — the bin labeling is consumed (and therefore
-   driver-verified) by ``trip_length_histogram`` (reference surface,
-   always in-window) every round; the ``>=80`` clamp edge cases stay
-   pinned by ``tests/test_histogram.py``.
-2. ``fn_distance`` — same argument via the sessionize family and
-   ``trip_length_histogram``; the plane-projection arithmetic stays
-   pinned by ``tests/test_histogram.py`` and ``tests/test_gps.py``.
+And a fifth, round 11: ``fn_width_bucket`` (then candidate #1) retired
+in favor of staging ``similarity_topk_ivf_spann`` (rule 1b) — the bin
+labeling is consumed (and therefore driver-verified) by
+``trip_length_histogram`` (reference surface, always in-window) every
+round, and the ``>=80`` clamp edge cases stay pinned by
+``tests/test_histogram.py``. Its head slot went to the defensive
+``similarity_topk_ivf`` re-verify row the rotation plan had originally
+reserved the spare for.
+
+1. ``fn_distance`` — consumed (and therefore driver-verified) by
+   ``trip_length_histogram`` and the sessionize family every round; the
+   plane-projection arithmetic stays pinned by
+   ``tests/test_histogram.py`` and ``tests/test_gps.py``.
 """
 
 from __future__ import annotations
@@ -235,24 +241,24 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 # Round 11: the round-10 pinned pair (text_language_id_ngram,
 # corpus_vocab_topk) is in this round's forced rotation set and takes
 # ordinary fresh driver rows instead, retiring that pin.
-# multimodal_real_jpeg is DUE here: its grayscale encode/decode was
-# refactored around the kernels the new color path shares
+# multimodal_real_jpeg: its grayscale encode/decode was refactored
+# around the kernels the new color path shares
 # (_jpeg_walk/_JpegBitReader/_jpeg_read_block/_jpeg_idct_plane/
-# _JpegScanWriter), outputs verified byte-identical at sf0.001/0.01
-# against the committed r10 hashes. The tuple, the test-side pin dict
-# (tests/test_registry_rotation.py), and the SRCHASH-bound regenerated
-# gate logs land TOGETHER in the end-of-round evidence commit — the
-# round-8/9 lesson.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
+# _JpegScanWriter), output byte-identical — pinned against the
+# final-tree SRCHASH-bound GATE_sf0.01_r11.log carrying the exact
+# pre-rewrite r10 hash; the test-side pin dict
+# (tests/test_registry_rotation.py) moves in this same commit.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ("multimodal_real_jpeg",)
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
-# Round 11: empty at rotation — the five round-10 staged queries promote
-# into the head below for their first driver rows. This round's two
-# planned NEW queries (similarity_topk_pq_trained,
-# multimodal_real_jpeg_color) land directly in head slots freed by
-# retirements, so they should not need staging; anything unplanned that
-# arrives after the head fills goes here.
-STAGED_NEXT_ROUND: tuple[str, ...] = ()
+# Round 11: the five round-10 staged queries promoted into the head at
+# rotation, and the two planned NEW queries (similarity_topk_pq_trained,
+# multimodal_real_jpeg_color) landed directly in head slots freed by
+# retirements. One unplanned arrival after the head filled:
+# similarity_topk_ivf_spann (round-12 lever pulled forward — SPANN
+# boundary replication over the trained quantizer), gate-verified at
+# five scales this round, first driver row due next round.
+STAGED_NEXT_ROUND: tuple[str, ...] = ("similarity_topk_ivf_spann",)
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
 # surface (always in window) + 5 rule-1b staged promotions (first driver
@@ -296,7 +302,10 @@ HEAD = (
     "events_sliding_window",
     "events_daily_gapfill",
     "fn_distance",
-    "fn_width_bucket",
+    # fn_width_bucket's retired slot (candidate #1 exercised a fifth
+    # time — see the retirement list): the defensive similarity_topk_ivf
+    # re-verify row originally planned for the spare slot returns here.
+    "similarity_topk_ivf",
     # NEW this round, in fn_epoch's retired head slot (candidate #1
     # exercised — see the retirement list): Lloyd-trained flat PQ.
     "similarity_topk_pq_trained",
@@ -404,7 +413,6 @@ def _specs() -> dict[str, QuerySpec]:
         ),
         # Scalar-function layer, each standalone (SURVEY §7 step 2).
         "fn_distance": (scalars.fn_distance, scalars.FN_DISTANCE_ORACLE),
-        "fn_width_bucket": (scalars.fn_width_bucket, scalars.FN_WIDTH_BUCKET_ORACLE),
         # NEW round 11 (slot freed by retiring fn_epoch): flat PQ under
         # Lloyd-TRAINED subspace codebooks — the judge's named lever
         # against the sign-orthant n/10 shortlist. Trained-cell ADC
@@ -457,6 +465,16 @@ def _specs() -> dict[str, QuerySpec]:
         # K-means training is not SQL-expressible -> rows-only; recall vs
         # the fixed-centroid variant bounded in tests/test_similarity_ivf.py.
         "similarity_topk_ivf_trained": (similarity.topk_ivf_trained, None),
+        # Rule 1b, round 11 (slot freed by retiring fn_width_bucket):
+        # SPANN-style boundary replication over the trained quantizer —
+        # boundary vectors file into every list within the (1+eps)
+        # closeness bound (eps=0.1: recall 0.98/0.94 at sf0.01/sf0.1 vs
+        # topk_ivf_trained's 0.80/0.88, at a measured 2.3x/2.8x index
+        # replication bounded by SPANN_RMAX). Recall bought with index
+        # size instead of probe width — the third axis after nprobe and
+        # K. K-means + replication not SQL-expressible -> rows-only;
+        # recall bounded in tests/test_similarity_ivf.py.
+        "similarity_topk_ivf_spann": (similarity.topk_ivf_spann, None),
         # multimodal_decode_stub RETIRED round 6 (size policy);
         # multimodal_resize_stub RETIRED round 10 (retirement-candidate #1
         # when the JPEG query took its slot): the fake-decode plumbing and

@@ -57,14 +57,12 @@ def test_head_window_size_and_total():
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
     # Round 11: the round-10 pair rotated out (ordinary fresh driver
-    # rows). multimodal_real_jpeg is DUE (grayscale JPEG encode/decode
-    # refactored around the kernels shared with the new 4:2:0 color
-    # path, output byte-identical): its entry —
-    #   "multimodal_real_jpeg": ("GATE_sf0.01_r11.log", "35344ea4950d22ff")
-    # (pre-rewrite hash from GATE_sf0.01_r10.log at 2eaaa86) — lands in
-    # the end-of-round evidence commit TOGETHER with
-    # registry.REWRITTEN_HASH_IDENTICAL and the final-tree SRCHASH-bound
-    # regenerated gate logs.
+    # rows); multimodal_real_jpeg entered when its grayscale JPEG
+    # encode/decode was refactored around the kernels shared with the
+    # new 4:2:0 color path (output byte-identical). Pre-rewrite hash
+    # from GATE_sf0.01_r10.log as committed at 2eaaa86; the log named
+    # here is the final-tree regeneration (SRCHASH-checked below).
+    "multimodal_real_jpeg": ("GATE_sf0.01_r11.log", "35344ea4950d22ff"),
 }
 
 

@@ -179,3 +179,36 @@ def test_measured_sign_bits_probe_memoized(spark, sf_dir):
     half = emb.filter(F.col("vec_id") % 2 == 0)
     measured_sign_bits(half)
     assert similarity.PROBE_RUNS == base + 2
+
+
+def test_ivf_spann_recall_beats_trained(spark, sf_dir):
+    """Boundary replication must buy recall over the same-K trained IVF
+    at the same nprobe (measured: 0.98 vs 0.80 at sf0.01, 0.94 vs 0.88
+    at sf0.1, eps=0.1) and every query must still return exactly TOP_K
+    deduplicated rows (multi-list membership collapses before ranking)."""
+    from mapreduce_hadoop_spark.operators.similarity import (
+        TOP_K,
+        topk_bruteforce,
+        topk_ivf_spann,
+        topk_ivf_trained,
+        unpersist_intermediates,
+    )
+
+    exact = topk_bruteforce(spark, sf_dir).collect()
+    base = topk_ivf_trained(spark, sf_dir).collect()
+    spann = topk_ivf_spann(spark, sf_dir).collect()
+    unpersist_intermediates()
+
+    def sets(rows):
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    es, bs, ss = sets(exact), sets(base), sets(spann)
+    assert all(len(s) == TOP_K for s in ss.values())
+    total = sum(len(es[q]) for q in es)
+    r_base = sum(len(es[q] & bs.get(q, set())) for q in es) / total
+    r_spann = sum(len(es[q] & ss.get(q, set())) for q in es) / total
+    assert r_spann >= r_base, f"spann {r_spann:.2f} < trained {r_base:.2f}"
+    assert r_spann >= 0.8, f"spann recall@5={r_spann:.2f}"

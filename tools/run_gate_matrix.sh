@@ -6,7 +6,7 @@
 set -u
 cd "$(dirname "$0")/.."
 R=11
-HDR_TREE="final round-${R} tree: Lloyd-trained PQ codebooks (flat M=8 + global residual IVFPQ book) with near-constant re-rank, persisted ANN index artifacts (fingerprint-keyed load-or-fit), array-ADC scan + Arrow matmul coarse assignment, 4:2:0 YCbCr color JPEG on shared Huffman/IDCT kernels, fn_epoch and multimodal_frame_sample retired"
+HDR_TREE="final round-${R} tree: Lloyd-trained PQ codebooks (flat M=8 + global residual IVFPQ book) with near-constant re-rank, persisted ANN index artifacts (fingerprint-keyed load-or-fit), array-ADC scan + Arrow matmul coarse assignment, 4:2:0 YCbCr color JPEG on shared Huffman/IDCT kernels, SPANN boundary replication staged, fn_epoch/fn_width_bucket/multimodal_frame_sample retired"
 
 BIG_EXCL="similarity_near_dup_cosine"
 ALLQ=$(python - <<'EOF'
