@@ -76,10 +76,14 @@ ROUND_NOTES = {
         "index artifacts (warm sessions plan zero training jobs) + "
         "array-ADC scan + Arrow coarse assign (ivfpq_trained sf1 "
         "44->17.7s, global trained residual book replaces the per-list "
-        "8GB-at-scale caveat). NEW multimodal_real_jpeg_color (4:2:0 "
-        "YCbCr, closed-form RGB-sum oracle). fn_epoch + "
-        "multimodal_frame_sample retired (unit-pinned). Narrative in "
-        "SCALE_ann_r11.md and README."
+        "8GB-at-scale caveat; codes persisted as the FAISS add half + "
+        "adaptive one-window shortlist: pq_trained sf1 27.7->13.9s "
+        "cold). NEW multimodal_real_jpeg_color (YCbCr at 4:2:0/4:2:2/"
+        "4:4:4 cycled by doc_id, closed-form RGB-sum oracle). STAGED "
+        "similarity_topk_ivf_spann (boundary replication: recall "
+        "0.98/0.94 vs 0.80/0.88 at 2.3x/2.8x index). fn_epoch + "
+        "fn_width_bucket + multimodal_frame_sample retired "
+        "(unit-pinned). Narrative in SCALE_ann_r11.md and README."
     ),
     10: (
         "r10: parquet_scan_width reports unknown (never narrow) on "

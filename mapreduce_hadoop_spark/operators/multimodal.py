@@ -716,15 +716,17 @@ def _pack_codes_msb(codes: "list[int]", widths: "list[int]") -> bytes:
     return packed.tobytes()
 
 
-def _jpeg_quantized_blocks(plane, q, mult: int = 8):
+def _jpeg_quantized_blocks(plane, q, mult: "int | tuple[int, int]" = 8):
     """(h, w) uint8 plane -> (bh, bw, 8, 8) int64 quantized DCT blocks,
-    edge-padded to a multiple of ``mult`` (8 for standalone components,
-    16 for the luma plane of a 4:2:0 frame whose MCU is 16x16)."""
+    edge-padded to a multiple of ``mult`` per axis — 8 for standalone
+    components, (8*v, 8*h) for the luma plane of a subsampled frame
+    whose MCU is 8h x 8v pixels (16x16 for 4:2:0, 16x8 for 4:2:2)."""
     import numpy as np
 
+    mh, mw = (mult, mult) if isinstance(mult, int) else mult
     a = np.asarray(plane, dtype=np.uint8)
     h, w = a.shape
-    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
     padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
     blocks = (
         padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
@@ -1084,12 +1086,13 @@ def _jpeg_bytes_patterned(width: int, height: int, seed: int) -> bytes:
     return _jpeg_encode_gray(px.astype(np.uint8))
 
 
-# --- Baseline 4:2:0 YCbCr color JPEG (SOF0, three components) ---------------
+# --- Baseline YCbCr color JPEG (SOF0, 4:2:0 / 4:2:2 / 4:4:4) -----------------
 #
 # One real-media step past round 10's grayscale decode, on the same
 # committed kernels (_jpeg_walk / _JpegBitReader / _jpeg_read_block /
-# _jpeg_idct_plane / _JpegScanWriter): interleaved MCUs of 16x16 pixels
-# (four Y blocks at 2x2 sampling + one Cb + one Cr at 1x1), separate
+# _jpeg_idct_plane / _JpegScanWriter): interleaved MCUs of 8h x 8v
+# pixels (h*v Y blocks at (h, v) sampling + one Cb + one Cr at 1x1; all
+# three common layouts — Y 2x2, 2x1, 1x1 — are in profile), separate
 # luma/chroma quantization AND Huffman tables (ids 0/1 — distinct specs,
 # so a decoder that ignores table ids fails loudly), per-component DPCM
 # DC predictors, JFIF YCbCr -> RGB with floor(x + 0.5) rounding (chosen
@@ -1115,25 +1118,35 @@ def _jpeg_qtable_chroma():
     return q.astype(np.int64)
 
 
-def _jpeg_encode_color420(y, cb, cr) -> bytes:
-    """Spec-valid baseline 4:2:0 YCbCr JPEG: ``y`` is (h, w) uint8, ``cb``
-    and ``cr`` are (ceil(h/2), ceil(w/2)) uint8 (the subsampled planes a
-    4:2:0 encoder actually codes)."""
+# Baseline chroma-subsampling layouts: Y sampling factors (h, v) with
+# chroma at 1x1. MCU = 8h x 8v pixels; h*v Y blocks + 1 Cb + 1 Cr per
+# MCU; chroma plane dims = (ceil(H/v), ceil(W/h)).
+_JPEG_SAMPLINGS = {(2, 2): "420", (2, 1): "422", (1, 1): "444"}
+
+
+def _jpeg_encode_color(y, cb, cr, samp: "tuple[int, int]" = (2, 2)) -> bytes:
+    """Spec-valid baseline YCbCr JPEG at 4:2:0 / 4:2:2 / 4:4:4 (``samp``
+    = Y's (h, v) sampling factors): ``y`` is (H, W) uint8, ``cb``/``cr``
+    are (ceil(H/v), ceil(W/h)) uint8 — the subsampled planes a real
+    encoder actually codes."""
     import struct
 
     import numpy as np
 
+    if samp not in _JPEG_SAMPLINGS:
+        raise ValueError(f"unsupported sampling {samp}")
+    sh, sv = samp
     y = np.asarray(y, dtype=np.uint8)
     h, w = y.shape
     ql, qc = _jpeg_qtable(), _jpeg_qtable_chroma()
-    # Y pads to the 16x16 MCU grid; chroma blocks are 1:1 with MCUs, so
-    # the chroma planes pad to 8 (ceil(ceil(w/2)/8) == ceil(w/16)).
-    cy = _jpeg_quantized_blocks(y, ql, mult=16)
+    # Y pads to the (8v x 8h) MCU grid; chroma blocks are 1:1 with MCUs,
+    # so the chroma planes pad to 8 (ceil(ceil(w/h)/8) == ceil(w/8h)).
+    cy = _jpeg_quantized_blocks(y, ql, mult=(8 * sv, 8 * sh))
     ccb = _jpeg_quantized_blocks(cb, qc)
     ccr = _jpeg_quantized_blocks(cr, qc)
     mcu_h, mcu_w = ccb.shape[0], ccb.shape[1]
-    if cy.shape[0] != 2 * mcu_h or cy.shape[1] != 2 * mcu_w or ccr.shape != ccb.shape:
-        raise ValueError("plane shapes disagree with the 4:2:0 MCU grid")
+    if cy.shape[0] != sv * mcu_h or cy.shape[1] != sh * mcu_w or ccr.shape != ccb.shape:
+        raise ValueError("plane shapes disagree with the MCU grid")
     dc_l = _jpeg_canonical_codes(*_JPEG_DC_SPEC)
     ac_l = _jpeg_canonical_codes(*_JPEG_AC_SPEC)
     dc_c = _jpeg_canonical_codes(*_JPEG_DC_SPEC_CHROMA)
@@ -1142,8 +1155,11 @@ def _jpeg_encode_color420(y, cb, cr) -> bytes:
     pdc = [0, 0, 0]  # per-component DPCM predictors
     for my in range(mcu_h):
         for mx in range(mcu_w):
-            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):  # Y raster order
-                pdc[0] = writer.block(cy[2 * my + dy, 2 * mx + dx], pdc[0], dc_l, ac_l)
+            for dy in range(sv):  # Y blocks in raster order within the MCU
+                for dx in range(sh):
+                    pdc[0] = writer.block(
+                        cy[sv * my + dy, sh * mx + dx], pdc[0], dc_l, ac_l
+                    )
             pdc[1] = writer.block(ccb[my, mx], pdc[1], dc_c, ac_c)
             pdc[2] = writer.block(ccr[my, mx], pdc[2], dc_c, ac_c)
     zz = np.asarray(_JPEG_ZIGZAG)
@@ -1154,7 +1170,7 @@ def _jpeg_encode_color420(y, cb, cr) -> bytes:
     segs.append(
         b"\xff\xc0"
         + struct.pack(">HBHHB", 17, 8, h, w, 3)
-        + b"\x01\x22\x00"  # Y: 2x2 sampling, qtable 0
+        + bytes([1, (sh << 4) | sv, 0])  # Y: (h, v) sampling, qtable 0
         + b"\x02\x11\x01"  # Cb: 1x1, qtable 1
         + b"\x03\x11\x01"  # Cr: 1x1, qtable 1
     )
@@ -1180,15 +1196,16 @@ def _jpeg_encode_color420(y, cb, cr) -> bytes:
     return b"".join(segs)
 
 
-def _jpeg_decode_color420(payload: bytes) -> "object | None":
-    """REAL pixel decode for baseline-sequential 8-bit 4:2:0 YCbCr JPEG
-    (SOF0, three components, Y at 2x2 + chroma at 1x1 sampling):
-    interleaved-MCU entropy decode with per-component Huffman tables and
-    DC predictors, per-plane dequantize + inverse DCT, nearest-neighbor
-    chroma upsample, crop. Returns (Y, Cb, Cr) full-resolution uint8
-    planes, or None for anything outside the profile — grayscale streams
-    go to ``_jpeg_decode_gray``; other samplings (4:2:2, 4:4:4) are out
-    of profile for now."""
+def _jpeg_decode_color(payload: bytes) -> "object | None":
+    """REAL pixel decode for baseline-sequential 8-bit YCbCr JPEG (SOF0,
+    three components) at the three common chroma layouts — 4:2:0 (Y 2x2),
+    4:2:2 (Y 2x1), 4:4:4 (Y 1x1), chroma always 1x1: interleaved-MCU
+    entropy decode with per-component Huffman tables and DC predictors,
+    per-plane dequantize + inverse DCT, nearest-neighbor chroma
+    upsample, crop. Returns (Y, Cb, Cr) full-resolution uint8 planes, or
+    None for anything outside the profile — grayscale streams go to
+    ``_jpeg_decode_gray``; exotic samplings (4:1:1, subsampled-Y) are
+    out of profile."""
     import numpy as np
 
     walked = _jpeg_walk(payload)
@@ -1217,24 +1234,32 @@ def _jpeg_decode_color420(payload: bytes) -> "object | None":
         if qid not in qtables or dc_id not in dc_tabs or ac_id not in ac_tabs:
             return None
         order.append((samp, qtables[qid], dc_tabs[dc_id], ac_tabs[ac_id]))
-    if order[0][0] != 0x22 or order[1][0] != 0x11 or order[2][0] != 0x11:
-        return None  # 4:2:0 only
+    sh, sv = order[0][0] >> 4, order[0][0] & 15
+    if (sh, sv) not in _JPEG_SAMPLINGS:
+        return None  # Y must be 2x2, 2x1, or 1x1
+    if order[1][0] != 0x11 or order[2][0] != 0x11:
+        return None  # chroma always 1x1
     bits = _jpeg_entropy_bits(payload, start)
     if bits is None:
         return None
     rd = _JpegBitReader(bits)
-    mh, mw = -(-h // 16), -(-w // 16)
-    zzy = np.zeros((2 * mh, 2 * mw, 64), dtype=np.int64)
+    mh, mw = -(-h // (8 * sv)), -(-w // (8 * sh))
+    zzy = np.zeros((sv * mh, sh * mw, 64), dtype=np.int64)
     zzc = [np.zeros((mh, mw, 64), dtype=np.int64) for _ in range(2)]
     pdc = [0, 0, 0]
     for my in range(mh):
         for mx in range(mw):
-            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                pdc[0] = _jpeg_read_block(
-                    rd, order[0][2], order[0][3], zzy[2 * my + dy, 2 * mx + dx], pdc[0]
-                )
-                if pdc[0] is None:
-                    return None
+            for dy in range(sv):
+                for dx in range(sh):
+                    pdc[0] = _jpeg_read_block(
+                        rd,
+                        order[0][2],
+                        order[0][3],
+                        zzy[sv * my + dy, sh * mx + dx],
+                        pdc[0],
+                    )
+                    if pdc[0] is None:
+                        return None
             for ci in (1, 2):
                 pdc[ci] = _jpeg_read_block(
                     rd, order[ci][2], order[ci][3], zzc[ci - 1][my, mx], pdc[ci]
@@ -1242,11 +1267,11 @@ def _jpeg_decode_color420(payload: bytes) -> "object | None":
                 if pdc[ci] is None:
                     return None
     yp = _jpeg_idct_plane(zzy, order[0][1])[:h, :w]
-    ch, cw = -(-h // 2), -(-w // 2)
+    ch, cw = -(-h // sv), -(-w // sh)
     planes = [yp]
     for ci in (1, 2):
         c = _jpeg_idct_plane(zzc[ci - 1], order[ci][1])[:ch, :cw]
-        planes.append(np.repeat(np.repeat(c, 2, axis=0), 2, axis=1)[:h, :w])
+        planes.append(np.repeat(np.repeat(c, sv, axis=0), sh, axis=1)[:h, :w])
     return tuple(planes)
 
 
@@ -1267,9 +1292,12 @@ def _ycbcr_to_rgb(y, cb, cr):
     return clip(r), clip(g), clip(b)
 
 
-def _jpeg_color_bytes_patterned(width: int, height: int, seed: int) -> bytes:
-    """A spec-valid 4:2:0 color JPEG whose Y/Cb/Cr are each constant per
-    16x16 MCU — Y(x, y) = (3*(x//16) + 7*(y//16) + seed) % 256,
+def _jpeg_color_bytes_patterned(
+    width: int, height: int, seed: int, samp: "tuple[int, int]" = (2, 2)
+) -> bytes:
+    """A spec-valid color JPEG (any of the three supported samplings)
+    whose Y/Cb/Cr are each constant per MCU (8h x 8v pixels) —
+    Y(x, y) = (3*(x//(8h)) + 7*(y//(8v)) + seed) % 256,
     Cb = (11*mx + 5*my + 2*seed) % 256, Cr = (13*mx + 3*my + 3*seed) % 256
     — so every 8x8 block in every component plane is constant and the
     lossy DCT round-trip is bit-exact for all three planes (both qtables
@@ -1278,18 +1306,20 @@ def _jpeg_color_bytes_patterned(width: int, height: int, seed: int) -> bytes:
     exercised by the round-trip unit tests."""
     import numpy as np
 
-    mw, mh = -(-width // 16), -(-height // 16)
+    sh, sv = samp
+    pw, ph = 8 * sh, 8 * sv  # MCU pixel dims
+    mw, mh = -(-width // pw), -(-height // ph)
     mx = np.arange(mw, dtype=np.int64)[None, :]
     my = np.arange(mh, dtype=np.int64)[:, None]
     yv = (3 * mx + 7 * my + seed) % 256
     cbv = (11 * mx + 5 * my + 2 * seed) % 256
     crv = (13 * mx + 3 * my + 3 * seed) % 256
-    y = np.repeat(np.repeat(yv, 16, axis=0), 16, axis=1)[:height, :width]
-    ch, cw = -(-height // 2), -(-width // 2)
+    y = np.repeat(np.repeat(yv, ph, axis=0), pw, axis=1)[:height, :width]
+    ch, cw = -(-height // sv), -(-width // sh)
     cb = np.repeat(np.repeat(cbv, 8, axis=0), 8, axis=1)[:ch, :cw]
     cr = np.repeat(np.repeat(crv, 8, axis=0), 8, axis=1)[:ch, :cw]
-    return _jpeg_encode_color420(
-        y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)
+    return _jpeg_encode_color(
+        y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8), samp
     )
 
 
@@ -1682,20 +1712,22 @@ GROUP BY doc_id, w, h, ow, oh
 
 
 def media_real_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4:2:0 YCbCr color twin of ``media_real_jpeg`` — one real-media step
-    past grayscale, on the same committed kernels: synthesize a spec-valid
-    three-component SOF0 stream per document (interleaved MCUs, distinct
-    luma/chroma quantization AND Huffman tables), then the REAL decode
-    path (``_jpeg_decode_color420``: marker walk, per-component table
-    wiring, per-component DPCM, dequantize + inverse DCT per plane,
-    nearest-neighbor chroma upsample) and the JFIF YCbCr -> RGB
-    conversion, reporting per-channel pixel sums. The oracle predicts all
-    three sums in closed form from doc_id alone — possible for a lossy
-    SUBSAMPLED codec only because Y/Cb/Cr are each constant per 16x16 MCU
-    (every 8x8 block in every plane constant -> DC-only -> bit-exact DCT
-    round-trip, see ``_jpeg_color_bytes_patterned``) and the RGB rounding
-    is floor(x + 0.5) in IDENTICAL left-associated double arithmetic on
-    both engines (``_ycbcr_to_rgb``).
+    """YCbCr color twin of ``media_real_jpeg`` — one real-media step past
+    grayscale, on the same committed kernels, covering ALL THREE common
+    baseline chroma layouts (doc_id % 3 cycles 4:2:0 / 4:2:2 / 4:4:4, so
+    every driver run hash-verifies every MCU geometry): synthesize a
+    spec-valid three-component SOF0 stream per document (interleaved
+    MCUs, distinct luma/chroma quantization AND Huffman tables), then the
+    REAL decode path (``_jpeg_decode_color``: marker walk, per-component
+    sampling factors and table wiring, per-component DPCM, dequantize +
+    inverse DCT per plane, nearest-neighbor chroma upsample) and the JFIF
+    YCbCr -> RGB conversion, reporting per-channel pixel sums. The oracle
+    predicts all three sums in closed form from doc_id alone — possible
+    for a lossy SUBSAMPLED codec only because Y/Cb/Cr are each constant
+    per MCU (every 8x8 block in every plane constant -> DC-only ->
+    bit-exact DCT round-trip, see ``_jpeg_color_bytes_patterned``) and
+    the RGB rounding is floor(x + 0.5) in IDENTICAL left-associated
+    double arithmetic on both engines (``_ycbcr_to_rgb``).
 
     Encode -> decode -> convert runs in ONE Arrow-batched ``mapInPandas``
     pass (same 100 TB shape as ``media_real_roundtrip``: narrow doc_id
@@ -1712,6 +1744,8 @@ def media_real_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
+    samps = ((2, 2), (2, 1), (1, 1))  # doc_id % 3 -> 420 / 422 / 444
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -1719,16 +1753,20 @@ def media_real_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 w = (d % 64) + 16
                 h = (d // 64) % 64 + 16
-                payload = _jpeg_color_bytes_patterned(w, h, d)
-                decoded = _jpeg_decode_color420(payload)
+                samp = samps[d % 3]
+                payload = _jpeg_color_bytes_patterned(w, h, d, samp)
+                decoded = _jpeg_decode_color(payload)
                 if decoded is None:
-                    rows.append((d, "image/jpeg", w, h, None, None, None))
+                    rows.append(
+                        (d, "image/jpeg", _JPEG_SAMPLINGS[samp], w, h, None, None, None)
+                    )
                     continue
                 r, g, b = _ycbcr_to_rgb(*decoded)
                 rows.append(
                     (
                         d,
                         "image/jpeg",
+                        _JPEG_SAMPLINGS[samp],
                         w,
                         h,
                         int(np.sum(r)),
@@ -1739,20 +1777,22 @@ def media_real_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "mime", "width", "height", "r_sum", "g_sum", "b_sum",
+                    "doc_id", "mime", "samp", "width", "height",
+                    "r_sum", "g_sum", "b_sum",
                 ],
             )
 
     return docs.mapInPandas(
         batches,
         schema=(
-            "doc_id bigint, mime string, width int, height int,"
+            "doc_id bigint, mime string, samp string, width int, height int,"
             " r_sum bigint, g_sum bigint, b_sum bigint"
         ),
     )
 
 
-# Per-MCU closed form: each 16x16 MCU (mx, my) carries one (Y, Cb, Cr)
+# Per-MCU closed form: each MCU (mx, my) — 8h x 8v pixels, with (h, v)
+# cycling 4:2:0 / 4:2:2 / 4:4:4 by doc_id % 3 — carries one (Y, Cb, Cr)
 # triple -> one RGB triple; the sum weights it by the MCU's un-cropped
 # pixel count. The floor/LEAST/GREATEST arithmetic mirrors _ycbcr_to_rgb
 # term for term (identical left-associated doubles on both engines).
@@ -1760,18 +1800,22 @@ MEDIA_REAL_JPEG_COLOR_ORACLE = """
 WITH d AS (
     SELECT doc_id,
            (doc_id % 64) + 16 AS w,
-           ((doc_id // 64) % 64) + 16 AS h
+           ((doc_id // 64) % 64) + 16 AS h,
+           CASE doc_id % 3 WHEN 0 THEN '420' WHEN 1 THEN '422'
+                ELSE '444' END AS samp,
+           CASE doc_id % 3 WHEN 2 THEN 8 ELSE 16 END AS mcw,
+           CASE doc_id % 3 WHEN 0 THEN 16 ELSE 8 END AS mch
     FROM documents
 ),
-g AS (SELECT doc_id, w, h,
-             unnest(generate_series(0, (h + 15) // 16 - 1)) AS my
+g AS (SELECT doc_id, w, h, samp, mcw, mch,
+             unnest(generate_series(0, (h + mch - 1) // mch - 1)) AS my
       FROM d),
-g2 AS (SELECT doc_id, w, h, my,
-              unnest(generate_series(0, (w + 15) // 16 - 1)) AS mx
+g2 AS (SELECT doc_id, w, h, samp, mcw, mch, my,
+              unnest(generate_series(0, (w + mcw - 1) // mcw - 1)) AS mx
        FROM g),
 m AS (
-    SELECT doc_id, w, h,
-           LEAST(16, w - 16 * mx) * LEAST(16, h - 16 * my) AS cnt,
+    SELECT doc_id, w, h, samp,
+           LEAST(mcw, w - mcw * mx) * LEAST(mch, h - mch * my) AS cnt,
            (3 * mx + 7 * my + doc_id) % 256 AS y,
            (11 * mx + 5 * my + 2 * doc_id) % 256 AS cb,
            (13 * mx + 3 * my + 3 * doc_id) % 256 AS cr
@@ -1779,6 +1823,7 @@ m AS (
 )
 SELECT doc_id,
        'image/jpeg' AS mime,
+       samp,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
        CAST(sum(cnt * LEAST(GREATEST(FLOOR(y + 1.402 * (cr - 128) + 0.5), 0), 255))
@@ -1790,7 +1835,7 @@ SELECT doc_id,
        CAST(sum(cnt * LEAST(GREATEST(FLOOR(y + 1.772 * (cb - 128) + 0.5), 0), 255))
             AS BIGINT) AS b_sum
 FROM m
-GROUP BY doc_id, w, h
+GROUP BY doc_id, w, h, samp
 """
 
 

@@ -1184,6 +1184,39 @@ PQ_SUB = EMB_DIM // PQ_M    # 16 dims per subspace
 PQ_CODE_BITS = 8            # sign bits per subspace -> 256-entry codebooks
 PQ_TOPK_BUCKETS = 64        # phase-1 fan-out of the two-phase shortlist top-R
 
+# Candidate rows per query below which the shortlist runs as ONE window
+# instead of the bucketed two-phase: the two-phase exists so no reducer
+# materializes a query's full candidate list, which binds at 10^8-10^9
+# candidates/query — not at anything a single executor sorts comfortably.
+# 2^20 rows x ~24 B = ~25 MB per reducer worst case. Output identical
+# either way (phase 1 only pre-prunes); the switch removes one full
+# shuffle+sort of the scored relation from the local/small-corpus plan.
+PQ_TWO_PHASE_MIN = 1 << 20
+
+
+def _shortlist_topr(
+    scored: DataFrame, shortlist: int, candidates_per_query: "int | None"
+) -> DataFrame:
+    """Top-``shortlist`` rows per query by (adc asc, vec_id) — the shared
+    shortlist stage of every PQ scan. Two-phase bucketed when a query's
+    candidate list is too big for one reducer (or unknown), one window
+    otherwise; identical output either way."""
+    if candidates_per_query is None or candidates_per_query > PQ_TWO_PHASE_MIN:
+        w1 = Window.partitionBy(
+            "query_id", F.col("vec_id") % PQ_TOPK_BUCKETS
+        ).orderBy(F.col("adc").asc(), F.col("vec_id"))
+        scored = (
+            scored.select("*", F.row_number().over(w1).alias("lr"))
+            .filter(F.col("lr") <= shortlist)
+            .drop("lr")
+        )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w2).alias("sr"))
+        .filter(F.col("sr") <= shortlist)
+        .drop("sr")
+    )
+
 # ADC shortlist per query (exact-re-ranked to TOP_K): SCALE-ADAPTIVE,
 # max(MIN, n // DIV). A fixed 50-deep shortlist collapses as the corpus
 # grows: sign-orthant codebooks are one k-means step, so their ADC
@@ -1280,7 +1313,8 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strict left-to-right form the other similarity oracles share.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    shortlist = _pq_shortlist(_emb_count(emb, sf_dir))
+    n = _emb_count(emb, sf_dir)
+    shortlist = _pq_shortlist(n)
     nvt = emb.select(
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv")
     )
@@ -1341,7 +1375,12 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _pq_adc_rank(
-        codes, _adc_scatter_arrays(adc, ["query_id"], PQ_M), nvt, q, shortlist
+        codes,
+        _adc_scatter_arrays(adc, ["query_id"], PQ_M),
+        nvt,
+        q,
+        shortlist,
+        candidates_per_query=n,
     )
 
 
@@ -1422,6 +1461,7 @@ def _pq_adc_rank(
     q: DataFrame,
     shortlist: int,
     m_subspaces: int = PQ_M,
+    candidates_per_query: "int | None" = None,
 ) -> DataFrame:
     """Shared flat-PQ ADC scan + two-phase shortlist + exact re-rank;
     ``codes`` is (vec_id, c0..c{M-1}), ``qarr`` is one row per query
@@ -1452,23 +1492,9 @@ def _pq_adc_rank(
         F.round(F.expr(f"0.0D + {t_sum}"), 6).alias("adc"),
     ).filter(F.col("vec_id") != F.col("query_id"))
 
-    # Two-phase shortlist: per-bucket top-R (64 buckets/query in phase 1,
-    # so no reducer materializes a query's full candidate list), then
-    # global top-R over the 64*R survivors.
-    w1 = Window.partitionBy(
-        "query_id", F.col("vec_id") % PQ_TOPK_BUCKETS
-    ).orderBy(F.col("adc").asc(), F.col("vec_id"))
-    local = (
-        scored.select("*", F.row_number().over(w1).alias("lr"))
-        .filter(F.col("lr") <= shortlist)
-        .drop("lr")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
-    short = (
-        local.select("*", F.row_number().over(w2).alias("sr"))
-        .filter(F.col("sr") <= shortlist)
-        .drop("sr")
-    )
+    # Shortlist (one window or bucketed two-phase by candidate volume —
+    # see _shortlist_topr; identical output either way).
+    short = _shortlist_topr(scored, shortlist, candidates_per_query)
 
     # Exact re-rank of the shortlist: broadcast the Q*R survivors against
     # one pruned scan of the normalized vectors.
@@ -1764,7 +1790,13 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, q, ["query_id"], "qnv", rows, PQ_TRAINED_M, PQ_TRAINED_SUB
     )
     return _pq_adc_rank(
-        codes, qarr, nvt, q, _pq_trained_shortlist(n), m_subspaces=PQ_TRAINED_M
+        codes,
+        qarr,
+        nvt,
+        q,
+        _pq_trained_shortlist(n),
+        m_subspaces=PQ_TRAINED_M,
+        candidates_per_query=n,
     )
 
 
@@ -1821,8 +1853,10 @@ def topk_ivfpq(
     this identical plan.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    shortlist = _pq_shortlist(_emb_count(emb, sf_dir))
-    return _ivfpq_from(emb, _ivf_centroids(emb), nprobe, shortlist)
+    n = _emb_count(emb, sf_dir)
+    return _ivfpq_from(
+        emb, _ivf_centroids(emb), nprobe, _pq_shortlist(n), candidates_per_query=n
+    )
 
 
 def _ivfpq_from(
@@ -1834,6 +1868,7 @@ def _ivfpq_from(
     sf_dir: "str | None" = None,
     trained_books: bool = False,
     cents_rows: "list[tuple[int, list[float]]] | None" = None,
+    candidates_per_query: "int | None" = None,
 ) -> DataFrame:
     """Shared residual IVF-PQ plan; ``cents`` is any (cent_id, cv, cn)
     relation (fixed rows for the oracle twin, k-means for the trained).
@@ -1962,7 +1997,13 @@ def _ivfpq_from(
             PQ_TRAINED_SUB,
         )
         return _ivfpq_scan_rank(
-            codes, qarr, nvt, q, shortlist, m_subspaces=PQ_TRAINED_M
+            codes,
+            qarr,
+            nvt,
+            q,
+            shortlist,
+            m_subspaces=PQ_TRAINED_M,
+            candidates_per_query=candidates_per_query,
         )
 
     codes = base.select(
@@ -2049,6 +2090,7 @@ def _ivfpq_from(
         nvt,
         q,
         shortlist,
+        candidates_per_query=candidates_per_query,
     )
 
 
@@ -2059,6 +2101,7 @@ def _ivfpq_scan_rank(
     q: DataFrame,
     shortlist: int,
     m_subspaces: int = PQ_M,
+    candidates_per_query: "int | None" = None,
 ) -> DataFrame:
     """Shared IVF-PQ ADC scan + two-phase shortlist + exact re-rank;
     ``codes`` is (vec_id, cent_id, c0..c{M-1}), ``qarr`` is one row per
@@ -2085,20 +2128,9 @@ def _ivfpq_scan_rank(
         F.round(F.expr(f"0.0D + {t_sum}"), 6).alias("adc"),
     ).filter(F.col("vec_id") != F.col("query_id"))
 
-    w1 = Window.partitionBy(
-        "query_id", F.col("vec_id") % PQ_TOPK_BUCKETS
-    ).orderBy(F.col("adc").asc(), F.col("vec_id"))
-    local = (
-        scored.select("*", F.row_number().over(w1).alias("lr"))
-        .filter(F.col("lr") <= shortlist)
-        .drop("lr")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
-    short = (
-        local.select("*", F.row_number().over(w2).alias("sr"))
-        .filter(F.col("sr") <= shortlist)
-        .drop("sr")
-    )
+    # Shortlist (one window or bucketed two-phase by candidate volume —
+    # see _shortlist_topr; identical output either way).
+    short = _shortlist_topr(scored, shortlist, candidates_per_query)
     rer = (
         nvt.join(F.broadcast(short), "vec_id")
         .join(F.broadcast(q), "query_id")
@@ -2272,4 +2304,5 @@ def topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Driver-side centroids (memoized/persisted) let assignment run
         # as the Arrow matmul instead of the n x K crossJoin + window.
         cents_rows=ann_index.coarse_centroids(spark, emb, sf_dir, k),
+        candidates_per_query=n,
     )

@@ -515,39 +515,51 @@ def test_resize_media_fake_path_matches_oracle(spark, sf_dir):
     assert got == exp
 
 
-def test_jpeg_color420_pattern_roundtrip_exact():
-    """MCU-constant Y/Cb/Cr planes must survive the full 4:2:0 pipeline
-    (encode -> interleaved-MCU decode -> chroma upsample) bit-exactly —
-    the property MEDIA_REAL_JPEG_COLOR_ORACLE's closed form rests on."""
+def test_jpeg_color_pattern_roundtrip_exact():
+    """MCU-constant Y/Cb/Cr planes must survive the full pipeline
+    (encode -> interleaved-MCU decode -> chroma upsample) bit-exactly at
+    ALL THREE samplings — the property MEDIA_REAL_JPEG_COLOR_ORACLE's
+    closed form rests on."""
     import numpy as np
 
     from mapreduce_hadoop_spark.operators.multimodal import (
+        _JPEG_SAMPLINGS,
         _jpeg_color_bytes_patterned,
-        _jpeg_decode_color420,
+        _jpeg_decode_color,
     )
 
-    for w, h, seed in ((16, 16, 0), (20, 18, 5), (79, 33, 123), (17, 17, 255)):
-        out = _jpeg_decode_color420(_jpeg_color_bytes_patterned(w, h, seed))
-        assert out is not None, (w, h, seed)
-        y, cb, cr = out
-        assert y.shape == cb.shape == cr.shape == (h, w)
-        mx, my = np.meshgrid(np.arange(w) // 16, np.arange(h) // 16)
-        assert np.array_equal(y, ((3 * mx + 7 * my + seed) % 256).astype(np.uint8))
-        assert np.array_equal(cb, ((11 * mx + 5 * my + 2 * seed) % 256).astype(np.uint8))
-        assert np.array_equal(cr, ((13 * mx + 3 * my + 3 * seed) % 256).astype(np.uint8))
+    for samp in _JPEG_SAMPLINGS:
+        pw, ph = 8 * samp[0], 8 * samp[1]
+        for w, h, seed in ((16, 16, 0), (20, 18, 5), (79, 33, 123), (17, 17, 255)):
+            out = _jpeg_decode_color(_jpeg_color_bytes_patterned(w, h, seed, samp))
+            assert out is not None, (w, h, seed, samp)
+            y, cb, cr = out
+            assert y.shape == cb.shape == cr.shape == (h, w)
+            mx, my = np.meshgrid(np.arange(w) // pw, np.arange(h) // ph)
+            assert np.array_equal(
+                y, ((3 * mx + 7 * my + seed) % 256).astype(np.uint8)
+            ), samp
+            assert np.array_equal(
+                cb, ((11 * mx + 5 * my + 2 * seed) % 256).astype(np.uint8)
+            ), samp
+            assert np.array_equal(
+                cr, ((13 * mx + 3 * my + 3 * seed) % 256).astype(np.uint8)
+            ), samp
 
 
-def test_jpeg_color420_rich_roundtrip_matches_reference():
-    """Random (worst-case) planes: the decoder must reproduce the
-    encoder's quantized reconstruction EXACTLY per component — same
-    dequantize + IDCT arithmetic, per-component tables honored — and the
-    chroma planes must be the 2x nearest upsample of that reconstruction."""
+def test_jpeg_color_rich_roundtrip_matches_reference():
+    """Random (worst-case) planes at all three samplings: the decoder
+    must reproduce the encoder's quantized reconstruction EXACTLY per
+    component — same dequantize + IDCT arithmetic, per-component tables
+    honored — and the chroma planes must be the (h, v) nearest upsample
+    of that reconstruction."""
     import numpy as np
 
     from mapreduce_hadoop_spark.operators.multimodal import (
+        _JPEG_SAMPLINGS,
         _jpeg_dct_matrix,
-        _jpeg_decode_color420,
-        _jpeg_encode_color420,
+        _jpeg_decode_color,
+        _jpeg_encode_color,
         _jpeg_qtable,
         _jpeg_qtable_chroma,
     )
@@ -555,8 +567,9 @@ def test_jpeg_color420_rich_roundtrip_matches_reference():
     m = _jpeg_dct_matrix()
 
     def ref_plane(src, q, mult):
+        mh, mw = mult
         h, w = src.shape
-        ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+        ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
         padded = np.pad(src, ((0, ph - h), (0, pw - w)), mode="edge")
         blocks = (
             padded.reshape(ph // 8, 8, pw // 8, 8)
@@ -574,44 +587,56 @@ def test_jpeg_color420_rich_roundtrip_matches_reference():
         )
 
     rng = np.random.default_rng(11)
-    for h, w in ((16, 16), (37, 51), (24, 40)):
-        ch, cw = -(-h // 2), -(-w // 2)
-        ysrc = rng.integers(0, 256, (h, w), dtype=np.uint8)
-        cbsrc = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
-        crsrc = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
-        out = _jpeg_decode_color420(_jpeg_encode_color420(ysrc, cbsrc, crsrc))
-        assert out is not None
-        y, cb, cr = out
-        assert np.array_equal(y, ref_plane(ysrc, _jpeg_qtable(), 16)[:h, :w])
-        for got, src in ((cb, cbsrc), (cr, crsrc)):
-            ref = ref_plane(src, _jpeg_qtable_chroma(), 8)[:ch, :cw]
-            up = np.repeat(np.repeat(ref, 2, axis=0), 2, axis=1)[:h, :w]
-            assert np.array_equal(got, up)
+    for samp in _JPEG_SAMPLINGS:
+        sh, sv = samp
+        for h, w in ((16, 16), (37, 51), (24, 40)):
+            ch, cw = -(-h // sv), -(-w // sh)
+            ysrc = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            cbsrc = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+            crsrc = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+            out = _jpeg_decode_color(_jpeg_encode_color(ysrc, cbsrc, crsrc, samp))
+            assert out is not None, samp
+            y, cb, cr = out
+            assert np.array_equal(
+                y, ref_plane(ysrc, _jpeg_qtable(), (8 * sv, 8 * sh))[:h, :w]
+            ), samp
+            for got, src in ((cb, cbsrc), (cr, crsrc)):
+                ref = ref_plane(src, _jpeg_qtable_chroma(), (8, 8))[:ch, :cw]
+                up = np.repeat(np.repeat(ref, sv, axis=0), sh, axis=1)[:h, :w]
+                assert np.array_equal(got, up), samp
 
 
-def test_jpeg_color420_profile_gates():
+def test_jpeg_color_profile_gates():
     """Color and grayscale streams must route to their own decoders;
-    truncation and junk never raise (the crawl contract)."""
+    exotic samplings are rejected; truncation and junk never raise (the
+    crawl contract)."""
     import numpy as np
 
     from mapreduce_hadoop_spark.operators.multimodal import (
         _jpeg_bytes_patterned,
         _jpeg_color_bytes_patterned,
-        _jpeg_decode_color420,
+        _jpeg_decode_color,
         _jpeg_decode_gray,
     )
 
     color = _jpeg_color_bytes_patterned(24, 16, 7)
     gray = _jpeg_bytes_patterned(24, 16, 7)
-    assert _jpeg_decode_color420(color) is not None
-    assert _jpeg_decode_color420(gray) is None  # one component
+    assert _jpeg_decode_color(color) is not None
+    assert _jpeg_decode_color(gray) is None  # one component
     assert _jpeg_decode_gray(color) is None  # three components
-    assert _jpeg_decode_color420(color[: len(color) // 2]) is None
+    assert _jpeg_decode_color(color[: len(color) // 2]) is None
     # Progressive marker out of profile for the color path too.
-    assert _jpeg_decode_color420(color.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    assert _jpeg_decode_color(color.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    # Exotic sampling (4:1:1, Y byte 0x41) is out of profile: patch the
+    # SOF Y sampling byte in place.
+    i = color.index(b"\xff\xc0")
+    y_samp = i + 2 + 2 + 6 + 1  # marker + len + prec/h/w/nf + comp id
+    assert color[y_samp] == 0x22
+    bad = color[:y_samp] + b"\x41" + color[y_samp + 1 :]
+    assert _jpeg_decode_color(bad) is None
     rng = np.random.default_rng(13)
     for size in (0, 2, 64, 1024):
-        _jpeg_decode_color420(
+        _jpeg_decode_color(
             b"\xff\xd8" + rng.integers(0, 256, size, dtype=np.uint8).tobytes()
         )
 
