@@ -266,3 +266,26 @@ def test_ivfpq_trained_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_shortlist_topr_two_phase_equivalence(spark):
+    """The adaptive switch must be INVISIBLE in output: for random scored
+    relations (with adc ties, the hard case), the bucketed two-phase
+    shortlist and the single-window form return identical row sets."""
+    import random
+
+    from mapreduce_hadoop_spark.operators.similarity import _shortlist_topr
+
+    rng = random.Random(17)
+    rows = [
+        (q, v, float(rng.choice([0.1, 0.2, 0.3, rng.random()])))
+        for q in range(4)
+        for v in rng.sample(range(5000), 400)
+    ]
+    scored = spark.createDataFrame(rows, "query_id int, vec_id int, adc double")
+    for shortlist in (5, 37, 64, 400):
+        one = _shortlist_topr(scored, shortlist, candidates_per_query=400)
+        two = _shortlist_topr(scored, shortlist, candidates_per_query=None)
+        a = sorted(map(tuple, one.collect()))
+        b = sorted(map(tuple, two.collect()))
+        assert a == b, f"shortlist={shortlist}: {len(a)} vs {len(b)} rows"
