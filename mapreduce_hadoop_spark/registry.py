@@ -123,6 +123,23 @@ and the SAME commit updates the test-side pin dict — the round-8/9
 lesson, twice over, is that the registry tuple and the test pin must
 move together or pytest goes red in the handoff.
 
+Round-12 application: the cadence forces the full rotation a fifth
+time — all 42 r12-tail candidates (the r11 tail, including the one
+rule-1b staged entry ``similarity_topk_ivf_spann``, which takes its
+first driver row) rotate in. Head = 7 reference + 42 rotations + 1
+spare change slot = 50. The spare goes to ``similarity_topk_pq_trained``:
+the round-12 plan (VERDICT order 1) is a stage-count fusion of the PQ
+warm serving path, so the fused primary gets a fresh driver row rather
+than riding a pin. The r11 rule-1a pin (``multimodal_real_jpeg``)
+retires at rotation — the query is in the forced rotation set and takes
+an ordinary fresh driver row. As before, CHANGED_THIS_ROUND starts
+EMPTY and grows commit-by-commit. Rule-1a extension this round: the
+gate runner now records value hashes for ROWS-ONLY queries too (same
+hasher the PASS lines use), so an output-identical rewrite of a
+rows-only query can be pinned exactly like a hash-verified one — the
+pre-rewrite hashes are captured in committed GATE_rule1a_pre_r12_*.log
+files generated from the untouched round-11 tree.
+
 Round-11 application: the cadence forces the full rotation a fourth
 time — all 37 r11-tail candidates with rows (the r10 tail minus the 5
 rule-1b staged entries) have r9 rows, so they all rotate in, and the 5
@@ -208,64 +225,53 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 11
+ROUND = 12
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row. Starts EMPTY at
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
-# Round 11: the trained-codebook + persisted-index-artifact work
-# (operators/ann_index.py) touched the whole PQ family — topk_pq /
-# topk_ivfpq had their scan+re-rank extracted into shared helpers
-# (output identical), topk_ivf_trained's k-means fit moved behind the
-# artifact layer with a deterministically capped training sample
-# (output identical at every gate scale: n < TRAIN_SAMPLE_CAP), and
-# topk_ivfpq_trained's residual books became ONE GLOBAL Lloyd-trained
-# book with a near-constant shortlist (output CHANGES). All four were
-# already in this round's head (staged promotions + the spare slot), so
-# each gets its fresh driver row.
+# Round 12: similarity_topk_pq_trained — the PQ warm serving path was
+# fused from ~12 stages to ~4 (driver-side query relation + ADC arrays
+# from the persisted books, q folded into the shortlist broadcast);
+# output identical at every gate scale, but the query holds the spare
+# head slot anyway, so it takes the fresh driver row directly.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "similarity_topk_pq",
-    "similarity_topk_ivfpq",
-    "similarity_topk_ivf_trained",
-    "similarity_topk_ivfpq_trained",
+    "similarity_topk_pq_trained",
 )
-
-# (multimodal_real_jpeg also changed this round — the grayscale JPEG
-# encoder/decoder were refactored around kernels shared with the new
-# color path — but its OUTPUT is unchanged at every gate scale, so it
-# rides rule 1a below instead of a head slot.)
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
-# Round 11: the round-10 pinned pair (text_language_id_ngram,
-# corpus_vocab_topk) is in this round's forced rotation set and takes
-# ordinary fresh driver rows instead, retiring that pin.
-# multimodal_real_jpeg: its grayscale encode/decode was refactored
-# around the kernels the new color path shares
-# (_jpeg_walk/_JpegBitReader/_jpeg_read_block/_jpeg_idct_plane/
-# _JpegScanWriter), output byte-identical — pinned against the
-# final-tree SRCHASH-bound GATE_sf0.01_r11.log carrying the exact
-# pre-rewrite r10 hash; the test-side pin dict
-# (tests/test_registry_rotation.py) moves in this same commit.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ("multimodal_real_jpeg",)
+# Round 12: the r11 pin (multimodal_real_jpeg) is in this round's
+# forced rotation set and takes an ordinary fresh driver row, retiring
+# that pin. The PQ stage fusion (VERDICT order 1) rewrites the shared
+# scan/re-rank helpers and the trained query-side build: outputs are
+# bit-identical at every gate scale by design (the fusion reorders
+# STAGES, not arithmetic — driver-side folds replicate the JVM
+# left-to-right fold term for term). similarity_topk_pq /
+# similarity_topk_ivfpq pin against their r11 hashes (in
+# GATE_*_r11.log); similarity_topk_ivfpq_trained is rows-only, whose
+# pre-rewrite hashes were captured in GATE_rule1a_pre_r12_*.log from
+# the untouched r11 tree at all five gate scales (the gate runner now
+# hashes rows-only outputs too). This tuple is EMPTY until the
+# end-of-round evidence commit: it moves together with the test pin
+# dict and the regenerated SRCHASH-bound logs (the round-8/9/11
+# lesson), landing as ("similarity_topk_pq", "similarity_topk_ivfpq",
+# "similarity_topk_ivfpq_trained").
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
-# Round 11: the five round-10 staged queries promoted into the head at
-# rotation, and the two planned NEW queries (similarity_topk_pq_trained,
-# multimodal_real_jpeg_color) landed directly in head slots freed by
-# retirements. One unplanned arrival after the head filled:
-# similarity_topk_ivf_spann (round-12 lever pulled forward — SPANN
-# boundary replication over the trained quantizer), gate-verified at
-# five scales this round, first driver row due next round.
-STAGED_NEXT_ROUND: tuple[str, ...] = ("similarity_topk_ivf_spann",)
+# Round 12: none — similarity_topk_ivf_spann promoted into the head at
+# rotation (first driver row this round).
+STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
-# surface (always in window) + 5 rule-1b staged promotions (first driver
-# rows for the round-10 PQ/IVFPQ + WAV/AVI work) + 1 spare change slot
-# (similarity_topk_ivf — see the Round-11 application paragraph) + all 37
-# row-carrying round-10 tail entries (rule 2 — the 2-round cadence's
-# forced full rotation: every r10-tail entry's newest driver row is r9).
+# surface (always in window) + all 42 row-carrying round-11 tail entries
+# (rule 2 — the 2-round cadence's forced full rotation: every r11-tail
+# entry's newest driver row is r10; the set includes the one rule-1b
+# staged entry, similarity_topk_ivf_spann, taking its first driver row)
+# + 1 spare change slot (similarity_topk_pq_trained — the round-12 PQ
+# stage-fusion primary; see the Round-12 application paragraph).
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -275,60 +281,53 @@ HEAD = (
     "airport_trips_parity",
     "daily_revenue",
     "total_revenue",
-    # Rule-1b staged promotions (first driver rows).
-    "similarity_topk_pq",
-    "similarity_topk_ivfpq",
-    "similarity_topk_ivfpq_trained",
-    "multimodal_real_wav",
-    "multimodal_real_avi",
-    # NEW this round, in the spare change slot (the planned
-    # similarity_topk_ivf re-verify row yields to it and returns to the
-    # tail on its r10 row): 4:2:0 YCbCr color JPEG decode.
-    "multimodal_real_jpeg_color",
-    # Round-9-green tail rotations (rule 2): the entire row-carrying
-    # round-10 tail rotates in.
-    "events_cube",
-    "customer_balance_windows",
-    "events_hash_sample",
-    "events_stratified_sample",
-    "customer_order_semi_anti",
-    "events_grouping_sets",
-    "orders_pivot_priority",
-    "lineitem_measures_unpivot",
-    "lineitem_percentiles",
-    "approx_lineitem_percentiles",
-    "events_salted_agg",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_daily_gapfill",
-    "fn_distance",
-    # fn_width_bucket's retired slot (candidate #1 exercised a fifth
-    # time — see the retirement list): the defensive similarity_topk_ivf
-    # re-verify row originally planned for the spare slot returns here.
-    "similarity_topk_ivf",
-    # NEW this round, in fn_epoch's retired head slot (candidate #1
-    # exercised — see the retirement list): Lloyd-trained flat PQ.
+    # Rule-1b staged promotion (first driver row; rows-only — k-means).
+    "similarity_topk_ivf_spann",
+    # Spare change slot: the fused flat-PQ primary (rows-only).
     "similarity_topk_pq_trained",
-    "corpus_domain_mix",
-    "corpus_pack_sequences",
-    "events_keyed_dedup",
-    "events_enriched",
-    "similarity_near_dup_cosine",
-    "global_top_orders",
-    "sql_revenue_by_nation",
-    "trips_concurrency",
-    "text_pii_scrub",
-    "views_before_purchase_range_join",
-    "similarity_topk_ivf_trained",
-    "airport_trips_timeout",
-    "corpus_weighted_sample",
-    "corpus_train_split",
-    "corpus_domain_quota",
-    "customer_activity_reconcile",
-    "sql_orders_above_customer_avg",
-    "corpus_vocab_topk",
-    "text_language_id_ngram",
-    "dedup_minhash_lsh",
+    # Round-10-green tail rotations (rule 2): the entire row-carrying
+    # round-11 tail rotates in.
+    "dedup_keep_best",
+    "multimodal_real_jpeg",
+    "multimodal_real_resize",
+    "dedup_exact_normalized",
+    "multimodal_real_roundtrip",
+    "dedup_simhash",
+    "corpus_clean_stats",
+    "events_daily_by_type",
+    "market_segment_balance",
+    "text_fingerprints",
+    "text_tfidf_top_terms",
+    "text_document_chunks",
+    "text_normalize",
+    "text_repetition_score",
+    "similarity_topk_bruteforce",
+    "similarity_topk_filtered",
+    "similarity_topk_lsh",
+    "similarity_near_dup_lsh",
+    "multimodal_metadata",
+    "events_rollup",
+    "purchase_asof_view",
+    "event_props_json",
+    "distinct_users_daily",
+    "approx_distinct_users_daily",
+    "segment_customer_setops",
+    "contamination_check",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "shipping_priority",
+    "text_quality_score",
+    "text_token_counts",
+    "events_session_window",
+    "text_span_dedup",
+    "text_gopher_rules",
+    "embedding_quantize_int8",
+    "events_funnel",
+    "events_cohort_retention",
 )
 
 

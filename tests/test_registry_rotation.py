@@ -56,13 +56,15 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 11: the round-10 pair rotated out (ordinary fresh driver
-    # rows); multimodal_real_jpeg entered when its grayscale JPEG
-    # encode/decode was refactored around the kernels shared with the
-    # new 4:2:0 color path (output byte-identical). Pre-rewrite hash
-    # from GATE_sf0.01_r10.log as committed at 2eaaa86; the log named
-    # here is the final-tree regeneration (SRCHASH-checked below).
-    "multimodal_real_jpeg": ("GATE_sf0.01_r11.log", "35344ea4950d22ff"),
+    # Round 12: the r11 pin (multimodal_real_jpeg) retired at rotation —
+    # the query is in the forced rotation set and takes an ordinary
+    # fresh driver row. EMPTY until the end-of-round evidence commit,
+    # when the PQ stage-fusion pins land together with the registry
+    # tuple and the regenerated SRCHASH-bound r12 gate logs (pre-rewrite
+    # hashes: similarity_topk_pq / similarity_topk_ivfpq from
+    # GATE_sf0.01_r11.log; similarity_topk_ivfpq_trained from
+    # GATE_rule1a_pre_r12_sf0.01.log, captured off the untouched r11
+    # tree — the gate runner now hashes rows-only outputs too).
 }
 
 
@@ -91,7 +93,9 @@ def test_hash_identical_rewrites_pinned():
                 "commit the refreshed log"
             )
             logs_checked.add(log_name)
-        m = re.search(rf"PASS {q}: rows=\d+ hash=([0-9a-f]+)", log)
+        # PASS lines (hash-verified queries) and ok? lines (rows-only —
+        # hashed since round 12) both carry the same value hash.
+        m = re.search(rf"(?:PASS|ok\?)\s+{q}:.*?rows=\d+ hash=([0-9a-f]+)", log)
         assert m, f"{q} missing from {log_name}"
         assert m.group(1) == h, f"{q}: output changed ({m.group(1)} != {h})"
 

@@ -110,7 +110,15 @@ def main() -> int:
             continue
         t_spark = time.time() - t0
         if name not in oracles:
-            print(f"ok?  {name}: rows-only (no oracle) rows={len(sdf)} [{t_spark:.1f}s]")
+            # Rows-only queries get the SAME value hash the PASS lines
+            # carry (round 12 on): there is no oracle to compare against,
+            # but the hash lets rule-1a pins prove an output-identical
+            # rewrite for rows-only queries exactly like hash-verified
+            # ones (tests/test_registry_rotation.py matches either line).
+            print(
+                f"ok?  {name}: rows-only (no oracle) rows={len(sdf)} "
+                f"hash={value_hash(sdf)} [{t_spark:.1f}s]"
+            )
             continue
         try:
             odf = con.execute(oracles[name]).df()
