@@ -50,6 +50,12 @@ HEADLINE = [
     "corpus_clean_stats",
 ]
 
+# Subtotal split (VERDICT r11 order 6): the ANN+media family was 56% of
+# the sf1 total, diluting every regression signal in the other queries.
+# Both subtotals print inside the same capped metric line, so drift in
+# either is visible in driver records without reading 26 per-query keys.
+ANN_MEDIA = {q for q in HEADLINE if q.startswith(("similarity_", "multimodal_"))}
+
 # The driver records only the LAST 2000 characters of bench output and
 # parses the metric JSON out of that tail. Round 10's ~2,400-char note
 # pushed the head of the JSON line out of the capture window and the
@@ -227,6 +233,12 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "reference_relational_sec": round(
+            sum(t for q, t in timings.items() if q not in ANN_MEDIA), 3
+        ),
+        "ann_media_sec": round(
+            sum(t for q, t in timings.items() if q in ANN_MEDIA), 3
+        ),
         "queries": timings,
         "sf": sf,
         "stream": stream,

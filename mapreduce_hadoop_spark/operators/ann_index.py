@@ -48,6 +48,19 @@ from pyspark.sql import functions as F
 # model is reproducible for a given corpus snapshot.
 TRAIN_SAMPLE_CAP = 1 << 17
 
+# Training recipe, baked into every artifact name: seed, per-model
+# maxIter, and the sample cap. Changing ANY of these (bumping maxIter,
+# widening the sample) would otherwise silently serve a stale model to
+# the rows-only trained queries — the artifact is keyed by corpus
+# fingerprint alone, and a warm .ann_index would mask the change.
+KMEANS_SEED = 42
+COARSE_MAXITER = 10
+PQ_MAXITER = 20
+
+
+def _recipe(max_iter: int) -> str:
+    return f"s{KMEANS_SEED}i{max_iter}c{TRAIN_SAMPLE_CAP.bit_length() - 1}"
+
 _META_MEMO: dict[str, dict] = {}
 _MODEL_MEMO: dict[tuple, list] = {}
 
@@ -71,7 +84,13 @@ def index_root() -> str:
 
 def _fingerprint(sf_dir: str) -> str:
     """Corpus snapshot key: realpath + size + mtime of the embeddings
-    source. Any in-place regeneration changes size or mtime -> new key.
+    source, PLUS a sha256 of the file's last 64 KiB (the parquet footer —
+    row-group offsets, column statistics, created_by — which changes on
+    any regeneration). The footer sample closes the timestamp-preserving
+    rewrite hole: an in-place regeneration via ``cp -p`` / ``rsync -a`` /
+    ``tar -x`` keeps size+mtime but cannot keep the footer bytes of a
+    different corpus, so stale models are never served. Cost: one 64 KiB
+    read per session (memoized behind _META_MEMO/_MODEL_MEMO lookups).
 
     Remote/unlistable corpus (``os.stat`` fails): the key gets a
     ``volatile-`` prefix and the artifact layer SKIPS disk persistence —
@@ -81,7 +100,10 @@ def _fingerprint(sf_dir: str) -> str:
     path = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
     try:
         st = os.stat(path)
-        raw = f"{path}|{st.st_size}|{st.st_mtime_ns}"
+        with open(path, "rb") as f:
+            f.seek(max(0, st.st_size - 65536))
+            footer = hashlib.sha256(f.read(65536)).hexdigest()[:16]
+        raw = f"{path}|{st.st_size}|{st.st_mtime_ns}|{footer}"
     except OSError:
         return "volatile-" + hashlib.sha256(path.encode()).hexdigest()[:16]
     return hashlib.sha256(raw.encode()).hexdigest()[:16]
@@ -152,17 +174,20 @@ def coarse_centroids(
     """K-means coarse quantizer centroids, load-or-fit.
 
     Returns ``[(cent_id, cv)]`` — model parameters, K x dim doubles.
-    Fit: Spark ML KMeans (seed 42, maxIter 10) over a deterministic
-    sample capped at TRAIN_SAMPLE_CAP rows (the FAISS recipe: train on
-    a sample, assign the full corpus).
+    Fit: Spark ML KMeans (KMEANS_SEED, COARSE_MAXITER) over a
+    deterministic sample capped at TRAIN_SAMPLE_CAP rows (the FAISS
+    recipe: train on a sample, assign the full corpus). The artifact
+    name carries the full training recipe, so changing seed/maxIter/cap
+    orphans the old model instead of silently serving it.
     """
     key = _fingerprint(sf_dir)
-    memo_key = (key, "coarse", k)
+    fname = f"coarse_k{k}_{_recipe(COARSE_MAXITER)}.parquet"
+    memo_key = (key, fname)
     rows = _MODEL_MEMO.get(memo_key)
     if rows is not None:
         return rows
 
-    path = os.path.join(_corpus_dir(sf_dir), f"coarse_k{k}.parquet")
+    path = os.path.join(_corpus_dir(sf_dir), fname)
     loaded = _load_model(path, ["cent_id", "cv"]) if _durable(key) else None
     if loaded is not None:
         rows = [(int(c), list(v)) for c, v in loaded]
@@ -180,14 +205,14 @@ def coarse_centroids(
         feats = feats.select(
             "vec_id", array_to_vector(F.col("v")).alias("features")
         )
-        km = KMeans(k=k, seed=42, maxIter=10).fit(feats)
+        km = KMeans(k=k, seed=KMEANS_SEED, maxIter=COARSE_MAXITER).fit(feats)
         rows = [
             (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
         ]
         if _durable(key):
             d = _corpus_dir(sf_dir, create=True)
             _save_model(
-                os.path.join(d, f"coarse_k{k}.parquet"),
+                os.path.join(d, fname),
                 {"cent_id": [r[0] for r in rows], "cv": [r[1] for r in rows]},
             )
     _MODEL_MEMO[memo_key] = rows
@@ -202,6 +227,7 @@ def pq_codebooks(
     sub_dim: int,
     k: int,
     tag: str = "nv",
+    coarse_k: "int | None" = None,
 ) -> list[tuple[int, int, list[float]]]:
     """Lloyd-TRAINED product-quantization codebooks, load-or-fit.
 
@@ -211,6 +237,12 @@ def pq_codebooks(
     sample. Returns ``[(m, code, cd)]`` with ``cd`` the sub_dim-dim cell
     centroid — M x 2^bits x sub_dim doubles, model-sized.
 
+    ``coarse_k`` MUST be passed for residual books: the residual cloud
+    is shaped by the coarse quantizer that produced it, so the artifact
+    name keys the coarse K (next to the seed/maxIter/sample-cap recipe)
+    — bumping the IVF list count can never serve books trained against
+    the old quantizer's residuals.
+
     This is the judge-named lever against the one-step sign-orthant
     books: trained cells track the subvector distribution, so ADC
     distortion FALLS as data grows instead of staying a constant of the
@@ -218,12 +250,13 @@ def pq_codebooks(
     from n/10 to a near-constant (see similarity.topk_pq_trained).
     """
     key = _fingerprint(sf_dir)
-    memo_key = (key, "pq", tag, m_subspaces, k)
+    ck = "" if coarse_k is None else f"_K{coarse_k}"
+    fname = f"pq_{tag}_m{m_subspaces}_k{k}{ck}_{_recipe(PQ_MAXITER)}.parquet"
+    memo_key = (key, fname)
     rows = _MODEL_MEMO.get(memo_key)
     if rows is not None:
         return rows
 
-    fname = f"pq_{tag}_m{m_subspaces}_k{k}.parquet"
     path = os.path.join(_corpus_dir(sf_dir), fname)
     loaded = _load_model(path, ["m", "code", "cd"]) if _durable(key) else None
     if loaded is not None:
@@ -251,11 +284,14 @@ def pq_codebooks(
         try:
             rows = []
             for m in range(m_subspaces):
-                # maxIter 20 (vs the coarse quantizer's 10): subspace
+                # PQ_MAXITER 20 (vs the coarse quantizer's 10): subspace
                 # books are the distortion-critical model and the fit is
                 # a one-time persisted cost.
                 km = KMeans(
-                    k=k, seed=42 + m, maxIter=20, featuresCol=f"sub{m}"
+                    k=k,
+                    seed=KMEANS_SEED + m,
+                    maxIter=PQ_MAXITER,
+                    featuresCol=f"sub{m}",
                 ).fit(sample)
                 for code, c in enumerate(km.clusterCenters()):
                     rows.append((m, code, [float(x) for x in c]))
@@ -273,6 +309,15 @@ def pq_codebooks(
             )
     _MODEL_MEMO[memo_key] = rows
     return rows
+
+
+def codes_artifact_name(tag: str, m_subspaces: int, k: int, coarse_k: "int | None" = None) -> str:
+    """Artifact name for encoded PQ codes: keys the code geometry AND the
+    training recipe of the books that produced them (plus the coarse K
+    for residual codes), so a recipe change orphans books and codes
+    together."""
+    ck = "" if coarse_k is None else f"_K{coarse_k}"
+    return f"codes_{tag}_m{m_subspaces}_k{k}{ck}_{_recipe(PQ_MAXITER)}.parquet"
 
 
 # --- persisted relations (the FAISS ``add`` half) ----------------------------
@@ -304,11 +349,65 @@ def cached_relation(
         return build()
     path = os.path.join(_corpus_dir(sf_dir, create=True), name)
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        tmp = path + ".tmp"
+        # Per-process tmp sibling: two sessions building the same corpus
+        # concurrently must not rmtree/rename each other's half-written
+        # staging dir; whichever os.replace lands last wins with a COMPLETE
+        # build (the _SUCCESS re-check below ensures only committed Spark
+        # output is ever renamed into place).
+        tmp = f"{path}.tmp.{os.getpid()}"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         build().write.mode("overwrite").parquet(tmp)
+        if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError(f"index artifact build did not commit: {tmp}")
         if os.path.isdir(path):
             shutil.rmtree(path)
         os.replace(tmp, path)
     return spark.read.parquet(path)
+
+
+# --- the query-side relation --------------------------------------------------
+
+
+def query_vectors(
+    emb: DataFrame, sf_dir: str, n_queries: int
+) -> list[tuple[int, list[float]]]:
+    """The demo query vectors (vec_id < n_queries), driver-side and
+    persisted with the index artifacts — the serving-system shape, where
+    the query vector arrives IN the request rather than being re-scanned
+    out of the corpus per query.
+
+    Returns ``[(vec_id, v)]`` sorted by vec_id — request-sized
+    (n_queries x dim doubles), the one legitimately driver-resident
+    relation in the ANN family. Cold path: one BOUNDED collect
+    (n_queries rows, filter pushed to the parquet scan), then written
+    down; warm sessions (any process) load the artifact with zero Spark
+    jobs, which is what lets the fused PQ paths build their ADC lookup
+    arrays without a single query-side Spark stage.
+    """
+    key = _fingerprint(sf_dir)
+    fname = f"queries_n{n_queries}.parquet"
+    memo_key = (key, fname)
+    rows = _MODEL_MEMO.get(memo_key)
+    if rows is not None:
+        return rows
+
+    path = os.path.join(_corpus_dir(sf_dir), fname)
+    loaded = _load_model(path, ["vec_id", "v"]) if _durable(key) else None
+    if loaded is not None:
+        rows = [(int(i), list(v)) for i, v in loaded]
+    else:
+        rows = sorted(
+            (int(r["vec_id"]), [float(x) for x in r["v"]])
+            for r in emb.filter(F.col("vec_id") < n_queries)
+            .select("vec_id", "v")
+            .collect()
+        )
+        if _durable(key):
+            d = _corpus_dir(sf_dir, create=True)
+            _save_model(
+                os.path.join(d, fname),
+                {"vec_id": [r[0] for r in rows], "v": [r[1] for r in rows]},
+            )
+    _MODEL_MEMO[memo_key] = rows
+    return rows

@@ -66,6 +66,25 @@ def _with_norm(df: DataFrame) -> DataFrame:
     )
 
 
+def _div_by(vec: "Column | str", scalar: "Column | str") -> Column:
+    """``transform(vec, x -> x / scalar)`` with the scalar's defining
+    expression evaluated ONCE per row. Catalyst's CollapseProject inlines
+    a projected scalar (e.g. the O(d)-fold ``norm`` column) INTO the
+    per-element lambda, re-evaluating the fold for EVERY element —
+    O(d^2) interpreted ops per row, measured as 9.4 s of
+    topk_pq_trained's 13.2 s sf1 wall (round 11 misattributed this to
+    scheduler stage latency). Binding the scalar as the element of a
+    1-element outer transform turns it into a lambda VARIABLE, which the
+    inner lambda references for free. The arithmetic (and therefore every
+    output bit) is unchanged; only the evaluation count drops."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    scalar = F.col(scalar) if isinstance(scalar, str) else scalar
+    return F.element_at(
+        F.transform(F.array(scalar), lambda s: F.transform(vec, lambda x: x / s)),
+        1,
+    )
+
+
 DOT_SQL = "list_reduce([{a}[i] * {b}[i] for i in range(1, 65)], (x, y) -> x + y)"
 NORM_SQL = (
     "sqrt(list_reduce([{v}[i] * {v}[i] for i in range(1, 65)], (x, y) -> x + y))"
@@ -1316,7 +1335,7 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _emb_count(emb, sf_dir)
     shortlist = _pq_shortlist(n)
     nvt = emb.select(
-        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv")
+        "vec_id", _div_by("v", "norm").alias("nv")
     )
     codes = nvt.select(
         "vec_id",
@@ -1392,10 +1411,10 @@ def _adc_scatter_arrays(adc: DataFrame, keys: "list[str]", m_subspaces: int) -> 
     a linear scan), so its cost is #groups x 256^2 interpreted ops —
     fine for the flat-PQ paths (Q x M groups) and the fixed-K ivfpq
     (Q x nprobe x M), but it is why the TRAINED paths build their arrays
-    straight from the driver-side codebooks instead
-    (``_adc_arrays_from_books``): at K=sqrt(n), Q x nprobe x M groups
-    made the scatter the top cost of the whole query (measured +13% on
-    topk_ivfpq_trained at sf1). Codes never referenced stay +inf (never
+    straight from the driver-side codebooks instead (``_adc_arrays_np``,
+    driver-built local relations since round 12): at K=sqrt(n),
+    Q x nprobe x M groups made the scatter the top cost of the whole
+    query (measured +13% on topk_ivfpq_trained at sf1). Codes never referenced stay +inf (never
     matched: every emitted code has a codebook row), keeping the asc
     sort sane if one ever leaks."""
     mp = F.map_from_entries(F.collect_list(F.struct("code", "t")))
@@ -1410,48 +1429,91 @@ def _adc_scatter_arrays(adc: DataFrame, keys: "list[str]", m_subspaces: int) -> 
     )
 
 
-def _adc_arrays_from_books(
+def _strict_dot(a: "list[float]", b: "list[float]") -> float:
+    """Python twin of ``_dot``'s JVM fold: strict left-to-right IEEE
+    double accumulation from 0.0 — bit-identical by construction."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _query_nv_rows(emb: DataFrame, sf_dir: str) -> "list[tuple[int, list[float]]]":
+    """Driver-side normalized query vectors ``[(query_id, nv)]`` — the
+    arithmetic twin of ``nvt.filter(vec_id < N_QUERIES)``: norm =
+    sqrt(strict-fold(v*v)) and nv_i = v_i / norm are the exact IEEE
+    double ops the JVM path performs (sqrt is correctly rounded in both
+    runtimes), so cosines computed downstream from these values are
+    bit-identical to the pre-fusion plan's. Backed by the persisted
+    query-side artifact (ann_index.query_vectors): warm sessions build
+    the whole query side with ZERO Spark jobs."""
+    import math
+
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    rows = ann_index.query_vectors(emb, sf_dir, N_QUERIES)
+    out = []
+    for qid, v in rows:
+        norm = math.sqrt(_strict_dot(v, v))
+        out.append((qid, [x / norm for x in v]))
+    return out
+
+
+def _adc_arrays_np(
+    qvecs: "list[list[float]]",
+    rows: "list[tuple[int, int, list[float]]]",
+    m_subspaces: int,
+    sub: int,
+):
+    """Per-query dense ADC lookup arrays computed driver-side from the
+    trained codebooks: for query g, subspace m, code c —
+    ts[g][m][c] = sum_d (qvec[m*sub+d] - cd[d])^2, accumulated in
+    ascending-d order so every entry is bit-identical to the JVM
+    zip_with/aggregate fold it replaces (numpy elementwise ops are the
+    same IEEE doubles; only the STAGE moves to the driver, not the
+    arithmetic). Book cells never emitted by the encoder are +inf (the
+    asc shortlist can never surface them — the sparse-artifact trap
+    ADVICE r11 flagged). Returns a list of M (G, K) float64 arrays."""
+    import numpy as np
+
+    k = 1 + max(code for _, code, _ in rows)
+    books = np.full((m_subspaces, k, sub), np.inf, dtype=np.float64)
+    for m, code, cd in rows:
+        books[m, code] = cd
+    x = np.asarray(qvecs, dtype=np.float64)
+    out = []
+    for m in range(m_subspaces):
+        acc = np.zeros((len(x), k), dtype=np.float64)
+        for d in range(sub):
+            diff = x[:, m * sub + d][:, None] - books[m, :, d][None, :]
+            acc = acc + diff * diff
+        out.append(acc)
+    return out
+
+
+def _local_qarr_df(
     spark: SparkSession,
-    qdf: DataFrame,
-    keys: "list[str]",
-    vec_col: str,
+    key_fields: "list[tuple[str, str]]",
+    key_rows: "list[tuple]",
+    qvecs: "list[list[float]]",
     rows: "list[tuple[int, int, list[float]]]",
     m_subspaces: int,
     sub: int,
 ) -> DataFrame:
-    """Per-query dense ADC lookup arrays computed DIRECTLY from the
-    driver-side trained codebooks: one 1-row broadcast of the nested
-    (m -> code -> cd) book tensor, then ts_m = transform(book_m,
-    cd -> ||slice(vec, m) - cd||^2) — no groupBy, no pivot, no
-    map-scatter (same arithmetic as ``_adc_t``, term for term)."""
-    k = 1 + max(code for _, code, _ in rows)
-    books: "list[list[list[float]]]" = [
-        [None] * k for _ in range(m_subspaces)  # type: ignore[list-item]
+    """The per-query ADC lookup-array relation as a LOCAL DataFrame
+    (one row per ``key_rows`` entry, M array<double> columns `0`..`M-1`)
+    — a LocalTableScan, so broadcasting it costs no Spark job at all.
+    ``key_fields`` is [(name, ddl_type)] for the leading key columns."""
+    adc = _adc_arrays_np(qvecs, rows, m_subspaces, sub)
+    data = [
+        (*key_rows[g], *[adc[m][g].tolist() for m in range(m_subspaces)])
+        for g in range(len(key_rows))
     ]
-    for m, code, cd in rows:
-        books[m][code] = list(cd)
-    bdf = spark.createDataFrame(
-        [(books,)], "books array<array<array<double>>>"
+    schema = ", ".join(
+        [f"{name} {t}" for name, t in key_fields]
+        + [f"`{m}` array<double>" for m in range(m_subspaces)]
     )
-    def ts_col(m: int) -> Column:
-        # One-arg transform lambda on purpose: PySpark passes (elem, idx)
-        # to two-arg lambdas, so ``m`` must bind via this closure.
-        return F.transform(
-            F.element_at("books", m + 1),
-            lambda cd: F.aggregate(
-                F.zip_with(
-                    F.slice(F.col(vec_col), m * sub + 1, sub),
-                    cd,
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        ).alias(f"{m}")
-
-    return qdf.crossJoin(F.broadcast(bdf)).select(
-        *keys, *[ts_col(m) for m in range(m_subspaces)]
-    )
+    return spark.createDataFrame(data, schema)
 
 
 def _pq_adc_rank(
@@ -1462,6 +1524,7 @@ def _pq_adc_rank(
     shortlist: int,
     m_subspaces: int = PQ_M,
     candidates_per_query: "int | None" = None,
+    persist_codes: bool = True,
 ) -> DataFrame:
     """Shared flat-PQ ADC scan + two-phase shortlist + exact re-rank;
     ``codes`` is (vec_id, c0..c{M-1}), ``qarr`` is one row per query
@@ -1479,12 +1542,15 @@ def _pq_adc_rank(
     M=4, -30% wall at M=8/sf1 (32.6 -> 23.0 s before the codes persist)
     — one join instead of M beats M O(1) hash probes once M grows.
     """
-    # The 8-ish-byte codes relation is scanned by the broadcast fan-out
-    # and is the product of an Arrow encode UDF (trained path) — persist
-    # it so the final DAG does not re-encode the corpus per subtree.
-    sc = _persisted(
-        codes.select("vec_id", *[f"c{m}" for m in range(m_subspaces)])
-    ).crossJoin(F.broadcast(qarr))
+    # The 8-ish-byte codes relation is scanned by the broadcast fan-out.
+    # Sign-orthant twins persist it (its lineage carries the in-plan
+    # codebook aggregation); the trained paths pass persist_codes=False —
+    # their codes are a read-once parquet ARTIFACT scan, and caching a
+    # read-once relation only adds a materialization pass.
+    codes = codes.select("vec_id", *[f"c{m}" for m in range(m_subspaces)])
+    if persist_codes:
+        codes = _persisted(codes)
+    sc = codes.crossJoin(F.broadcast(qarr))
     t_sum = " + ".join(f"element_at(`{m}`, c{m} + 1)" for m in range(m_subspaces))
     scored = sc.select(
         "query_id",
@@ -1496,17 +1562,19 @@ def _pq_adc_rank(
     # see _shortlist_topr; identical output either way).
     short = _shortlist_topr(scored, shortlist, candidates_per_query)
 
-    # Exact re-rank of the shortlist: broadcast the Q*R survivors against
-    # one pruned scan of the normalized vectors.
-    rer = (
-        nvt.join(F.broadcast(short), "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(_dot(F.col("qnv"), F.col("nv")), 6).alias("cosine"),
-            "adc",
-        )
+    # Exact re-rank of the shortlist: the query vectors join the Q*R
+    # survivors INSIDE the broadcast build (q is query-sized), so the
+    # final stage is ONE broadcast-hash join against one pruned scan of
+    # the normalized vectors — not two separate broadcast jobs (round-12
+    # stage fusion; output identical, the join is the same inner equi-join
+    # either side of the broadcast boundary).
+    rer = nvt.join(
+        F.broadcast(short.join(F.broadcast(q), "query_id")), "vec_id"
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("qnv"), F.col("nv")), 6).alias("cosine"),
+        "adc",
     )
     w3 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -1637,7 +1705,7 @@ def _pq_trained_ivf_shortlist(n: int) -> int:
     return max(PQ_TRAINED_IVF_SHORTLIST_MIN, n // PQ_TRAINED_SHORTLIST_DIV)
 
 
-def _pq_encode_udf(books):
+def _pq_encode_udf(books, residual: bool = False):
     """Arrow-batched PQ encoder: nearest-cell code per subspace.
 
     ``books`` is a numpy (M, K, SUB) array captured in the UDF closure
@@ -1649,6 +1717,15 @@ def _pq_encode_udf(books):
     join + argmin shuffle or an interpreted higher-order-function fold
     over K cells per row. Map-only, deterministic (np.argmin takes the
     lowest index on ties).
+
+    The UDF takes PLAIN columns — ``(v, norm)``, plus ``ncv`` when
+    ``residual`` — and normalizes (and subtracts the list centroid)
+    inside numpy: elementwise IEEE float64 ops, bit-identical to the JVM
+    ``transform``/``zip_with`` forms they replace. Two reasons: UDF
+    argument expressions must stay simple (Spark cannot evaluate a
+    nested lambda-variable HOF inlined into a Python UDF argument —
+    INTERNAL_ERROR), and the JVM normalization paid the CollapseProject
+    O(d^2) norm-refold per row (see ``_div_by``) on every cold encode.
     """
     import numpy as np
     import pandas as pd
@@ -1660,19 +1737,46 @@ def _pq_encode_udf(books):
     # row, so argmin needs only the last two terms.
     cnorms = (books**2).sum(axis=2)  # (M, K)
 
-    def enc(vcol):
-        x = np.asarray(vcol.tolist(), dtype=np.float64)
+    def _codes(x):
         out = np.empty((len(x), m_sub), dtype=np.int32)
         for m in range(m_sub):
             xm = x[:, m * sub : (m + 1) * sub]
             out[:, m] = np.argmin(cnorms[m] - 2.0 * (xm @ books[m].T), axis=1)
         return pd.Series(list(out))
 
+    def enc(vcol, normcol):
+        x = np.asarray(vcol.tolist(), dtype=np.float64)
+        return _codes(x / normcol.to_numpy()[:, None])
+
+    def enc_res(vcol, normcol, ncvcol):
+        x = np.asarray(vcol.tolist(), dtype=np.float64)
+        nc = np.asarray(ncvcol.tolist(), dtype=np.float64)
+        return _codes(x / normcol.to_numpy()[:, None] - nc)
+
     # No type hints: module-level `from __future__ import annotations`
     # stringifies them and pandas_udf's hint inference cannot resolve
     # 'pd.Series' from this module's globals — the explicit returnType
     # form infers SCALAR eval type without hints.
-    return pandas_udf(enc, "array<int>")
+    return pandas_udf(enc_res if residual else enc, "array<int>")
+
+
+def _assign_topn_np(x, cents_rows: "list[tuple[int, list[float]]]", n: int):
+    """Shared core of coarse-list assignment: top-``n`` centroid ids by
+    cosine for each row of the float64 matrix ``x`` — ONE routine used by
+    both the Arrow-batched corpus UDF (``_assign_arrow_udf``) and the
+    driver-side query prep of the fused trained paths, so the two sides
+    cannot drift. Ranking: cosine desc (the row norm scales all centroids
+    equally, so the matmul ranks it), ties by cent_id asc (ids pre-sorted
+    + stable argsort). Returns ``list[list[int]]``."""
+    import numpy as np
+
+    rows_sorted = sorted(cents_rows)
+    ids = np.asarray([cid for cid, _ in rows_sorted], dtype=np.int64)
+    cmat = np.asarray([cv for _, cv in rows_sorted], dtype=np.float64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    scores = (x @ cmat.T) / cn
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :n]
+    return [ids[row].tolist() for row in idx]
 
 
 def _assign_arrow_udf(cents_rows: "list[tuple[int, list[float]]]", n: int):
@@ -1680,24 +1784,16 @@ def _assign_arrow_udf(cents_rows: "list[tuple[int, list[float]]]", n: int):
     cosine per vector, as one (B, d) x (d, K) matmul per batch — the
     trained-path replacement for ``_assign``'s crossJoin + window
     formulation, whose n x K interpreted folds and shuffled scored rows
-    dominate wall time once K=sqrt(n) (see ``_ivfpq_from``). Ranking:
-    cosine desc (the row norm scales all centroids equally, so the
-    matmul ranks it), ties by cent_id asc (ids pre-sorted + stable
-    argsort). Map-only, deterministic."""
+    dominate wall time once K=sqrt(n) (see ``_ivfpq_from``). Map-only,
+    deterministic; core shared with the driver-side query prep
+    (``_assign_topn_np``)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    rows_sorted = sorted(cents_rows)
-    ids = np.asarray([cid for cid, _ in rows_sorted], dtype=np.int64)
-    cmat = np.asarray([cv for _, cv in rows_sorted], dtype=np.float64)
-    cn = np.sqrt((cmat * cmat).sum(axis=1))
-
     def assign(vcol):
         x = np.asarray(vcol.tolist(), dtype=np.float64)
-        scores = (x @ cmat.T) / cn
-        idx = np.argsort(-scores, axis=1, kind="stable")[:, :n]
-        return pd.Series([ids[row].tolist() for row in idx])
+        return pd.Series(_assign_topn_np(x, cents_rows, n))
 
     # Explicit returnType (no hints) for the same reason as _pq_encode_udf.
     return pandas_udf(assign, "array<int>")
@@ -1754,13 +1850,24 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Encoding is an Arrow-batched matmul-argmin UDF (``_pq_encode_udf``,
     map-only); k-means training is not SQL-expressible -> rows-only
     driver check, like every trained variant.
+
+    Round 12 — the warm serving path is STAGE-FUSED to the shape a
+    request actually needs: the query side (normalized query vectors,
+    per-query ADC lookup arrays) is built DRIVER-SIDE from the persisted
+    books and the persisted query-vector artifact
+    (ann_index.query_vectors) with bit-identical arithmetic
+    (``_query_nv_rows`` / ``_adc_arrays_np``), and the query vectors join
+    the shortlist inside its broadcast build — a warm query plans TWO
+    jobs (shortlist build over the codes artifact, then one
+    broadcast-hash re-rank pass over the corpus), not the ~12-stage
+    r11 chain whose per-stage latency dominated sf1 wall time.
     """
     from mapreduce_hadoop_spark.operators import ann_index
 
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     n = _emb_count(emb, sf_dir)
     nvt = emb.select(
-        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv")
+        "vec_id", _div_by("v", "norm").alias("nv")
     )
     k = min(PQ_TRAINED_K, max(16, n // 2))
     rows = ann_index.pq_codebooks(
@@ -1769,7 +1876,9 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode() -> DataFrame:
         enc = _pq_encode_udf(_books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB))
-        return nvt.select("vec_id", enc(F.col("nv")).alias("cs")).select(
+        return emb.select(
+            "vec_id", enc(F.col("v"), F.col("norm")).alias("cs")
+        ).select(
             "vec_id",
             *[F.element_at("cs", m + 1).alias(f"c{m}") for m in range(PQ_TRAINED_M)],
         )
@@ -1778,16 +1887,23 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic given them), so a warm session's scan starts from a
     # pruned parquet read instead of re-encoding the corpus per query.
     codes = ann_index.cached_relation(
-        spark, sf_dir, f"codes_nv_m{PQ_TRAINED_M}_k{k}.parquet", encode
+        spark,
+        sf_dir,
+        ann_index.codes_artifact_name("nv", PQ_TRAINED_M, k),
+        encode,
     )
 
-    q = nvt.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv")
-    )
-    # Dense per-query ADC lookup arrays straight from the driver-side
-    # trained books — no crossJoin row explosion, no map scatter.
-    qarr = _adc_arrays_from_books(
-        spark, q, ["query_id"], "qnv", rows, PQ_TRAINED_M, PQ_TRAINED_SUB
+    # Query side: driver-built local relations (zero Spark jobs warm).
+    qnv_rows = _query_nv_rows(emb, sf_dir)
+    q = spark.createDataFrame(qnv_rows, "query_id long, qnv array<double>")
+    qarr = _local_qarr_df(
+        spark,
+        [("query_id", "long")],
+        [(qid,) for qid, _ in qnv_rows],
+        [nv for _, nv in qnv_rows],
+        rows,
+        PQ_TRAINED_M,
+        PQ_TRAINED_SUB,
     )
     return _pq_adc_rank(
         codes,
@@ -1797,6 +1913,7 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_trained_shortlist(n),
         m_subspaces=PQ_TRAINED_M,
         candidates_per_query=n,
+        persist_codes=False,
     )
 
 
@@ -1897,10 +2014,10 @@ def _ivfpq_from(
     oracle-pinned and K=16 keeps the crossJoin small.
     """
     nvt = emb.select(
-        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv")
+        "vec_id", _div_by("v", "norm").alias("nv")
     )
     ncents = cents.select(
-        "cent_id", F.transform(F.col("cv"), lambda x: x / F.col("cn")).alias("ncv")
+        "cent_id", _div_by("cv", "cn").alias("ncv")
     )
 
     # Residual per vector: r = nv - nc_list, in the same projection as the
@@ -1919,26 +2036,35 @@ def _ivfpq_from(
         "vec_id",
         "cent_id",
         F.zip_with(
-            F.transform(F.col("v"), lambda x: x / F.col("norm")),
+            _div_by("v", "norm"),
             F.col("ncv"),
             lambda a, b: a - b,
         ).alias("r"),
     )
 
     if trained_books:
+        import math
+
         from mapreduce_hadoop_spark.operators import ann_index
 
+        assert cents_rows is not None, "trained_books requires cents_rows"
+        coarse_k = len(cents_rows)
         k = min(PQ_TRAINED_K, max(16, _emb_count(emb, sf_dir) // 2))
         rows = ann_index.pq_codebooks(
             spark, base.select("vec_id", F.col("r").alias("res")),
             sf_dir, PQ_TRAINED_M, PQ_TRAINED_SUB, k, tag="res",
+            coarse_k=coarse_k,
         )
         def encode() -> DataFrame:
             enc = _pq_encode_udf(
-                _books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB)
+                _books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB),
+                residual=True,
             )
-            return base.select(
-                "vec_id", "cent_id", enc(F.col("r")).alias("cs")
+            plain = lists.join(F.broadcast(ncents), "cent_id")
+            return plain.select(
+                "vec_id",
+                "cent_id",
+                enc(F.col("v"), F.col("norm"), F.col("ncv")).alias("cs"),
             ).select(
                 "vec_id",
                 "cent_id",
@@ -1949,49 +2075,48 @@ def _ivfpq_from(
             )
 
         # The FAISS ``add`` half: (cent_id, codes) persist next to the
-        # books — the artifact name keys BOTH the residual book (k) and
-        # the coarse quantizer (K = len(cents_rows)) it was encoded
-        # against. Deterministic given them; assignment included, so a
+        # books — the artifact name keys the residual book (k), the
+        # coarse quantizer (K) it was encoded against, and the training
+        # recipe. Deterministic given them; assignment included, so a
         # warm session also skips the corpus assign.
-        coarse_k = len(cents_rows) if cents_rows is not None else -1
         codes = ann_index.cached_relation(
             spark,
             sf_dir,
-            f"codes_res_m{PQ_TRAINED_M}_k{k}_K{coarse_k}.parquet",
+            ann_index.codes_artifact_name(
+                "res", PQ_TRAINED_M, k, coarse_k=coarse_k
+            ),
             encode,
         )
-        q = nvt.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv")
-        )
-        qemb = emb.filter(F.col("vec_id") < N_QUERIES)
-        if cents_rows is not None:
-            assignp = _assign_arrow_udf(cents_rows, nprobe)
-            probed = qemb.select(
-                "vec_id",
-                "v",
-                "norm",
-                F.explode(assignp(F.col("v"))).alias("cent_id"),
-            )
-        else:
-            probed = _assign(qemb, cents, nprobe, "cent_id")
-        qres = probed.join(F.broadcast(ncents), "cent_id").select(
-            F.col("vec_id").alias("query_id"),
-            "cent_id",
-            F.zip_with(
-                F.transform(F.col("v"), lambda x: x / F.col("norm")),
-                F.col("ncv"),
-                lambda a, b: a - b,
-            ).alias("qr"),
-        )
-        # Dense per-(query, probed-list) ADC lookup arrays straight from
-        # the driver-side trained books — at K=sqrt(n) the groupBy+map
-        # scatter over Q x nprobe x M groups was the top cost of the
-        # whole query (see _adc_scatter_arrays).
-        qarr = _adc_arrays_from_books(
+
+        # Query side, DRIVER-BUILT (round-12 stage fusion): probe
+        # assignment runs the SAME numpy core the corpus UDF uses
+        # (_assign_topn_np), per-list query residuals and ADC arrays
+        # replicate the JVM folds term for term (_query_nv_rows /
+        # _adc_arrays_np), and everything ships as local relations — a
+        # warm query plans zero query-side Spark jobs where the r11
+        # chain planned an Arrow UDF stage + two broadcast joins.
+        import numpy as np
+
+        qv_rows = ann_index.query_vectors(emb, sf_dir, N_QUERIES)
+        qnv_rows = _query_nv_rows(emb, sf_dir)
+        xq = np.asarray([v for _, v in qv_rows], dtype=np.float64)
+        probe_lists = _assign_topn_np(xq, cents_rows, nprobe)
+        ncv = {
+            cid: [x / math.sqrt(_strict_dot(cv, cv)) for x in cv]
+            for cid, cv in cents_rows
+        }
+        keys: "list[tuple]" = []
+        qrs: "list[list[float]]" = []
+        for (qid, nv), plist in zip(qnv_rows, probe_lists):
+            for cid in plist:
+                keys.append((qid, cid))
+                qrs.append([a - b for a, b in zip(nv, ncv[cid])])
+        q = spark.createDataFrame(qnv_rows, "query_id long, qnv array<double>")
+        qarr = _local_qarr_df(
             spark,
-            qres,
-            ["query_id", "cent_id"],
-            "qr",
+            [("query_id", "long"), ("cent_id", "int")],
+            keys,
+            qrs,
             rows,
             PQ_TRAINED_M,
             PQ_TRAINED_SUB,
@@ -2004,6 +2129,7 @@ def _ivfpq_from(
             shortlist,
             m_subspaces=PQ_TRAINED_M,
             candidates_per_query=candidates_per_query,
+            persist_codes=False,
         )
 
     codes = base.select(
@@ -2064,7 +2190,7 @@ def _ivfpq_from(
             F.col("vec_id").alias("query_id"),
             "cent_id",
             F.zip_with(
-                F.transform(F.col("v"), lambda x: x / F.col("norm")),
+                _div_by("v", "norm"),
                 F.col("ncv"),
                 lambda a, b: a - b,
             ).alias("qr"),
@@ -2102,6 +2228,7 @@ def _ivfpq_scan_rank(
     shortlist: int,
     m_subspaces: int = PQ_M,
     candidates_per_query: "int | None" = None,
+    persist_codes: bool = True,
 ) -> DataFrame:
     """Shared IVF-PQ ADC scan + two-phase shortlist + exact re-rank;
     ``codes`` is (vec_id, cent_id, c0..c{M-1}), ``qarr`` is one row per
@@ -2118,9 +2245,10 @@ def _ivfpq_scan_rank(
     the array form: outputs identical, and one join instead of M wins as
     M grows (measured on the flat-PQ scan: -30% at M=8/sf1).
     """
-    sc = _persisted(
-        codes.select("vec_id", "cent_id", *[f"c{m}" for m in range(m_subspaces)])
-    ).join(F.broadcast(qarr), "cent_id")
+    codes = codes.select("vec_id", "cent_id", *[f"c{m}" for m in range(m_subspaces)])
+    if persist_codes:
+        codes = _persisted(codes)
+    sc = codes.join(F.broadcast(qarr), "cent_id")
     t_sum = " + ".join(f"element_at(`{m}`, c{m} + 1)" for m in range(m_subspaces))
     scored = sc.select(
         "query_id",
@@ -2131,15 +2259,15 @@ def _ivfpq_scan_rank(
     # Shortlist (one window or bucketed two-phase by candidate volume —
     # see _shortlist_topr; identical output either way).
     short = _shortlist_topr(scored, shortlist, candidates_per_query)
-    rer = (
-        nvt.join(F.broadcast(short), "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(_dot(F.col("qnv"), F.col("nv")), 6).alias("cosine"),
-            "adc",
-        )
+    # Re-rank with q folded into the shortlist broadcast — one
+    # broadcast-hash join against the corpus, same fusion as _pq_adc_rank.
+    rer = nvt.join(
+        F.broadcast(short.join(F.broadcast(q), "query_id")), "vec_id"
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("qnv"), F.col("nv")), 6).alias("cosine"),
+        "adc",
     )
     w3 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

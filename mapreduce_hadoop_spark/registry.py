@@ -232,12 +232,17 @@ ROUND = 12
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
 # Round 12: similarity_topk_pq_trained — the PQ warm serving path was
-# fused from ~12 stages to ~4 (driver-side query relation + ADC arrays
-# from the persisted books, q folded into the shortlist broadcast);
-# output identical at every gate scale, but the query holds the spare
-# head slot anyway, so it takes the fresh driver row directly.
+# fused (driver-side query relation + ADC arrays from the persisted
+# books, q folded into the shortlist broadcast, the CollapseProject
+# O(d^2) norm-refold fixed via _div_by); output identical at every gate
+# scale, but the query holds the spare head slot anyway, so it takes
+# the fresh driver row directly. similarity_topk_ivf_spann's probe
+# lineage shares the refactored _assign_arrow_udf core (identical
+# behavior by construction — one shared routine); it is in the head via
+# its rule-1b promotion, so its first driver row also covers the change.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "similarity_topk_pq_trained",
+    "similarity_topk_ivf_spann",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every

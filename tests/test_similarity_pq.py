@@ -289,3 +289,136 @@ def test_shortlist_topr_two_phase_equivalence(spark):
         a = sorted(map(tuple, one.collect()))
         b = sorted(map(tuple, two.collect()))
         assert a == b, f"shortlist={shortlist}: {len(a)} vs {len(b)} rows"
+
+
+def test_driver_side_query_prep_is_bit_identical(spark, sf_dir):
+    """Round-12 stage fusion moved the query side (normalized query
+    vectors, ADC lookup arrays, probe assignment) to the driver. The
+    fusion reorders STAGES, not arithmetic: every driver-built value must
+    equal the JVM formulation it replaced BIT FOR BIT."""
+    import math
+
+    from mapreduce_hadoop_spark.operators.similarity import (
+        _adc_arrays_np,
+        _assign_arrow_udf,
+        _assign_topn_np,
+        _query_nv_rows,
+        _strict_dot,
+    )
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    # 1. Normalized query vectors vs the JVM transform(v, x/norm).
+    jvm = {
+        r["vec_id"]: list(r["nv"])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv"),
+        )
+        .collect()
+    }
+    drv = dict(_query_nv_rows(emb, sf_dir))
+    assert set(drv) == set(jvm)
+    for qid in jvm:
+        assert drv[qid] == jvm[qid], f"nv mismatch for query {qid}"
+
+    # 2. ADC lookup arrays vs the JVM zip_with/aggregate fold.
+    qid, nv = next(iter(sorted(drv.items())))
+    m_sub, sub = 2, 4
+    books = [(m, c, [0.25 * (m + 1) * (c - j) for j in range(sub)])
+             for m in range(m_sub) for c in range(3)]
+    arrs = _adc_arrays_np([nv], books, m_sub, sub)
+    one = spark.createDataFrame([(nv,)], "nv array<double>")
+    for m in range(m_sub):
+        for c in range(3):
+            cd = dict(((mm, cc), v) for mm, cc, v in books)[(m, c)]
+            jvm_t = one.select(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("nv"), m * sub + 1, sub),
+                        F.array(*[F.lit(x) for x in cd]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("t")
+            ).collect()[0]["t"]
+            assert arrs[m][0][c] == jvm_t, (m, c)
+
+    # 3. Book cells never emitted by the encoder score +inf (the
+    # sparse-artifact trap: a hole must sink to the bottom of the asc
+    # shortlist, never float to the top as NULL would).
+    sparse = [(0, 0, [0.0] * sub), (1, 2, [0.0] * sub)]  # codes 1..2 of m=0 missing
+    holes = _adc_arrays_np([nv], sparse, 2, sub)
+    assert holes[0][0][1] == float("inf") and holes[0][0][2] == float("inf")
+    assert holes[1][0][0] == float("inf")
+    assert math.isfinite(holes[0][0][0])
+
+    # 4. Probe assignment: the driver core IS the UDF core (shared
+    # routine), verified end to end against the Arrow UDF's output.
+    cents_rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(64)]) for i in range(6)
+    ]
+    x = np.asarray([v for _, v in sorted(jvm.items())], dtype=np.float64)
+    drv_assign = _assign_topn_np(x, cents_rows, 3)
+    udf = _assign_arrow_udf(cents_rows, 3)
+    jvm_assign = [
+        r["a"]
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", udf(F.col("v")).alias("a"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assert drv_assign == jvm_assign
+
+    # 5. The strict fold twin.
+    v = jvm[qid]
+    jvm_norm = emb.filter(F.col("vec_id") == qid).collect()[0]["norm"]
+    raw = emb.filter(F.col("vec_id") == qid).collect()[0]["v"]
+    assert math.sqrt(_strict_dot(list(raw), list(raw))) == jvm_norm
+    assert len(v) == len(raw)
+
+
+def test_pq_trained_warm_plan_is_fused(spark, sf_dir, tmp_path, monkeypatch):
+    """The warm serving plan (persisted books + codes + query vectors)
+    must contain NO Python evaluation and NO corpus scan on the query
+    side: the query relations are driver-built LocalTableScans, codes
+    come from the pruned parquet artifact."""
+    from mapreduce_hadoop_spark.operators import ann_index
+    from mapreduce_hadoop_spark.operators.similarity import (
+        topk_pq_trained,
+        unpersist_intermediates,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    ann_index.clear_memos()
+    try:
+        # Cold pass fits + persists the artifacts (books, codes, queries).
+        topk_pq_trained(spark, sf_dir).collect()
+        unpersist_intermediates()
+        ann_index.clear_memos()
+        df = topk_pq_trained(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        unpersist_intermediates()
+        ann_index.clear_memos()
+    assert "ArrowEvalPython" not in plan, "warm plan must not re-encode"
+    assert "BatchEvalPython" not in plan
+    # Query side is driver-built (createDataFrame renders as an
+    # ExistingRDD scan of the request-sized local rows) — the only
+    # parquet scans are the codes artifact and the re-rank corpus pass.
+    assert "Scan ExistingRDD" in plan, "query side must be driver-built"
+    assert "codes_nv" in plan, "scan must read the codes artifact"
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2, scans
+    # Exactly two SHUFFLE exchanges: the shortlist window and the final
+    # rank window — the stage-fusion contract (was ~12 stages in r11;
+    # the detail-header regex never matches BroadcastExchange nodes).
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 2, shuffles

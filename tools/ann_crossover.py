@@ -1,0 +1,124 @@
+"""Measure the bruteforce -> quantized crossover (VERDICT r11 order 2).
+
+Round 11 claimed "the crossover sits near n~10^6 at local[32]" from two
+points (n=2k, 20k). This tool MEASURES it: it derives embeddings-only
+corpora at n = 200k (and optionally larger) with the same
+orthogonality-preserving mutation the gate's sf1 derivation uses
+(tools/make_scale_data.py: replica-keyed coordinate permutation x
+diagonal +-1 sign flip — intra-replica cosines exact, cross-replica
+cosines collapse, so true-neighbor structure stays organic instead of
+replica-quadratic), then times the ANN family warm (persisted index
+artifacts, Spark caches cleared between runs, min-of-2 — the bench.py
+protocol).
+
+Only embeddings.parquet is derived: every query timed here reads just
+that table, and the index-artifact fingerprint keys on it alone. Query
+vectors (vec_id < 10) live in replica 0 only, so the probe set stays
+fixed while the corpus scales — the realistic serving shape.
+
+Usage: python tools/ann_crossover.py [factor ...]   (default: 10 100)
+Writes derived corpora under <repo>/.scale_data/xover_f{factor}/ and
+prints one markdown table row per (corpus, query) plus a JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.make_scale_data import OFF, _mutate_embedding  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+
+QUERIES = ["similarity_topk_bruteforce", "similarity_topk_pq_trained",
+           "similarity_topk_ivfpq_trained"]
+
+
+def derive(factor: int) -> str:
+    dst = os.path.join(REPO, ".scale_data", f"xover_f{factor}")
+    out_path = os.path.join(dst, "embeddings.parquet")
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    if os.path.isfile(out_path):
+        if pq.read_metadata(out_path).num_rows == t.num_rows * factor:
+            return dst
+    os.makedirs(dst, exist_ok=True)
+    parts = []
+    for r in range(factor):
+        cols = {
+            "vec_id": pc.add(
+                t.column("vec_id"), pa.scalar(r * OFF["D"], t.column("vec_id").type)
+            )
+        }
+        if r > 0:
+            cols["embedding"] = _mutate_embedding(t.column("embedding"), r)
+        parts.append(
+            pa.table(
+                {n: cols.get(n, t.column(n)) for n in t.schema.names},
+                schema=t.schema,
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), out_path)
+    return dst
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [10, 100]
+    from mapreduce_hadoop_spark import registry
+    from mapreduce_hadoop_spark.operators import similarity
+    from mapreduce_hadoop_spark.session import get_spark
+
+    spark = get_spark("ann-crossover")
+    spark.range(1).count()
+    queries = registry.queries()
+    results: dict[str, dict[str, float]] = {}
+    recalls: dict[str, dict[str, float]] = {}
+    for factor in factors:
+        sf_dir = derive(factor)
+        n = factor * 2000
+        tag = f"n={n}"
+        results[tag] = {}
+        recalls[tag] = {}
+        # Warm the index artifacts (train + add) once, untimed — the
+        # deployed shape: every session after the first serves warm.
+        exact: dict[int, set] = {}
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            similarity.unpersist_intermediates()
+            rows = queries[name](spark, sf_dir).collect()
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            if name == "similarity_topk_bruteforce":
+                exact = got
+            else:
+                hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+                recalls[tag][name] = round(
+                    hits / sum(len(s) for s in exact.values()), 2
+                )
+        for name in QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                similarity.unpersist_intermediates()
+                t0 = time.time()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            results[tag][name] = round(best, 2)
+            print(f"| {tag} | {name} | {results[tag][name]} s | "
+                  f"recall {recalls[tag].get(name, 1.0)} |", flush=True)
+    print(json.dumps({"crossover": results, "recall": recalls}))
+
+
+if __name__ == "__main__":
+    main()
