@@ -747,6 +747,18 @@ class _JpegScanWriter:
         self.codes: list[int] = []
         self.widths: list[int] = []
         self._zz = None
+        self._chunks: "list[bytes]" = []
+        self._rst = 0
+
+    def restart(self) -> None:
+        """Byte-align the entropy stream (1-padded, T.81 B.2.1.2) and
+        emit the next RSTn marker; the CALLER resets its DC predictors.
+        Markers cycle D0..D7 — the modulo-8 sequence a decoder uses to
+        detect dropped segments."""
+        self._chunks.append(_pack_codes_msb(self.codes, self.widths))
+        self._chunks.append(bytes([0xFF, 0xD0 + self._rst]))
+        self._rst = (self._rst + 1) % 8
+        self.codes, self.widths = [], []
 
     def _put(self, code_len: "tuple[int, int]") -> None:
         self.codes.append(code_len[0])
@@ -790,11 +802,14 @@ class _JpegScanWriter:
         return int(flat[0])
 
     def tobytes(self) -> bytes:
-        return _pack_codes_msb(self.codes, self.widths)
+        return b"".join(self._chunks) + _pack_codes_msb(self.codes, self.widths)
 
 
-def _jpeg_encode_gray(px) -> bytes:
-    """Spec-valid baseline JPEG bytes for an (h, w) uint8 array."""
+def _jpeg_encode_gray(px, restart_interval: int = 0) -> bytes:
+    """Spec-valid baseline JPEG bytes for an (h, w) uint8 array.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (one MCU = one block for a 1x1 single component),
+    resetting the DPCM predictor — the camera-typical stream shape."""
     import struct
 
     import numpy as np
@@ -808,9 +823,14 @@ def _jpeg_encode_gray(px) -> bytes:
     ac_codes = _jpeg_canonical_codes(*_JPEG_AC_SPEC)
     writer = _JpegScanWriter()
     prev_dc = 0
+    mcu = 0
     for by in range(coeffs.shape[0]):
         for bx in range(coeffs.shape[1]):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart()
+                prev_dc = 0
             prev_dc = writer.block(coeffs[by, bx], prev_dc, dc_codes, ac_codes)
+            mcu += 1
     scan = writer.tobytes()
     qz = bytes(int(q.reshape(64)[zz[i]]) for i in range(64))
     segs = [b"\xff\xd8"]
@@ -823,6 +843,8 @@ def _jpeg_encode_gray(px) -> bytes:
         segs.append(
             b"\xff\xc4" + struct.pack(">HB", 3 + len(payload), cls << 4) + payload
         )
+    if restart_interval:
+        segs.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
     segs.append(b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00")
     segs.append(scan)
     segs.append(b"\xff\xd9")
@@ -832,12 +854,14 @@ def _jpeg_encode_gray(px) -> bytes:
 def _jpeg_walk(payload: bytes):
     """Baseline marker walk shared by the grayscale and 4:2:0 color
     decoders: DQT (8-bit only), DHT (any canonical tables the file
-    declares), the SOF0 frame header, and the SOS scan header. Returns
-    ``(qtables, dc_tabs, ac_tabs, sof_data, sos_data, scan_start)`` with
-    sof_data/sos_data the RAW segment payloads (component layout is
-    profile-specific, each decoder validates its own), or None for
-    anything outside baseline sequential (progressive SOF2 and friends,
-    16-bit DQT, restart intervals, corrupt segment structure)."""
+    declares), DRI (restart interval, round 12 — camera-typical streams
+    use it), the SOF0 frame header, and the SOS scan header. Returns
+    ``(qtables, dc_tabs, ac_tabs, sof_data, sos_data, scan_start, ri)``
+    with sof_data/sos_data the RAW segment payloads (component layout is
+    profile-specific, each decoder validates its own) and ``ri`` the
+    restart interval in MCUs (0 = none), or None for anything outside
+    baseline sequential (progressive SOF2 and friends, 16-bit DQT,
+    corrupt segment structure)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -847,6 +871,7 @@ def _jpeg_walk(payload: bytes):
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     sof = sos = scan_start = None
+    ri = 0
     i = 2
     while i + 4 <= n:
         if payload[i] != 0xFF:
@@ -899,7 +924,9 @@ def _jpeg_walk(payload: bytes):
                 return None  # baseline sequential only
             sof = data
         elif marker == 0xDD:
-            return None  # restart interval: out of profile
+            if len(data) != 2:
+                return None
+            ri = int.from_bytes(data, "big")
         elif marker == 0xDA:
             if len(data) < 1 or len(data) < 4 + 2 * (data[0] - 1):
                 return None
@@ -909,7 +936,7 @@ def _jpeg_walk(payload: bytes):
         i += 2 + seg_len
     if sof is None or sos is None:
         return None
-    return qtables, dc_tabs, ac_tabs, sof, sos, scan_start
+    return qtables, dc_tabs, ac_tabs, sof, sos, scan_start, ri
 
 
 class _JpegBitReader:
@@ -947,27 +974,42 @@ class _JpegBitReader:
         return v
 
 
-def _jpeg_entropy_bits(payload: bytes, start: int) -> "list[int] | None":
-    """Entropy-coded segment -> bit list: ends at the first non-stuffed
-    marker, 0xFF00 unstuffed; None if restart markers appear (out of
-    profile)."""
+def _jpeg_entropy_segments(payload: bytes, start: int) -> "list[list[int]] | None":
+    """Entropy-coded data -> one bit list PER RESTART SEGMENT (round 12:
+    DRI/RSTn in profile). Each segment ends at an RSTn marker (whose
+    modulo-8 index must follow the D0..D7 cycle — an out-of-sequence
+    marker means a dropped segment and fails the stream) or at the first
+    other non-stuffed marker; 0xFF00 unstuffed per segment. A stream
+    with no restarts returns exactly one segment."""
     import numpy as np
 
     n = len(payload)
-    j = start
+    segs: "list[list[int]]" = []
+    expect = 0
+    seg_start = j = start
     end = n
     while j + 1 < n:
-        if payload[j] == 0xFF:
-            if payload[j + 1] == 0x00:
-                j += 2
-                continue
-            if 0xD0 <= payload[j + 1] <= 0xD7:
-                return None  # restart markers: out of profile
-            end = j
-            break
-        j += 1
-    raw = payload[start:end].replace(b"\xff\x00", b"\xff")
-    return np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).tolist()
+        if payload[j] != 0xFF:
+            j += 1
+            continue
+        nxt = payload[j + 1]
+        if nxt == 0x00:
+            j += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            if nxt - 0xD0 != expect:
+                return None  # out-of-sequence restart marker
+            raw = payload[seg_start:j].replace(b"\xff\x00", b"\xff")
+            segs.append(np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).tolist())
+            expect = (expect + 1) % 8
+            j += 2
+            seg_start = j
+            continue
+        end = j
+        break
+    raw = payload[seg_start:end].replace(b"\xff\x00", b"\xff")
+    segs.append(np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).tolist())
+    return segs
 
 
 def _jpeg_read_block(rd: _JpegBitReader, dc_tab: dict, ac_tab: dict, blk, prev_dc: int) -> "int | None":
@@ -1026,16 +1068,19 @@ def _jpeg_decode_gray(payload: bytes) -> "object | None":
     JPEG (SOF0): marker walk -> DQT/DHT (any canonical tables the file
     declares) -> 0xFF00 unstuffing -> Huffman + DPCM DC + run-length AC
     -> dequantize -> inverse DCT (one einsum over all blocks) -> level
-    shift, round-half-even, clamp, crop. Returns an (h, w) uint8 array,
-    or None for anything outside the profile (progressive SOF2, multiple
-    components, restart intervals, 12-bit precision, corrupt streams) —
-    the same tolerate-don't-throw contract as the PNG and GIF paths."""
+    shift, round-half-even, clamp, crop. DRI/RSTn restart intervals are
+    IN profile (round 12): segment boundaries are validated against the
+    D0..D7 cycle and the DPCM predictor resets per segment. Returns an
+    (h, w) uint8 array, or None for anything outside the profile
+    (progressive SOF2, multiple components, 12-bit precision, corrupt
+    streams) — the same tolerate-don't-throw contract as the PNG and
+    GIF paths."""
     import numpy as np
 
     walked = _jpeg_walk(payload)
     if walked is None:
         return None
-    qtables, dc_tabs, ac_tabs, sof, sos, start = walked
+    qtables, dc_tabs, ac_tabs, sof, sos, start, ri = walked
     if len(sof) < 9 or sof[0] != 8 or sof[5] != 1 or sof[7] != 0x11:
         return None  # 8-bit, one component, 1x1 sampling
     h = int.from_bytes(sof[1:3], "big")
@@ -1048,20 +1093,31 @@ def _jpeg_decode_gray(payload: bytes) -> "object | None":
         return None
     if dc_id not in dc_tabs or ac_id not in ac_tabs:
         return None
-    bits = _jpeg_entropy_bits(payload, start)
-    if bits is None:
+    segs = _jpeg_entropy_segments(payload, start)
+    if segs is None:
         return None
-    rd = _JpegBitReader(bits)
     bh, bw = -(-h // 8), -(-w // 8)
+    # Segment count must match the declared interval exactly: one MCU
+    # (= one block here) grid of bh*bw, a restart every ri MCUs.
+    expected = 1 if ri == 0 else -(-(bh * bw) // ri)
+    if len(segs) != expected:
+        return None
+    rd = _JpegBitReader(segs[0])
+    seg_i = mcu = 0
     zzvec = np.zeros((bh, bw, 64), dtype=np.int64)
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
+            if ri and mcu and mcu % ri == 0:
+                seg_i += 1
+                rd = _JpegBitReader(segs[seg_i])
+                prev_dc = 0  # T.81: predictors reset at every restart
             prev_dc = _jpeg_read_block(
                 rd, dc_tabs[dc_id], ac_tabs[ac_id], zzvec[by, bx], prev_dc
             )
             if prev_dc is None:
                 return None
+            mcu += 1
     return _jpeg_idct_plane(zzvec, qtables[qid])[:h, :w]
 
 
@@ -1124,11 +1180,15 @@ def _jpeg_qtable_chroma():
 _JPEG_SAMPLINGS = {(2, 2): "420", (2, 1): "422", (1, 1): "444"}
 
 
-def _jpeg_encode_color(y, cb, cr, samp: "tuple[int, int]" = (2, 2)) -> bytes:
+def _jpeg_encode_color(
+    y, cb, cr, samp: "tuple[int, int]" = (2, 2), restart_interval: int = 0
+) -> bytes:
     """Spec-valid baseline YCbCr JPEG at 4:2:0 / 4:2:2 / 4:4:4 (``samp``
     = Y's (h, v) sampling factors): ``y`` is (H, W) uint8, ``cb``/``cr``
     are (ceil(H/v), ceil(W/h)) uint8 — the subsampled planes a real
-    encoder actually codes."""
+    encoder actually codes. ``restart_interval`` > 0 emits DRI + RSTn
+    every that many interleaved MCUs, resetting all three DPCM
+    predictors."""
     import struct
 
     import numpy as np
@@ -1153,8 +1213,13 @@ def _jpeg_encode_color(y, cb, cr, samp: "tuple[int, int]" = (2, 2)) -> bytes:
     ac_c = _jpeg_canonical_codes(*_JPEG_AC_SPEC_CHROMA)
     writer = _JpegScanWriter()
     pdc = [0, 0, 0]  # per-component DPCM predictors
+    mcu = 0
     for my in range(mcu_h):
         for mx in range(mcu_w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart()
+                pdc = [0, 0, 0]
+            mcu += 1
             for dy in range(sv):  # Y blocks in raster order within the MCU
                 for dx in range(sh):
                     pdc[0] = writer.block(
@@ -1186,6 +1251,8 @@ def _jpeg_encode_color(y, cb, cr, samp: "tuple[int, int]" = (2, 2)) -> bytes:
             + struct.pack(">HB", 3 + len(payload), (cls << 4) | tid)
             + payload
         )
+    if restart_interval:
+        segs.append(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
     segs.append(
         b"\xff\xda"
         + struct.pack(">HB", 12, 3)
@@ -1211,7 +1278,7 @@ def _jpeg_decode_color(payload: bytes) -> "object | None":
     walked = _jpeg_walk(payload)
     if walked is None:
         return None
-    qtables, dc_tabs, ac_tabs, sof, sos, start = walked
+    qtables, dc_tabs, ac_tabs, sof, sos, start, ri = walked
     if len(sof) < 15 or sof[0] != 8 or sof[5] != 3:
         return None  # 8-bit, three components
     h = int.from_bytes(sof[1:3], "big")
@@ -1239,16 +1306,25 @@ def _jpeg_decode_color(payload: bytes) -> "object | None":
         return None  # Y must be 2x2, 2x1, or 1x1
     if order[1][0] != 0x11 or order[2][0] != 0x11:
         return None  # chroma always 1x1
-    bits = _jpeg_entropy_bits(payload, start)
-    if bits is None:
+    segs = _jpeg_entropy_segments(payload, start)
+    if segs is None:
         return None
-    rd = _JpegBitReader(bits)
     mh, mw = -(-h // (8 * sv)), -(-w // (8 * sh))
+    expected = 1 if ri == 0 else -(-(mh * mw) // ri)
+    if len(segs) != expected:
+        return None
+    rd = _JpegBitReader(segs[0])
+    seg_i = mcu = 0
     zzy = np.zeros((sv * mh, sh * mw, 64), dtype=np.int64)
     zzc = [np.zeros((mh, mw, 64), dtype=np.int64) for _ in range(2)]
     pdc = [0, 0, 0]
     for my in range(mh):
         for mx in range(mw):
+            if ri and mcu and mcu % ri == 0:
+                seg_i += 1
+                rd = _JpegBitReader(segs[seg_i])
+                pdc = [0, 0, 0]  # T.81: ALL predictors reset per restart
+            mcu += 1
             for dy in range(sv):
                 for dx in range(sh):
                     pdc[0] = _jpeg_read_block(

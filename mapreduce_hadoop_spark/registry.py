@@ -258,11 +258,17 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 # GATE_*_r11.log); similarity_topk_ivfpq_trained is rows-only, whose
 # pre-rewrite hashes were captured in GATE_rule1a_pre_r12_*.log from
 # the untouched r11 tree at all five gate scales (the gate runner now
-# hashes rows-only outputs too). This tuple is EMPTY until the
-# end-of-round evidence commit: it moves together with the test pin
-# dict and the regenerated SRCHASH-bound logs (the round-8/9/11
-# lesson), landing as ("similarity_topk_pq", "similarity_topk_ivfpq",
-# "similarity_topk_ivfpq_trained").
+# hashes rows-only outputs too). A fourth pin joins for the JPEG
+# DRI/RSTn extension (multimodal.py): the shared entropy kernels now
+# handle restart intervals, but the patterned encoders emit none by
+# default, so multimodal_real_jpeg_color's output is byte-identical
+# (its pre hashes are its ordinary r11 PASS hashes;
+# multimodal_real_jpeg itself is in the head via the forced rotation).
+# This tuple is EMPTY until the end-of-round evidence commit: it moves
+# together with the test pin dict and the regenerated SRCHASH-bound
+# logs (the round-8/9/11 lesson), landing as ("similarity_topk_pq",
+# "similarity_topk_ivfpq", "similarity_topk_ivfpq_trained",
+# "multimodal_real_jpeg_color").
 REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.

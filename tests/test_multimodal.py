@@ -477,10 +477,16 @@ def test_jpeg_decode_tolerates_out_of_profile():
     # Progressive frame marker (SOF2) is out of profile.
     p = bytes(b).replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert _jpeg_decode_gray(p) is None
-    # Restart-interval definition is out of profile.
+    # Restart intervals are IN profile since round 12: a declared DRI
+    # that implies the stream's actual segment layout decodes (here
+    # ri=8 over 6 MCUs -> one segment, exactly what the stream has)...
     i = bytes(b).index(b"\xff\xda")
     with_dri = bytes(b[:i]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(b[i:])
-    assert _jpeg_decode_gray(with_dri) is None
+    assert np.array_equal(_jpeg_decode_gray(with_dri), _jpeg_decode_gray(bytes(b)))
+    # ...but a DRI whose implied segment count disagrees with the stream
+    # (ri=2 over 6 MCUs demands 3 segments; the stream has no RSTn) fails.
+    bad_dri = bytes(b[:i]) + b"\xff\xdd\x00\x04\x00\x02" + bytes(b[i:])
+    assert _jpeg_decode_gray(bad_dri) is None
     # Random bytes after SOI never raise.
     rng = np.random.default_rng(9)
     for size in (0, 2, 64, 1024):
@@ -672,3 +678,71 @@ def test_ycbcr_to_rgb_rounding_matches_duckdb():
     cols = list(exp)
     assert np.array_equal(g.ravel(), exp[cols[1]].astype(np.int64))
     assert np.array_equal(b.ravel(), exp[cols[2]].astype(np.int64))
+
+
+def test_jpeg_restart_markers_roundtrip_gray_and_color():
+    """DRI/RSTn (round 12): encoding with a restart interval must decode
+    to EXACTLY the pixels of the restart-free encoding of the same plane
+    (same quantized coefficients, predictors reset per segment), for
+    both the grayscale and the interleaved color paths, at interval
+    sizes that land mid-row, at row boundaries, and beyond the image."""
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _jpeg_decode_color,
+        _jpeg_decode_gray,
+        _jpeg_encode_color,
+        _jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 256, (24, 40), dtype=np.uint8)  # 3x5 = 15 MCUs
+    ref = _jpeg_decode_gray(_jpeg_encode_gray(src))
+    assert ref is not None
+    for ri in (1, 3, 5, 7, 15, 99):
+        out = _jpeg_decode_gray(_jpeg_encode_gray(src, restart_interval=ri))
+        assert out is not None and np.array_equal(out, ref), ri
+
+    y = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    cb = rng.integers(0, 256, (12, 20), dtype=np.uint8)
+    cr = rng.integers(0, 256, (12, 20), dtype=np.uint8)
+    ref_c = _jpeg_decode_color(_jpeg_encode_color(y, cb, cr, (2, 2)))
+    assert ref_c is not None
+    for ri in (1, 2, 4, 6):  # 2x3 = 6 MCUs at 4:2:0
+        out_c = _jpeg_decode_color(
+            _jpeg_encode_color(y, cb, cr, (2, 2), restart_interval=ri)
+        )
+        assert out_c is not None, ri
+        assert all(np.array_equal(a, b) for a, b in zip(out_c, ref_c)), ri
+
+    # More than 8 restarts exercises the D0..D7 marker cycle wrap.
+    big = rng.integers(0, 256, (8, 8 * 20), dtype=np.uint8)  # 20 MCUs
+    wrapped = _jpeg_encode_gray(big, restart_interval=1)
+    assert wrapped.count(b"\xff\xd0") >= 2  # the cycle wrapped past D7
+    assert np.array_equal(
+        _jpeg_decode_gray(wrapped), _jpeg_decode_gray(_jpeg_encode_gray(big))
+    )
+
+
+def test_jpeg_restart_marker_sequence_validated():
+    """An out-of-sequence RSTn marker (a dropped segment, per T.81's
+    modulo-8 detection scheme) must fail the stream, and restart markers
+    WITHOUT a DRI declaration stay out of profile."""
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(32)
+    src = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    b = _jpeg_encode_gray(src, restart_interval=2)
+    assert _jpeg_decode_gray(b) is not None
+    # Corrupt the first RST0 into RST1: out of sequence -> None.
+    i = b.index(b"\xff\xd0")
+    assert _jpeg_decode_gray(b[:i] + b"\xff\xd1" + b[i + 2 :]) is None
+    # Strip the DRI segment but keep the RSTn markers: segment count
+    # disagrees with the (absent) declaration -> None.
+    j = b.index(b"\xff\xdd")
+    assert _jpeg_decode_gray(b[:j] + b[j + 6 :]) is None
