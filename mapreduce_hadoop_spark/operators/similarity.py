@@ -963,12 +963,18 @@ SELECT query_id, vec_id, cosine, rank FROM (
 
 # --- SPANN-style boundary replication ---------------------------------------
 
-# Closeness criterion (SPANN, Chen et al. 2021 §3.2): a vector files into
-# its nearest list AND any list whose centroid distance is within (1+eps)
-# of the nearest — boundary vectors appear in every list they straddle,
-# so a query probing either side finds them. On normalized vectors
-# ||x-c||^2 = 2 - 2cos, so the criterion is
-#   (1 - cos_i) <= (1 + eps)^2 * (1 - cos_1).
+# Closeness criterion (after SPANN, Chen et al. 2021 §3.2): a vector
+# files into its nearest list AND any list whose centroid is eps-close
+# to the nearest — boundary vectors appear in every list they straddle,
+# so a query probing either side finds them. Shipped criterion, stated
+# precisely (ADVICE r11): a COSINE-GAP bound,
+#   (1 - cos_i) <= (1 + eps)^2 * (1 - cos_1),
+# where cos is taken against the UNNORMALIZED k-means centroids — the
+# ||x-c||^2 = 2 - 2cos identity behind the paper's L2 rule holds only
+# for normalized centroids, so this is an angular approximation of
+# SPANN's distance rule, internally consistent with the cosine-based
+# list assignment and swept empirically below (and instrumented in
+# SCALE_ann_r12.md §3).
 # eps sweep (K=16 trained, nprobe=8, vs topk_ivf_trained's 0.80 at
 # sf0.01 / 0.88 at sf0.1) — recall @ replication factor:
 #   eps=0.05: 0.88 @ 1.55x / 0.92 @ 1.71x
