@@ -264,12 +264,15 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 # default, so multimodal_real_jpeg_color's output is byte-identical
 # (its pre hashes are its ordinary r11 PASS hashes;
 # multimodal_real_jpeg itself is in the head via the forced rotation).
-# This tuple is EMPTY until the end-of-round evidence commit: it moves
-# together with the test pin dict and the regenerated SRCHASH-bound
-# logs (the round-8/9/11 lesson), landing as ("similarity_topk_pq",
-# "similarity_topk_ivfpq", "similarity_topk_ivfpq_trained",
-# "multimodal_real_jpeg_color").
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
+# Set in the end-of-round evidence commit, together with the test pin
+# dict and the regenerated SRCHASH-bound r12 logs (the round-8/9/11
+# lesson).
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_trained",
+    "multimodal_real_jpeg_color",
+)
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
 # Round 12: none — similarity_topk_ivf_spann promoted into the head at

@@ -56,15 +56,20 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 12: the r11 pin (multimodal_real_jpeg) retired at rotation —
-    # the query is in the forced rotation set and takes an ordinary
-    # fresh driver row. EMPTY until the end-of-round evidence commit,
-    # when the PQ stage-fusion pins land together with the registry
-    # tuple and the regenerated SRCHASH-bound r12 gate logs (pre-rewrite
-    # hashes: similarity_topk_pq / similarity_topk_ivfpq from
-    # GATE_sf0.01_r11.log; similarity_topk_ivfpq_trained from
-    # GATE_rule1a_pre_r12_sf0.01.log, captured off the untouched r11
-    # tree — the gate runner now hashes rows-only outputs too).
+    # Round 12: the r11 pin (multimodal_real_jpeg) retired at rotation
+    # (ordinary fresh driver row). Four pins land with the evidence
+    # commit — the PQ stage-fusion rewrites (pre-rewrite hashes:
+    # topk_pq / topk_ivfpq from GATE_sf0.01_r11.log, unchanged since;
+    # ivfpq_trained from GATE_rule1a_pre_r12_sf0.01.log, captured
+    # FRESH-FIT off the untouched r11 tree because KMeans refits do not
+    # bit-reproduce r11-era artifacts and the r12 fingerprint change
+    # orphans them anyway) and the JPEG DRI/RSTn kernel extension
+    # (jpeg_color's pre hash = its r11 PASS hash; the patterned encoder
+    # emits no DRI, so the stream bytes are unchanged).
+    "similarity_topk_pq": ("GATE_sf0.01_r12.log", "b5e2a87a06a8a32e"),
+    "similarity_topk_ivfpq": ("GATE_sf0.01_r12.log", "6a1948aaeb5952e9"),
+    "similarity_topk_ivfpq_trained": ("GATE_sf0.01_r12.log", "6ae703087c89d282"),
+    "multimodal_real_jpeg_color": ("GATE_sf0.01_r12.log", "a3d1cbffd11fd982"),
 }
 
 
