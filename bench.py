@@ -72,21 +72,17 @@ MAX_METRIC_LINE = 1800
 # round-7 note).
 ROUND_NOTES = {
     12: (
-        "r12: the r11 'stage-latency floor' on trained PQ was actually a "
-        "Catalyst CollapseProject O(d^2) blowup (the projected norm fold "
-        "re-inlined into per-element lambdas, 9.4s of the 13.2s sf1 "
-        "wall) — fixed via _div_by, plus the query side (query vectors, "
-        "ADC arrays, probe assign) now driver-built from persisted "
-        "artifacts: pq_trained sf1 warm 13.0->1.45s, UNDER bruteforce's "
-        "1.54s (r10 bar was <=2x); ivfpq_trained 14.5->1.98s; outputs "
-        "pinned bit-identical at 5 scales (rule 1a, fresh-fit pre-logs "
-        "after finding KMeans refits don't bit-reproduce r11-era "
-        "artifacts). Crossover MEASURED at n=200k (SCALE_ann_r12.md). "
-        "SPANN first driver row + (fetches, candidates, replication) "
-        "instrumentation. JPEG DRI/RSTn restart markers now in profile "
-        "(encoder+decoder, D0-D7 cycle validated). Index artifacts keyed "
-        "by training recipe + parquet-footer fingerprint. Metric line "
-        "now carries reference_relational_sec / ann_media_sec subtotals."
+        "r12: the r11 'stage-latency floor' on trained PQ was a Catalyst "
+        "CollapseProject O(d^2) blowup (projected norm fold re-inlined "
+        "into per-element lambdas; 9.4s of the 13.2s sf1 wall) — fixed "
+        "via _div_by + driver-built query side from persisted artifacts: "
+        "pq_trained sf1 warm 13.0->1.45s, UNDER bruteforce's 1.54s; "
+        "ivfpq_trained 14.5->1.98s; outputs rule-1a pinned bit-identical "
+        "at 5 scales (fresh-fit pre-logs: KMeans refits don't "
+        "bit-reproduce old artifacts). Crossover MEASURED at n=200k: "
+        "bruteforce 17.9s vs pq_trained 6.6s (SCALE_ann_r12.md). SPANN "
+        "first driver row + fetch/candidate/replication table. JPEG "
+        "DRI/RSTn in profile. Subtotal keys added."
     ),
     11: (
         "r11: first driver rows for the five round-10 staged queries "
