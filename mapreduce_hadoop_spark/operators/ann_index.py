@@ -120,6 +120,64 @@ def _corpus_dir(sf_dir: str, create: bool = False) -> str:
     return d
 
 
+# --- append lineage (incremental add — the FAISS contract) -------------------
+
+
+def _base_info(sf_dir: str) -> "dict | None":
+    """Append-lineage declaration: ``<sf_dir>/ann_base.json``, written by
+    whatever process appended to the corpus —
+    ``{"base": <base corpus dir>, "watermark": <first appended vec_id>}``.
+
+    This is the FAISS ``add`` contract: the CALLER declares that rows
+    with ``vec_id < watermark`` are byte-identical to the base snapshot,
+    and in exchange the index layer freezes the base's trained models
+    (coarse centroids, PQ books — loaded, never refit) and encodes ONLY
+    the appended rows into a delta codes artifact. At 100 TB this is the
+    difference between an append costing O(delta) encode work and
+    costing a full retrain + re-encode of the corpus. A declaration
+    whose base cannot be fingerprinted (volatile) is ignored — stale
+    frozen models must never ride an unverifiable lineage."""
+    p = os.path.join(sf_dir, "ann_base.json")
+    if not os.path.isfile(p):
+        return None
+    try:
+        with open(p) as f:
+            info = json.load(f)
+        base, wm = str(info["base"]), int(info["watermark"])
+    except (OSError, ValueError, KeyError):
+        return None
+    if not _durable(_fingerprint(base)):
+        return None
+    return {"base": base, "watermark": wm}
+
+
+def model_corpus_count(emb: DataFrame, sf_dir: str) -> int:
+    """The corpus size the TRAINED MODELS' geometry derives from: the
+    BASE snapshot's n when an append lineage is declared (K = sqrt(n)
+    and the book cell count are fixed at train time — the FAISS nlist
+    contract; an appended corpus serves against the frozen geometry),
+    the current corpus' n otherwise. Serving-time parameters that must
+    track the LIVE corpus (shortlist depth) keep using corpus_count."""
+    base = _base_info(sf_dir)
+    if base is not None:
+        meta_path = os.path.join(_corpus_dir(base["base"]), "meta.json")
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                return int(json.load(f)["n"])
+    return corpus_count(emb, sf_dir)
+
+
+def _load_base_model(
+    sf_dir: str, fname: str, columns: "list[str]"
+) -> "list[tuple] | None":
+    """A frozen model from the declared base snapshot, if both the
+    declaration and the base artifact exist."""
+    base = _base_info(sf_dir)
+    if base is None:
+        return None
+    return _load_model(os.path.join(_corpus_dir(base["base"]), fname), columns)
+
+
 # --- corpus metadata (row count) -------------------------------------------
 
 
@@ -189,6 +247,10 @@ def coarse_centroids(
 
     path = os.path.join(_corpus_dir(sf_dir), fname)
     loaded = _load_model(path, ["cent_id", "cv"]) if _durable(key) else None
+    if loaded is None:
+        # Declared append lineage: serve the BASE snapshot's frozen
+        # quantizer instead of refitting (the FAISS add contract).
+        loaded = _load_base_model(sf_dir, fname, ["cent_id", "cv"])
     if loaded is not None:
         rows = [(int(c), list(v)) for c, v in loaded]
     else:
@@ -259,6 +321,9 @@ def pq_codebooks(
 
     path = os.path.join(_corpus_dir(sf_dir), fname)
     loaded = _load_model(path, ["m", "code", "cd"]) if _durable(key) else None
+    if loaded is None:
+        # Declared append lineage: frozen base books, never refit.
+        loaded = _load_base_model(sf_dir, fname, ["m", "code", "cd"])
     if loaded is not None:
         rows = [(int(m), int(c), list(v)) for m, c, v in loaded]
     else:
@@ -323,11 +388,26 @@ def codes_artifact_name(tag: str, m_subspaces: int, k: int, coarse_k: "int | Non
 # --- persisted relations (the FAISS ``add`` half) ----------------------------
 
 
+def _write_committed(df: DataFrame, path: str) -> None:
+    """Stage a Spark parquet build per-pid and rename into place only
+    after it committed (_SUCCESS) — shared by full and delta artifacts."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError(f"index artifact build did not commit: {tmp}")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
 def cached_relation(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     build: "Callable[[], DataFrame]",
+    delta_build: "Callable[[int], DataFrame] | None" = None,
 ) -> DataFrame:
     """Load a DATA-sized index relation (e.g. the encoded PQ codes) from
     a parquet artifact under the corpus snapshot dir, or build + persist
@@ -341,28 +421,40 @@ def cached_relation(
     under the same corpus fingerprint as the books that produced it — an
     in-place corpus rewrite orphans both together. Volatile (unlistable)
     corpora skip disk, same as the model artifacts. Partial writes
-    cannot be served: the build lands in a ``.tmp`` sibling and is
-    renamed into place only after Spark commits it (_SUCCESS present).
+    cannot be served: the build lands in a per-pid ``.tmp`` sibling and
+    is renamed into place only after Spark commits it (_SUCCESS
+    present) — two sessions building the same corpus concurrently never
+    rmtree each other's staging dir, and whichever rename lands last
+    wins with a complete build.
+
+    INCREMENTAL ADD (round 12): when the corpus declares an append
+    lineage (``ann_base.json`` — see ``_base_info``) and ``delta_build``
+    is supplied, the base snapshot's codes artifact is served AS IS
+    (never rewritten, never re-encoded) unioned with a DELTA artifact
+    holding only rows with ``vec_id >= watermark``, encoded by
+    ``delta_build(watermark)`` against the frozen base books and
+    persisted under the CURRENT corpus fingerprint. An append therefore
+    costs O(delta) encode work; the base artifact's bytes are pinned
+    untouched by tests/test_ann_index.py.
     """
     key = _fingerprint(sf_dir)
     if not _durable(key):
         return build()
+    base = _base_info(sf_dir)
+    if base is not None and delta_build is not None:
+        base_path = os.path.join(_corpus_dir(base["base"]), name)
+        if os.path.isfile(os.path.join(base_path, "_SUCCESS")):
+            dpath = os.path.join(
+                _corpus_dir(sf_dir, create=True), name + ".delta"
+            )
+            if not os.path.isfile(os.path.join(dpath, "_SUCCESS")):
+                _write_committed(delta_build(base["watermark"]), dpath)
+            return spark.read.parquet(base_path).unionByName(
+                spark.read.parquet(dpath)
+            )
     path = os.path.join(_corpus_dir(sf_dir, create=True), name)
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        # Per-process tmp sibling: two sessions building the same corpus
-        # concurrently must not rmtree/rename each other's half-written
-        # staging dir; whichever os.replace lands last wins with a COMPLETE
-        # build (the _SUCCESS re-check below ensures only committed Spark
-        # output is ever renamed into place).
-        tmp = f"{path}.tmp.{os.getpid()}"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        build().write.mode("overwrite").parquet(tmp)
-        if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
-            raise RuntimeError(f"index artifact build did not commit: {tmp}")
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        _write_committed(build(), path)
     return spark.read.parquet(path)
 
 

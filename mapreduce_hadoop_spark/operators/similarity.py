@@ -1875,14 +1875,19 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     nvt = emb.select(
         "vec_id", _div_by("v", "norm").alias("nv")
     )
-    k = min(PQ_TRAINED_K, max(16, n // 2))
+    # Model GEOMETRY (book cell count) derives from the snapshot the
+    # books were trained on — the BASE corpus when an append lineage is
+    # declared (frozen models; ann_index.model_corpus_count); the
+    # serving-time shortlist depth below tracks the LIVE n.
+    model_n = ann_index.model_corpus_count(emb, sf_dir)
+    k = min(PQ_TRAINED_K, max(16, model_n // 2))
     rows = ann_index.pq_codebooks(
         spark, nvt, sf_dir, PQ_TRAINED_M, PQ_TRAINED_SUB, k, tag="nv"
     )
 
-    def encode() -> DataFrame:
+    def encode_src(src: DataFrame) -> DataFrame:
         enc = _pq_encode_udf(_books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB))
-        return emb.select(
+        return src.select(
             "vec_id", enc(F.col("v"), F.col("norm")).alias("cs")
         ).select(
             "vec_id",
@@ -1892,11 +1897,13 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The FAISS ``add`` half: codes persist next to the books (encode is
     # deterministic given them), so a warm session's scan starts from a
     # pruned parquet read instead of re-encoding the corpus per query.
+    # Appended corpora encode ONLY the delta against the frozen books.
     codes = ann_index.cached_relation(
         spark,
         sf_dir,
         ann_index.codes_artifact_name("nv", PQ_TRAINED_M, k),
-        encode,
+        lambda: encode_src(emb),
+        delta_build=lambda wm: encode_src(emb.filter(F.col("vec_id") >= wm)),
     )
 
     # Query side: driver-built local relations (zero Spark jobs warm).
@@ -2055,18 +2062,21 @@ def _ivfpq_from(
 
         assert cents_rows is not None, "trained_books requires cents_rows"
         coarse_k = len(cents_rows)
-        k = min(PQ_TRAINED_K, max(16, _emb_count(emb, sf_dir) // 2))
+        # Book geometry from the TRAINED snapshot (frozen under an
+        # append lineage), like the flat path.
+        model_n = ann_index.model_corpus_count(emb, sf_dir)
+        k = min(PQ_TRAINED_K, max(16, model_n // 2))
         rows = ann_index.pq_codebooks(
             spark, base.select("vec_id", F.col("r").alias("res")),
             sf_dir, PQ_TRAINED_M, PQ_TRAINED_SUB, k, tag="res",
             coarse_k=coarse_k,
         )
-        def encode() -> DataFrame:
+        def encode_src(src: DataFrame) -> DataFrame:
             enc = _pq_encode_udf(
                 _books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB),
                 residual=True,
             )
-            plain = lists.join(F.broadcast(ncents), "cent_id")
+            plain = src.join(F.broadcast(ncents), "cent_id")
             return plain.select(
                 "vec_id",
                 "cent_id",
@@ -2084,14 +2094,18 @@ def _ivfpq_from(
         # books — the artifact name keys the residual book (k), the
         # coarse quantizer (K) it was encoded against, and the training
         # recipe. Deterministic given them; assignment included, so a
-        # warm session also skips the corpus assign.
+        # warm session also skips the corpus assign. Appended corpora
+        # assign + encode only the delta against the frozen models.
         codes = ann_index.cached_relation(
             spark,
             sf_dir,
             ann_index.codes_artifact_name(
                 "res", PQ_TRAINED_M, k, coarse_k=coarse_k
             ),
-            encode,
+            lambda: encode_src(lists),
+            delta_build=lambda wm: encode_src(
+                lists.filter(F.col("vec_id") >= wm)
+            ),
         )
 
         # Query side, DRIVER-BUILT (round-12 stage fusion): probe
@@ -2424,7 +2438,10 @@ def topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     n = _emb_count(emb, sf_dir)
-    k = max(IVF_K, math.isqrt(n))
+    # K (list count) is fixed at TRAIN time — the FAISS nlist contract:
+    # under an append lineage the frozen base quantizer keeps serving,
+    # so K derives from the snapshot it was trained on.
+    k = max(IVF_K, math.isqrt(ann_index.model_corpus_count(emb, sf_dir)))
     nprobe = max(IVF_NPROBE, k // 3)
     cents = _trained_centroids(spark, emb, sf_dir, k=k)
     return _ivfpq_from(

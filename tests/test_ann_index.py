@@ -151,3 +151,95 @@ def test_cached_relation_volatile_skips_disk(spark, sf_dir, index_dir):
     assert got.count() == 3
     key = ann_index._fingerprint("/no/such/dir")
     assert not os.path.exists(os.path.join(index_dir, key))
+
+
+def test_incremental_append_serves_without_refit(spark, sf_dir, index_dir, tmp_path, monkeypatch):
+    """The FAISS ``add`` contract (round 12): an append-only corpus with
+    a declared lineage (ann_base.json) serves against the BASE
+    snapshot's FROZEN models — KMeans is poisoned, so any refit
+    explodes — encoding ONLY the appended rows into a delta artifact;
+    the base codes artifact's bytes are untouched, and the appended
+    vectors are immediately searchable (an exact duplicate of each
+    query vector must come back at cosine 1.0)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mapreduce_hadoop_spark.operators.similarity import (
+        N_QUERIES,
+        topk_ivfpq_trained,
+        topk_pq_trained,
+        unpersist_intermediates,
+    )
+
+    base = tmp_path / "base"
+    base.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"), base / "embeddings.parquet"
+    )
+    # Index the base snapshot (train + add, persisted under its key).
+    for fn in (topk_pq_trained, topk_ivfpq_trained):
+        fn(spark, str(base)).collect()
+        unpersist_intermediates()
+
+    # Appended corpus: base rows + an exact duplicate of every query
+    # vector at vec_id = watermark + qid.
+    wm = 1_000_000
+    t = pq.read_table(base / "embeddings.parquet")
+    dup = t.filter(pc.less(t.column("vec_id"), pa.scalar(N_QUERIES)))
+    dup = dup.set_column(
+        dup.schema.get_field_index("vec_id"),
+        dup.schema.field("vec_id"),
+        pc.add(dup.column("vec_id"), pa.scalar(wm, pa.int64())),
+    )
+    app = tmp_path / "app"
+    app.mkdir()
+    pq.write_table(pa.concat_tables([t, dup]), app / "embeddings.parquet")
+    with open(app / "ann_base.json", "w") as f:
+        json.dump({"base": str(base), "watermark": wm}, f)
+
+    base_key = ann_index._fingerprint(str(base))
+    base_dir = os.path.join(index_dir, base_key)
+    snapshot = {
+        os.path.join(r, fn): os.path.getmtime(os.path.join(r, fn))
+        for r, _, fns in os.walk(base_dir)
+        for fn in fns
+    }
+    assert any("codes_" in p for p in snapshot)
+
+    ann_index.clear_memos()
+    import pyspark.ml.clustering as mlc
+
+    monkeypatch.setattr(
+        mlc,
+        "KMeans",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("append must serve frozen models, not refit")
+        ),
+    )
+    for fn in (topk_pq_trained, topk_ivfpq_trained):
+        rows = fn(spark, str(app)).collect()
+        unpersist_intermediates()
+        hits = {
+            (r["query_id"], r["vec_id"]) for r in rows if r["cosine"] == 1.0
+        }
+        for qid in range(N_QUERIES):
+            assert (qid, wm + qid) in hits, (fn.__name__, qid)
+
+    # Base artifacts byte-untouched; delta artifacts live under the
+    # APPENDED corpus' own fingerprint.
+    after = {
+        os.path.join(r, fn): os.path.getmtime(os.path.join(r, fn))
+        for r, _, fns in os.walk(base_dir)
+        for fn in fns
+    }
+    assert after == snapshot
+    app_dir = os.path.join(index_dir, ann_index._fingerprint(str(app)))
+    deltas = [d for d in os.listdir(app_dir) if d.endswith(".delta")]
+    assert len(deltas) == 2, deltas  # flat codes + residual codes
+    for d in deltas:
+        assert os.path.isfile(os.path.join(app_dir, d, "_SUCCESS"))
+        n_delta = pq.read_table(os.path.join(app_dir, d)).num_rows
+        assert n_delta == N_QUERIES, (d, n_delta)
