@@ -422,3 +422,57 @@ def test_pq_trained_warm_plan_is_fused(spark, sf_dir, tmp_path, monkeypatch):
     # the detail-header regex never matches BroadcastExchange nodes).
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) == 2, shuffles
+
+
+def test_div_by_matches_naive_transform(spark):
+    """`_div_by` must be VALUE-identical to the naive
+    transform(v, x -> x / scalar) it replaces — same IEEE ops, only the
+    scalar's evaluation count changes (the CollapseProject O(d^2) fix)."""
+    from mapreduce_hadoop_spark.operators.similarity import _div_by, _dot
+
+    rows = [
+        ([(3.0 * i + j * 0.1) * (-1 if j % 3 else 1) for j in range(64)],)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "v array<double>")
+    df = df.select("v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm"))
+    naive = df.select(
+        F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv")
+    ).collect()
+    fused = df.select(_div_by("v", "norm").alias("nv")).collect()
+    assert [r["nv"] for r in naive] == [r["nv"] for r in fused]
+
+
+def test_ivfpq_trained_warm_plan_is_fused(spark, sf_dir, tmp_path, monkeypatch):
+    """The residual path's warm serving plan carries the same fusion
+    contract as the flat path: no Python eval, driver-built query side,
+    the codes artifact scan, and exactly two shuffle exchanges."""
+    import re
+
+    from mapreduce_hadoop_spark.operators import ann_index
+    from mapreduce_hadoop_spark.operators.similarity import (
+        topk_ivfpq_trained,
+        unpersist_intermediates,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    ann_index.clear_memos()
+    try:
+        topk_ivfpq_trained(spark, sf_dir).collect()
+        unpersist_intermediates()
+        ann_index.clear_memos()
+        df = topk_ivfpq_trained(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        unpersist_intermediates()
+        ann_index.clear_memos()
+    assert "ArrowEvalPython" not in plan, "warm plan must not assign/encode"
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan, "query side must be driver-built"
+    assert "codes_res" in plan, "scan must read the residual codes artifact"
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
