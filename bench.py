@@ -78,11 +78,11 @@ ROUND_NOTES = {
         "via _div_by + driver-built query side from persisted artifacts: "
         "pq_trained sf1 warm 13.0->1.45s, UNDER bruteforce's 1.54s; "
         "ivfpq_trained 14.5->1.98s; outputs rule-1a pinned bit-identical "
-        "at 5 scales (fresh-fit pre-logs: KMeans refits don't "
-        "bit-reproduce old artifacts). Crossover MEASURED at n=200k: "
-        "bruteforce 17.9s vs pq_trained 6.6s (SCALE_ann_r12.md). SPANN "
-        "first driver row + fetch/candidate/replication table. JPEG "
-        "DRI/RSTn in profile. Subtotal keys added."
+        "at 5 scales (fresh-fit pre-logs). Crossover MEASURED to n=1M: "
+        "bruteforce 101s vs pq_trained 29s at recall 1.0 "
+        "(SCALE_ann_r12.md). SPANN first driver row + fetch-count "
+        "table. JPEG DRI/RSTn in profile. Incremental append: frozen "
+        "models, delta-only encode."
     ),
     11: (
         "r11: first driver rows for the five round-10 staged queries "
