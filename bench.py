@@ -210,6 +210,10 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass
+        try:
+            _pipeline_airport_revenue(spark, warm_dir)
+        except Exception:
+            pass
 
     # Cache honesty: some builders persist an intermediate (LSH shingle
     # hashes, simhash signatures). Left cached, the CacheManager silently
@@ -239,6 +243,21 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # The reference's Exercise-2 lifecycle as ONE bench line (VERDICT r12
+    # order 8): cleanse -> sessionize -> airport filter computed once and
+    # CACHED, then all three reference outputs (airport trips, daily
+    # revenue, grand total) materialized off the shared DAG — the direct
+    # engine analogue of the reference's 230 s EP2+EP3 number
+    # (src/AirportTripsRevenue.java: job 1 + job 2 + driver total), minus
+    # the two HDFS round-trips between them.
+    best = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _pipeline_airport_revenue(spark, sf_dir)
+        best = min(best, time.time() - t0)
+    timings["pipeline_airport_revenue"] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     stream = _stream_timeout_bench(spark, sf_dir)
 
@@ -267,6 +286,24 @@ def main() -> None:
         line = json.dumps(payload)
     assert len(line) <= MAX_METRIC_LINE, len(line)
     print(line)
+
+
+def _pipeline_airport_revenue(spark, sf_dir: str) -> None:
+    """One fused run of the reference pipeline: the sessionized airport
+    trips persist once; the trips relation, the daily-revenue rollup, and
+    the grand total all materialize off that single cached DAG (the
+    reference re-read job 1's HDFS output for job 2 and the output FILE
+    for the driver total — here the reuse is a cache hit, not a
+    filesystem round-trip)."""
+    from mapreduce_hadoop_spark.operators import revenue, sessionize
+
+    trips = sessionize.airport_trips_query(spark, sf_dir).persist()
+    try:
+        trips.write.format("noop").mode("overwrite").save()
+        revenue.daily_revenue(trips).write.format("noop").mode("overwrite").save()
+        revenue.total_revenue(trips).write.format("noop").mode("overwrite").save()
+    finally:
+        trips.unpersist()
 
 
 def _stream_timeout_bench(spark, sf_dir: str) -> dict:

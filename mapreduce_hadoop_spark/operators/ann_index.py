@@ -63,13 +63,19 @@ def _recipe(max_iter: int) -> str:
 
 _META_MEMO: dict[str, dict] = {}
 _MODEL_MEMO: dict[tuple, list] = {}
+_FP_MEMO: dict[tuple, str] = {}
 
 
 def clear_memos() -> None:
     """Drop in-session memos (artifacts on disk are keyed by corpus
-    fingerprint and need no clearing — a mutated corpus changes its key)."""
+    fingerprint and need no clearing — a mutated corpus changes its key).
+    The fingerprint memo is stat-keyed and self-invalidates on any
+    size/mtime change; cleared here anyway so an in-place mutation that
+    preserves both (the very case the footer hash exists for) cannot ride
+    a stale memo within the mutating session."""
     _META_MEMO.clear()
     _MODEL_MEMO.clear()
+    _FP_MEMO.clear()
 
 
 def index_root() -> str:
@@ -92,6 +98,21 @@ def _fingerprint(sf_dir: str) -> str:
     different corpus, so stale models are never served. Cost: one 64 KiB
     read per session (memoized behind _META_MEMO/_MODEL_MEMO lookups).
 
+    Directory-shaped ``embeddings.parquet`` (the standard Spark writer
+    output, e.g. the derived append-lineage corpora): the footer sample
+    comes from the LARGEST ``*.parquet`` member (ties by name), whose
+    footer carries that build's row-group offsets and statistics — a
+    regeneration cannot keep them — and the member path joins the key so
+    a re-shuffled directory re-keys. Before round 13 a directory source
+    hit ``IsADirectoryError`` and silently degraded to volatile,
+    disabling artifact persistence exactly where the append-serving path
+    needs it.
+
+    Memoized by (path, footer-source, size, mtime_ns): the 64 KiB read +
+    sha256 runs once per stat-identical snapshot per session instead of
+    several times per query build (ADVICE r12); any size/mtime change
+    self-invalidates the memo.
+
     Remote/unlistable corpus (``os.stat`` fails): the key gets a
     ``volatile-`` prefix and the artifact layer SKIPS disk persistence —
     a path whose bytes cannot be fingerprinted must never serve a stale
@@ -99,14 +120,33 @@ def _fingerprint(sf_dir: str) -> str:
     parquet_scan_width's unknown-never-narrow stance)."""
     path = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
     try:
-        st = os.stat(path)
-        with open(path, "rb") as f:
+        src = path
+        if os.path.isdir(path):
+            members = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if not members:
+                raise OSError(f"no parquet members under {path}")
+            src = max(members, key=lambda p: (os.path.getsize(p), p))
+        st = os.stat(src)
+        # File-shaped sources keep the exact pre-r13 key string (src ==
+        # path contributes nothing new), so existing artifacts stay valid.
+        ident = path if src == path else f"{path}|{src}"
+        memo_key = (ident, st.st_size, st.st_mtime_ns)
+        hit = _FP_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
+        with open(src, "rb") as f:
             f.seek(max(0, st.st_size - 65536))
             footer = hashlib.sha256(f.read(65536)).hexdigest()[:16]
-        raw = f"{path}|{st.st_size}|{st.st_mtime_ns}|{footer}"
+        raw = f"{ident}|{st.st_size}|{st.st_mtime_ns}|{footer}"
     except OSError:
         return "volatile-" + hashlib.sha256(path.encode()).hexdigest()[:16]
-    return hashlib.sha256(raw.encode()).hexdigest()[:16]
+    out = hashlib.sha256(raw.encode()).hexdigest()[:16]
+    _FP_MEMO[memo_key] = out
+    return out
 
 
 def _durable(key: str) -> bool:
@@ -164,6 +204,23 @@ def model_corpus_count(emb: DataFrame, sf_dir: str) -> int:
         if os.path.isfile(meta_path):
             with open(meta_path) as f:
                 return int(json.load(f)["n"])
+        # A declared lineage whose base snapshot was never indexed (no
+        # meta.json) cannot resolve the frozen geometry: k then derives
+        # from the LIVE count, every frozen-artifact name misses, and the
+        # "append" silently pays a full retrain + re-encode — the exact
+        # cost the lineage exists to avoid. Warn instead of raising
+        # (ADVICE r12): the fallback is CORRECT, just expensive, and the
+        # fix is one-time (index the base once).
+        import warnings
+
+        warnings.warn(
+            f"append lineage declared in {sf_dir} but base snapshot "
+            f"{base['base']} has no index meta.json — frozen models "
+            "cannot be resolved; falling back to a full retrain over the "
+            "live corpus (index the base once to restore O(delta) appends)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return corpus_count(emb, sf_dir)
 
 
@@ -390,16 +447,49 @@ def codes_artifact_name(tag: str, m_subspaces: int, k: int, coarse_k: "int | Non
 
 def _write_committed(df: DataFrame, path: str) -> None:
     """Stage a Spark parquet build per-pid and rename into place only
-    after it committed (_SUCCESS) — shared by full and delta artifacts."""
+    after it committed (_SUCCESS) — shared by full and delta artifacts.
+
+    Swap protocol (ADVICE r12 hardened the old rmtree+replace, whose
+    window let a racing session recreate the destination mid-swap and
+    fail ``os.replace`` with ENOTEMPTY, or rmtree a just-committed build):
+
+    1. stage into ``<path>.tmp.<pid>`` (per-pid: concurrent builders
+       never touch each other's staging dir);
+    2. move any existing artifact ASIDE with one atomic rename (never
+       deleted in place — an unlinked-but-open file keeps serving a
+       reader mid-scan on POSIX);
+    3. one atomic rename of the staged build into place. If a racing
+       session committed between 2 and 3 the rename fails — the racer's
+       build is complete by the same _SUCCESS gate, so ours is dropped
+       and theirs serves;
+    4. post-swap recheck that ``<path>/_SUCCESS`` exists (the one state
+       no interleaving should produce), then the aside copy is removed.
+
+    Single-JVM Spark builds within one session are already serialized by
+    the in-process memo layer; this protocol is for the cross-SESSION
+    race (two gate runs against one shared index root)."""
     tmp = f"{path}.tmp.{os.getpid()}"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(tmp)
     if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
         raise RuntimeError(f"index artifact build did not commit: {tmp}")
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    aside = f"{path}.old.{os.getpid()}"
+    if os.path.isdir(aside):
+        shutil.rmtree(aside)
+    try:
+        os.rename(path, aside)
+    except OSError:
+        pass  # no previous artifact (or a racer moved it first)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # A racing session committed between the two renames; its build
+        # passed the same _SUCCESS gate, so serve it and drop ours.
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        raise RuntimeError(f"index artifact swap left no committed build: {path}")
+    shutil.rmtree(aside, ignore_errors=True)
 
 
 def cached_relation(
@@ -444,9 +534,13 @@ def cached_relation(
     if base is not None and delta_build is not None:
         base_path = os.path.join(_corpus_dir(base["base"]), name)
         if os.path.isfile(os.path.join(base_path, "_SUCCESS")):
-            dpath = os.path.join(
-                _corpus_dir(sf_dir, create=True), name + ".delta"
-            )
+            # The delta artifact keys the BASE fingerprint and the
+            # watermark next to the current corpus fingerprint (ADVICE
+            # r12): editing ann_base.json in place — new base or new
+            # watermark, same embeddings bytes — must orphan the delta,
+            # or a stale base+delta union serves silently.
+            dname = f"{name}.delta.{_fingerprint(base['base'])}.w{base['watermark']}"
+            dpath = os.path.join(_corpus_dir(sf_dir, create=True), dname)
             if not os.path.isfile(os.path.join(dpath, "_SUCCESS")):
                 _write_committed(delta_build(base["watermark"]), dpath)
             return spark.read.parquet(base_path).unionByName(

@@ -237,9 +237,155 @@ def test_incremental_append_serves_without_refit(spark, sf_dir, index_dir, tmp_p
     }
     assert after == snapshot
     app_dir = os.path.join(index_dir, ann_index._fingerprint(str(app)))
-    deltas = [d for d in os.listdir(app_dir) if d.endswith(".delta")]
+    deltas = [d for d in os.listdir(app_dir) if ".delta." in d]
     assert len(deltas) == 2, deltas  # flat codes + residual codes
     for d in deltas:
+        # The delta name keys the base fingerprint AND the watermark
+        # (ADVICE r12): an in-place ann_base.json edit must orphan it.
+        assert f".delta.{base_key}.w{wm}" in d, d
         assert os.path.isfile(os.path.join(app_dir, d, "_SUCCESS"))
         n_delta = pq.read_table(os.path.join(app_dir, d)).num_rows
         assert n_delta == N_QUERIES, (d, n_delta)
+
+    # Rewriting the DECLARATION in place (same embeddings bytes, new
+    # watermark) must orphan the old delta: the served union re-encodes
+    # under the new watermark instead of silently riding the stale one.
+    ann_index.cached_relation(
+        spark,
+        str(base),
+        "t.parquet",
+        lambda: spark.createDataFrame([(1,)], "vec_id long"),
+    )
+    built = []
+
+    def delta(w):
+        built.append(w)
+        return spark.createDataFrame([(w,)], "vec_id long")
+
+    for new_wm in (wm + 1, wm + 2):
+        ann_index.clear_memos()
+        with open(app / "ann_base.json", "w") as f:
+            json.dump({"base": str(base), "watermark": new_wm}, f)
+        got = ann_index.cached_relation(
+            spark,
+            str(app),
+            "t.parquet",
+            lambda: (_ for _ in ()).throw(AssertionError("base must serve")),
+            delta_build=delta,
+        )
+        assert got.count() == 2
+    assert built == [wm + 1, wm + 2]
+
+
+def test_fingerprint_directory_source_is_durable(spark, sf_dir, index_dir, tmp_path):
+    """A directory-shaped embeddings.parquet (standard Spark writer
+    output) must fingerprint durably from its largest part file — before
+    round 13 it IsADirectoryError'd into volatile, silently disabling
+    artifact persistence — and a regeneration with different bytes must
+    re-key."""
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "corpus"
+    emb_dir = corpus / "embeddings.parquet"
+    emb_dir.mkdir(parents=True)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    pq.write_table(t.slice(0, 100), emb_dir / "part-00000.parquet")
+    pq.write_table(t.slice(100, 50), emb_dir / "part-00001.parquet")
+
+    key = ann_index._fingerprint(str(corpus))
+    assert not key.startswith("volatile-")
+    # Stable across calls (memoized) and across processes (stat-derived).
+    assert ann_index._fingerprint(str(corpus)) == key
+    ann_index.clear_memos()
+    assert ann_index._fingerprint(str(corpus)) == key
+
+    # Regenerating the largest member in place (same mtime preserved via
+    # utime) still re-keys: the footer hash sees the new bytes.
+    st = os.stat(emb_dir / "part-00000.parquet")
+    pq.write_table(t.slice(200, 100), emb_dir / "part-00000.parquet")
+    os.utime(emb_dir / "part-00000.parquet", ns=(st.st_atime_ns, st.st_mtime_ns))
+    ann_index.clear_memos()
+    key2 = ann_index._fingerprint(str(corpus))
+    if os.path.getsize(emb_dir / "part-00000.parquet") == st.st_size:
+        assert key2 != key  # footer must carry the difference
+    else:
+        assert key2 != key  # size already re-keys
+
+
+def test_fingerprint_memoized_one_footer_read(sf_dir, monkeypatch):
+    """The 64 KiB footer read runs once per stat-identical snapshot per
+    session (ADVICE r12: it was re-read on every call)."""
+    ann_index.clear_memos()
+    opens = []
+    real_open = open
+
+    def counting_open(path, *a, **k):
+        if str(path).endswith(".parquet"):
+            opens.append(str(path))
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", counting_open)
+    k1 = ann_index._fingerprint(sf_dir)
+    k2 = ann_index._fingerprint(sf_dir)
+    k3 = ann_index._fingerprint(sf_dir)
+    assert k1 == k2 == k3
+    assert len(opens) == 1, opens
+
+
+def test_append_lineage_missing_base_meta_warns(spark, sf_dir, index_dir, tmp_path):
+    """A declared lineage whose base was never indexed falls back to the
+    live count — correct but expensive — and must say so (ADVICE r12:
+    the silent fallback hid a full retrain behind an 'append')."""
+    import json
+    import warnings
+
+    import pyarrow.parquet as pq
+
+    base = tmp_path / "base"
+    base.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"), base / "embeddings.parquet"
+    )
+    app = tmp_path / "app"
+    app.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"), app / "embeddings.parquet"
+    )
+    with open(app / "ann_base.json", "w") as f:
+        json.dump({"base": str(base), "watermark": 10}, f)
+
+    emb = _emb(spark, str(app))
+    live_n = pq.read_metadata(app / "embeddings.parquet").num_rows
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n = ann_index.model_corpus_count(emb, str(app))
+    assert n == live_n
+    assert any("no index meta.json" in str(w.message) for w in caught), [
+        str(w.message) for w in caught
+    ]
+
+    # Once the base is indexed (meta.json exists) the frozen geometry
+    # resolves silently.
+    ann_index.corpus_count(_emb(spark, str(base)), str(base))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n2 = ann_index.model_corpus_count(emb, str(app))
+    assert n2 == live_n  # same bytes, so same n — but from the base meta
+    assert not caught, [str(w.message) for w in caught]
+
+
+def test_write_committed_post_swap_recheck(spark, index_dir, tmp_path):
+    """The swap must end with a committed build in place; replacing an
+    existing artifact goes through the aside-rename (never an in-place
+    rmtree) and cleans up after itself."""
+    path = str(tmp_path / "rel.parquet")
+    one = spark.createDataFrame([(1,)], "a long")
+    ann_index._write_committed(one, path)
+    assert os.path.isfile(os.path.join(path, "_SUCCESS"))
+    two = spark.createDataFrame([(1,), (2,)], "a long")
+    ann_index._write_committed(two, path)
+    assert spark.read.parquet(path).count() == 2
+    leftovers = [
+        d for d in os.listdir(tmp_path) if ".old." in d or ".tmp." in d
+    ]
+    assert not leftovers, leftovers
