@@ -42,7 +42,10 @@ HEADLINE = [
     "similarity_topk_ivf",
     "similarity_topk_pq",
     "similarity_topk_pq_trained",
-    "similarity_topk_ivfpq",
+    # similarity_topk_ivfpq retired from the registry round 13 (trained
+    # twin carries the rows at 4.1x the wall); the bench slot goes to the
+    # new append-lineage serving path.
+    "ann_append_serving",
     "similarity_topk_ivfpq_trained",
     "multimodal_real_jpeg_color",
     "events_session_window",
@@ -54,7 +57,9 @@ HEADLINE = [
 # the sf1 total, diluting every regression signal in the other queries.
 # Both subtotals print inside the same capped metric line, so drift in
 # either is visible in driver records without reading 26 per-query keys.
-ANN_MEDIA = {q for q in HEADLINE if q.startswith(("similarity_", "multimodal_"))}
+ANN_MEDIA = {
+    q for q in HEADLINE if q.startswith(("similarity_", "multimodal_", "ann_"))
+}
 
 # The driver records only the LAST 2000 characters of bench output and
 # parses the metric JSON out of that tail. Round 10's ~2,400-char note
@@ -71,6 +76,23 @@ MAX_METRIC_LINE = 1800
 # text (the r8/r9 failure mode — BENCH_r09.json carried the verbatim
 # round-7 note).
 ROUND_NOTES = {
+    13: (
+        "r13: ivfpq_trained's serving dials now ADAPT — SPANN (1+eps) "
+        "closeness on the query-side probe set + shortlist scaled by the "
+        "squared width/floor ratio (free clusteredness signal): recall "
+        "on the clustered n=20k crossover corpus 0.54->0.92 at +7% "
+        "organic-sf1 wall (grid in SCALE_ann_r13.md). Sign-orthant "
+        "similarity_topk_ivfpq RETIRED (oracle parity survives as a "
+        "unit fixture); slot -> NEW ann_append_serving: derived base "
+        "indexed once, appended corpus serves frozen models with "
+        "O(delta) encode, driver-visible. ann_index hardened: dir-shaped "
+        "corpora fingerprint durably (memoized footer hash), deltas key "
+        "base+watermark, aside-rename swap. ADC arrays pad the full "
+        "byte range (NULLS-FIRST trap closed). NEW bench line "
+        "pipeline_airport_revenue: the full reference lifecycle off one "
+        "cached DAG. Crossover bytes-scanned now measured (REST SQL "
+        "metrics)."
+    ),
     12: (
         "r12: the r11 'stage-latency floor' on trained PQ was a Catalyst "
         "CollapseProject O(d^2) blowup (projected norm fold re-inlined "

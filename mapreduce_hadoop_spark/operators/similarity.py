@@ -1479,10 +1479,19 @@ def _adc_arrays_np(
     same IEEE doubles; only the STAGE moves to the driver, not the
     arithmetic). Book cells never emitted by the encoder are +inf (the
     asc shortlist can never surface them — the sparse-artifact trap
-    ADVICE r11 flagged). Returns a list of M (G, K) float64 arrays."""
+    ADVICE r11 flagged). The arrays span the FULL byte range (256 slots)
+    rather than 1 + max(observed code): a books artifact that ever loads
+    sparse at the top — or a codes row carrying a code above every
+    loaded book cell — would otherwise make ``element_at`` run past the
+    array and return NULL, and a NULL ADC sum sorts NULLS FIRST into the
+    shortlist (VERDICT r12). With the pad, any such cell reads +inf and
+    can never win the asc sort; PQ codes are < book k <= 256 by
+    construction, so the pad is dead weight only (10 queries x M x 256
+    doubles — request-sized). Returns a list of M (G, 256) float64
+    arrays."""
     import numpy as np
 
-    k = 1 + max(code for _, code, _ in rows)
+    k = 256
     books = np.full((m_subspaces, k, sub), np.inf, dtype=np.float64)
     for m, code, cd in rows:
         books[m, code] = cd
@@ -1702,6 +1711,30 @@ PQ_TRAINED_SHORTLIST_DIV = 100
 # rows/query is the cheaper side of that trade).
 PQ_TRAINED_IVF_SHORTLIST_MIN = 100
 
+# Query-side adaptive probe width for the trained IVF-PQ (round 13):
+# probe every list whose cosine-gap is within (1+eps)^2 of the nearest
+# list's, floored at the old fixed nprobe=K/3, capped at K. Measured on
+# the CLUSTERED n=20k crossover corpus (fixed nprobe read recall 0.54):
+# eps=0.1 never escapes the K/3 floor (all widths 47/47); eps=0.3
+# separates the corpora — mutated queries widen to mean 104/141 lists
+# while organic sf1 queries stay near the floor (mean 73) — and is the
+# knee: eps=0.4 saturates every mutated query at ~K for no recall gain
+# at equal shortlist (0.76 vs 0.78 at sl=450). Full grid in
+# SCALE_ann_r13.md.
+IVFPQ_PROBE_EPS = 0.3
+
+# The SAME width profile prices the second failure axis: residual-ADC
+# distortion. On clustered corpora the global residual book pools many
+# disjoint clouds and the true neighbor's ADC rank degrades, so the
+# near-constant re-rank misses it even when its list WAS probed
+# (measured at n=20k mutated: probe-ALL lists still reads 0.68 at the
+# base shortlist; base probes at 10x shortlist also 0.68; both dials
+# together 0.94). mean(width)/floor is a free driver-side clusteredness
+# signal — organic 1.55 vs mutated 2.2 at eps=0.3 — and the shortlist
+# scales by its SQUARE (probe volume x per-candidate distortion),
+# capped at the sign-orthant n/10 law so the adaptive path can never
+# re-rank deeper than the stopgap it replaced.
+
 
 def _pq_trained_shortlist(n: int) -> int:
     return max(PQ_SHORTLIST_MIN, n // PQ_TRAINED_SHORTLIST_DIV)
@@ -1783,6 +1816,61 @@ def _assign_topn_np(x, cents_rows: "list[tuple[int, list[float]]]", n: int):
     scores = (x @ cmat.T) / cn
     idx = np.argsort(-scores, axis=1, kind="stable")[:, :n]
     return [ids[row].tolist() for row in idx]
+
+
+def _probe_lists_adaptive(
+    x,
+    cents_rows: "list[tuple[int, list[float]]]",
+    nprobe_min: int,
+    eps: float,
+    nprobe_max: int,
+) -> "list[list[int]]":
+    """Query-side ADAPTIVE probe selection: SPANN's (1+eps) closeness
+    rule applied to the PROBE set instead of the posting lists — a query
+    probes its nearest list plus every list whose cosine-gap is within
+    ``(1+eps)^2`` of the nearest's, floored at ``nprobe_min`` (the fixed
+    budget that was the only dial before round 13) and capped at
+    ``nprobe_max``.
+
+    Why (VERDICT r12 order 3): a fixed nprobe = K/3 is the wrong
+    constant for CLUSTERED corpora — on the mutated crossover corpus at
+    n=20k the coarse quantizer splits each replica cloud's boundary mass
+    across many near-equidistant lists and ivfpq_trained read recall
+    0.54, while the same constant scored 1.00 on the organic sf1
+    derivation. The gap profile distinguishes the two cases per query:
+    an interior query's second-nearest list is far (few lists pass the
+    eps bound — it keeps the floor), a boundary query sits between
+    near-equidistant lists (many pass — it widens its own probe set).
+    Recall is bought exactly where it is lost, instead of raising the
+    constant for every query on every corpus. Measured in
+    SCALE_ann_r13.md; ties ranked like ``_assign_topn_np`` (stable
+    argsort, cent_id asc) so the floor probes are IDENTICAL to the
+    pre-r13 fixed set.
+
+    Driver-side only (runs over the request-sized query matrix against
+    the broadcast-sized centroid list); the corpus-side assignment is
+    unchanged — at 100 TB this adds zero distributed work, it only
+    changes how many posting lists a query's ADC join matches."""
+    import numpy as np
+
+    rows_sorted = sorted(cents_rows)
+    ids = np.asarray([cid for cid, _ in rows_sorted], dtype=np.int64)
+    cmat = np.asarray([cv for _, cv in rows_sorted], dtype=np.float64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    xn = np.sqrt((x * x).sum(axis=1))
+    cos = (x @ cmat.T) / cn / xn[:, None]
+    gap = 1.0 - cos  # ||x-c||^2 / 2 on normalized vectors
+    order = np.argsort(gap, axis=1, kind="stable")
+    ranked = np.take_along_axis(gap, order, axis=1)
+    bound = (1.0 + eps) ** 2 * ranked[:, :1]
+    nprobe_max = min(nprobe_max, len(ids))
+    nprobe_min = min(nprobe_min, len(ids))
+    out = []
+    for row, r, b in zip(order, ranked, bound):
+        width = int((r <= b).sum())
+        width = max(nprobe_min, min(nprobe_max, width))
+        out.append(ids[row[:width]].tolist())
+    return out
 
 
 def _assign_arrow_udf(cents_rows: "list[tuple[int, list[float]]]", n: int):
@@ -1930,6 +2018,75 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_append_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat trained-PQ top-k served through a DECLARED APPEND LINEAGE,
+    end to end — the driver-visible face of the incremental-add contract
+    (VERDICT r12 order 2; the FAISS ``train`` once / ``add`` forever
+    split, ``ann_index._base_info``).
+
+    From the gate corpus the query derives ONCE (cached under the index
+    root, keyed by the source corpus' fingerprint) an append-lineage
+    pair:
+
+    - ``base/``  — the first ~90% of vectors (vec_id < watermark), the
+      snapshot a production index was trained on;
+    - ``full/``  — every vector, plus ``ann_base.json`` declaring the
+      base and the watermark (the caller's append declaration).
+
+    It then indexes the base (train + add, persisted under the base's
+    own fingerprint) and serves ``topk_pq_trained`` against the FULL
+    corpus: the frozen base codebooks load from the base artifacts —
+    never refit (pinned by the KMeans-poison test in
+    tests/test_ann_index.py) — only the appended ~10% tail is encoded
+    (O(delta), ``cached_relation``'s delta path), and the served codes
+    relation is the base artifact unioned with the delta. At 100 TB
+    this is the difference between an append costing a delta encode and
+    costing a full retrain + re-encode of the corpus.
+
+    Scale shape: both derivations are one filter/projection-free Spark
+    write each (one-time); serving is the fused pq_trained plan — two
+    parquet scans + two shuffles warm, zero Python. K-means training is
+    not SQL-expressible -> rows-only driver check; the appended-vector
+    searchability and frozen-model contracts are pinned in
+    tests/test_ann_index.py and tests/test_similarity_pq.py.
+    """
+    import json
+
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        ann_index.index_root(), "append_demo", ann_index._fingerprint(sf_dir)
+    )
+    base_dir = os.path.join(root, "base")
+    full_dir = os.path.join(root, "full")
+    marker = os.path.join(root, "_derived")
+    if not os.path.isfile(marker):
+        n = ann_index.corpus_count(emb, sf_dir)
+        # Query vectors (vec_id < N_QUERIES) stay in the base: the
+        # serving artifact layer keys query vectors by corpus, and an
+        # append never rewrites history below the watermark.
+        wm = max(N_QUERIES, (n * 9) // 10)
+        ann_index._write_committed(
+            emb.filter(F.col("vec_id") < wm),
+            os.path.join(base_dir, "embeddings.parquet"),
+        )
+        ann_index._write_committed(
+            emb, os.path.join(full_dir, "embeddings.parquet")
+        )
+        with open(os.path.join(full_dir, "ann_base.json"), "w") as f:
+            json.dump({"base": base_dir, "watermark": wm}, f)
+        with open(marker, "w") as f:
+            f.write(str(wm))
+    # Index the base snapshot (train + add persist eagerly during plan
+    # construction; warm calls load artifacts and fit nothing). The base
+    # result frame itself is discarded — this is the one-time deployment
+    # step a production system runs at train time.
+    topk_pq_trained(spark, base_dir)
+    # Serve the appended corpus through the frozen-model delta path.
+    return topk_pq_trained(spark, full_dir)
+
+
 # --- IVF-PQ composition ------------------------------------------------------
 
 
@@ -1999,6 +2156,8 @@ def _ivfpq_from(
     trained_books: bool = False,
     cents_rows: "list[tuple[int, list[float]]] | None" = None,
     candidates_per_query: "int | None" = None,
+    probe_eps: "float | None" = None,
+    nprobe_max: "int | None" = None,
 ) -> DataFrame:
     """Shared residual IVF-PQ plan; ``cents`` is any (cent_id, cv, cn)
     relation (fixed rows for the oracle twin, k-means for the trained).
@@ -2120,7 +2279,15 @@ def _ivfpq_from(
         qv_rows = ann_index.query_vectors(emb, sf_dir, N_QUERIES)
         qnv_rows = _query_nv_rows(emb, sf_dir)
         xq = np.asarray([v for _, v in qv_rows], dtype=np.float64)
-        probe_lists = _assign_topn_np(xq, cents_rows, nprobe)
+        if probe_eps is not None:
+            # Adaptive probe width (round 13): the SPANN closeness rule
+            # on the query side — see _probe_lists_adaptive.
+            probe_lists = _probe_lists_adaptive(
+                xq, cents_rows, nprobe, probe_eps,
+                nprobe_max if nprobe_max is not None else len(cents_rows),
+            )
+        else:
+            probe_lists = _assign_topn_np(xq, cents_rows, nprobe)
         ncv = {
             cid: [x / math.sqrt(_strict_dot(cv, cv)) for x in cv]
             for cid, cv in cents_rows
@@ -2441,19 +2608,49 @@ def topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # K (list count) is fixed at TRAIN time — the FAISS nlist contract:
     # under an append lineage the frozen base quantizer keeps serving,
     # so K derives from the snapshot it was trained on.
+    import numpy as np
+
     k = max(IVF_K, math.isqrt(ann_index.model_corpus_count(emb, sf_dir)))
     nprobe = max(IVF_NPROBE, k // 3)
     cents = _trained_centroids(spark, emb, sf_dir, k=k)
+    cents_rows = ann_index.coarse_centroids(spark, emb, sf_dir, k)
+
+    # Round 13 (VERDICT r12 order 3): both serving dials ADAPT to the
+    # query/quantizer geometry instead of sitting on constants that were
+    # right only for organic data — fixed nprobe=K/3 with the base
+    # shortlist read recall 0.54 on the clustered n=20k crossover corpus
+    # (vs 1.00 organic). Probe width: the SPANN closeness rule, query
+    # side (_probe_lists_adaptive — boundary queries widen their own
+    # probe set). Shortlist: scaled by the SQUARE of the measured
+    # width/floor ratio, the free clusteredness signal (see the
+    # IVFPQ_PROBE_EPS block for the measured grid). Everything here is
+    # driver-side arithmetic over artifact-backed, request-sized
+    # relations — a warm query still plans zero query-side Spark jobs.
+    qv_rows = ann_index.query_vectors(emb, sf_dir, N_QUERIES)
+    xq = np.asarray([v for _, v in qv_rows], dtype=np.float64)
+    widths = [
+        len(p)
+        for p in _probe_lists_adaptive(xq, cents_rows, nprobe, IVFPQ_PROBE_EPS, k)
+    ]
+    ratio = (sum(widths) / len(widths)) / min(nprobe, k)
+    base_shortlist = _pq_trained_ivf_shortlist(n)
+    shortlist = min(
+        int(base_shortlist * ratio * ratio),
+        max(base_shortlist, n // PQ_SHORTLIST_DIV),
+    )
+
     return _ivfpq_from(
         emb,
         cents,
         nprobe,
-        _pq_trained_ivf_shortlist(n),
+        shortlist,
         spark=spark,
         sf_dir=sf_dir,
         trained_books=True,
         # Driver-side centroids (memoized/persisted) let assignment run
         # as the Arrow matmul instead of the n x K crossJoin + window.
-        cents_rows=ann_index.coarse_centroids(spark, emb, sf_dir, k),
+        cents_rows=cents_rows,
         candidates_per_query=n,
+        probe_eps=IVFPQ_PROBE_EPS,
+        nprobe_max=k,
     )

@@ -140,6 +140,25 @@ rows-only query can be pinned exactly like a hash-verified one — the
 pre-rewrite hashes are captured in committed GATE_rule1a_pre_r12_*.log
 files generated from the untouched round-11 tree.
 
+Round-13 application: the cadence forces the full rotation a sixth
+time — all 42 r13-tail candidates (the r12 tail) have r11 rows, so they
+all rotate in, EXCEPT ``similarity_topk_ivfpq``, which RETIRES at
+rotation (the size policy's sixth exercise — see the retirement list
+below). Head = 7 reference + 41 rotations + 1 new query
+(``ann_append_serving``, taking the retired slot: the incremental-add
+serving path gets the driver-visible row VERDICT r12 order 2 demanded)
++ 1 spare change slot (``similarity_topk_pq_trained`` — round 13 hardens
+the artifact layer it serves from: fingerprint memoization/directory
+support, delta keying, swap protocol — so the serving primary takes a
+fresh driver row rather than riding a pin) = 50. As before,
+CHANGED_THIS_ROUND starts EMPTY and grows commit-by-commit; the one
+rule-1a candidate is ``similarity_topk_ivf_spann`` (r12 head -> r13
+tail; its coarse-quantizer artifacts load through the hardened layer
+with byte-identical outputs), pinned in the end-of-round evidence
+commit against the fresh-fit GATE_rule1a_pre_r13_*.log hashes captured
+off the untouched round-12 tree (which match the r12 logs
+hash-for-hash at every scale).
+
 Round-11 application: the cadence forces the full rotation a fourth
 time — all 37 r11-tail candidates with rows (the r10 tail minus the 5
 rule-1b staged entries) have r9 rows, so they all rotate in, and the 5
@@ -198,6 +217,20 @@ round, and the ``>=80`` clamp edge cases stay pinned by
 ``similarity_topk_ivf`` re-verify row the rotation plan had originally
 reserved the spare for.
 
+And a sixth, round 13 (the retirement VERDICT r12 order 1 called due):
+``similarity_topk_ivfpq`` (sign-orthant per-list residual books, fixed
+K=16, n/10 linear shortlist — 8.48 s at sf1, 5.5x bruteforce) retired
+in favor of ``ann_append_serving`` — its trained twin
+``similarity_topk_ivfpq_trained`` carries driver rows (r11/r13), five
+gate scales, 4.1x better sf1 wall, and crossover-measured economics;
+the per-list-books plan and recall floor stay pinned by
+``tests/test_similarity_pq.py::test_ivfpq_recall_and_plan``, and the
+full row-for-row DuckDB oracle parity the driver used to re-verify
+survives as ``test_ivfpq_matches_oracle_post_retirement`` (added in the
+same commit). ``similarity_topk_pq`` stays as the single hash-verified
+PQ parity twin, its n/10 shortlist documented as the verification
+trade.
+
 1. ``fn_distance`` — consumed (and therefore driver-verified) by
    ``trip_length_histogram`` and the sessionize family every round; the
    plane-projection arithmetic stays pinned by
@@ -225,67 +258,56 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 12
+ROUND = 13
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row. Starts EMPTY at
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
-# Round 12: similarity_topk_pq_trained — the PQ warm serving path was
-# fused (driver-side query relation + ADC arrays from the persisted
-# books, q folded into the shortlist broadcast, the CollapseProject
-# O(d^2) norm-refold fixed via _div_by); output identical at every gate
-# scale, but the query holds the spare head slot anyway, so it takes
-# the fresh driver row directly. similarity_topk_ivf_spann's probe
-# lineage shares the refactored _assign_arrow_udf core (identical
-# behavior by construction — one shared routine); it is in the head via
-# its rule-1b promotion, so its first driver row also covers the change.
+# Round 13: similarity_topk_ivfpq_trained — BOTH serving dials are now
+# adaptive (the SPANN (1+eps) closeness rule on the query-side probe
+# set + the shortlist scaled by the squared width/floor ratio, the
+# free clusteredness signal): recall on the clustered n=20k crossover
+# corpus 0.54 -> 0.92 at +7% organic-sf1 wall (measured grid in
+# SCALE_ann_r13.md). Output changes wherever a query's eps-set exceeds
+# the old fixed floor — a semantic improvement, not a rewrite, so it
+# takes its forced-rotation head slot as a changed entry.
+# ann_append_serving is NEW this round (first driver row; rows-only —
+# k-means); listed for the head-membership check.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "similarity_topk_pq_trained",
-    "similarity_topk_ivf_spann",
+    "similarity_topk_ivfpq_trained",
+    "ann_append_serving",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
-# Round 12: the r11 pin (multimodal_real_jpeg) is in this round's
-# forced rotation set and takes an ordinary fresh driver row, retiring
-# that pin. The PQ stage fusion (VERDICT order 1) rewrites the shared
-# scan/re-rank helpers and the trained query-side build: outputs are
-# bit-identical at every gate scale by design (the fusion reorders
-# STAGES, not arithmetic — driver-side folds replicate the JVM
-# left-to-right fold term for term). similarity_topk_pq /
-# similarity_topk_ivfpq pin against their r11 hashes (in
-# GATE_*_r11.log); similarity_topk_ivfpq_trained is rows-only, whose
-# pre-rewrite hashes were captured in GATE_rule1a_pre_r12_*.log from
-# the untouched r11 tree at all five gate scales (the gate runner now
-# hashes rows-only outputs too). A fourth pin joins for the JPEG
-# DRI/RSTn extension (multimodal.py): the shared entropy kernels now
-# handle restart intervals, but the patterned encoders emit none by
-# default, so multimodal_real_jpeg_color's output is byte-identical
-# (its pre hashes are its ordinary r11 PASS hashes;
-# multimodal_real_jpeg itself is in the head via the forced rotation).
-# Set in the end-of-round evidence commit, together with the test pin
-# dict and the regenerated SRCHASH-bound r12 logs (the round-8/9/11
-# lesson).
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
-    "similarity_topk_pq",
-    "similarity_topk_ivfpq",
-    "similarity_topk_ivfpq_trained",
-    "multimodal_real_jpeg_color",
-)
+# Round 13: the four r12 pins retire at rotation (all four queries are
+# in the forced rotation set / CHANGED set and take ordinary fresh
+# driver rows). One pin lands in the end-of-round evidence commit —
+# similarity_topk_ivf_spann (r12 head -> r13 tail): its coarse-quantizer
+# artifacts load through the hardened ann_index layer (fingerprint
+# memoization + directory support + swap protocol), all
+# behavior-neutral for file-shaped corpora by construction; pre-rewrite
+# hashes captured FRESH-FIT off the untouched r12 tree in
+# GATE_rule1a_pre_r13_*.log at all five scales (and equal to the r12
+# logs hash-for-hash). Set together with the test pin dict and the
+# regenerated SRCHASH-bound r13 logs (the round-8/9/11 lesson); empty
+# until that commit.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
-# Round 12: none — similarity_topk_ivf_spann promoted into the head at
-# rotation (first driver row this round).
+# Round 13: none — ann_append_serving took the retired similarity_topk_ivfpq
+# slot directly in the head (first driver row this round).
 STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
-# surface (always in window) + all 42 row-carrying round-11 tail entries
-# (rule 2 — the 2-round cadence's forced full rotation: every r11-tail
-# entry's newest driver row is r10; the set includes the one rule-1b
-# staged entry, similarity_topk_ivf_spann, taking its first driver row)
-# + 1 spare change slot (similarity_topk_pq_trained — the round-12 PQ
-# stage-fusion primary; see the Round-12 application paragraph).
+# surface (always in window) + 41 row-carrying round-12 tail entries
+# (rule 2 — the forced full rotation; similarity_topk_ivfpq RETIRED at
+# rotation, see the retirement list) + ann_append_serving (NEW — the
+# incremental-add serving path's first driver row, in the retired slot)
+# + 1 spare change slot (similarity_topk_pq_trained — the artifact layer
+# it serves from was hardened this round; see the Round-13 application
+# paragraph).
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -295,53 +317,55 @@ HEAD = (
     "airport_trips_parity",
     "daily_revenue",
     "total_revenue",
-    # Rule-1b staged promotion (first driver row; rows-only — k-means).
-    "similarity_topk_ivf_spann",
-    # Spare change slot: the fused flat-PQ primary (rows-only).
+    # NEW round 13 (slot freed by retiring similarity_topk_ivfpq): the
+    # append-lineage serving path, driver-visible (rows-only — k-means).
+    "ann_append_serving",
+    # Spare change slot: the flat-PQ serving primary (rows-only) — its
+    # artifact layer (ann_index) was hardened this round.
     "similarity_topk_pq_trained",
-    # Round-10-green tail rotations (rule 2): the entire row-carrying
-    # round-11 tail rotates in.
-    "dedup_keep_best",
-    "multimodal_real_jpeg",
-    "multimodal_real_resize",
-    "dedup_exact_normalized",
-    "multimodal_real_roundtrip",
-    "dedup_simhash",
-    "corpus_clean_stats",
-    "events_daily_by_type",
-    "market_segment_balance",
-    "text_fingerprints",
-    "text_tfidf_top_terms",
-    "text_document_chunks",
-    "text_normalize",
-    "text_repetition_score",
-    "similarity_topk_bruteforce",
-    "similarity_topk_filtered",
-    "similarity_topk_lsh",
-    "similarity_near_dup_lsh",
-    "multimodal_metadata",
-    "events_rollup",
-    "purchase_asof_view",
-    "event_props_json",
-    "distinct_users_daily",
-    "approx_distinct_users_daily",
-    "segment_customer_setops",
-    "contamination_check",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "revenue_by_nation",
-    "pricing_summary",
-    "top_orders_per_customer",
-    "shipping_priority",
-    "text_quality_score",
-    "text_token_counts",
-    "events_session_window",
-    "text_span_dedup",
-    "text_gopher_rules",
-    "embedding_quantize_int8",
-    "events_funnel",
-    "events_cohort_retention",
+    # Round-12-green tail rotations (rule 2): the row-carrying round-12
+    # tail rotates in (minus the retirement).
+    "events_cube",
+    "customer_balance_windows",
+    "events_hash_sample",
+    "events_stratified_sample",
+    "customer_order_semi_anti",
+    "events_grouping_sets",
+    "orders_pivot_priority",
+    "lineitem_measures_unpivot",
+    "lineitem_percentiles",
+    "approx_lineitem_percentiles",
+    "events_salted_agg",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_daily_gapfill",
+    "fn_distance",
+    "corpus_domain_mix",
+    "corpus_pack_sequences",
+    "events_keyed_dedup",
+    "events_enriched",
+    "similarity_near_dup_cosine",
+    "global_top_orders",
+    "sql_revenue_by_nation",
+    "trips_concurrency",
+    "text_pii_scrub",
+    "views_before_purchase_range_join",
+    "similarity_topk_ivf_trained",
+    "multimodal_real_jpeg_color",
+    "airport_trips_timeout",
+    "corpus_weighted_sample",
+    "corpus_train_split",
+    "corpus_domain_quota",
+    "customer_activity_reconcile",
+    "sql_orders_above_customer_avg",
+    "corpus_vocab_topk",
+    "text_language_id_ngram",
+    "dedup_minhash_lsh",
+    "similarity_topk_ivf",
+    "similarity_topk_pq",
+    "multimodal_real_wav",
+    "similarity_topk_ivfpq_trained",
+    "multimodal_real_avi",
 )
 
 
@@ -698,14 +722,21 @@ def _specs() -> dict[str, QuerySpec]:
         # resample, integer energy features; closed-form oracle from
         # doc_id. Completes the audio modality that was metadata-only.
         "multimodal_real_wav": (multimodal.media_real_wav, multimodal.MEDIA_REAL_WAV_ORACLE),
-        # Rule 1b, round 10: the two ANN halves composed — IVF pruning of
-        # WHICH vectors are scanned x PQ-ADC over the RESIDUAL
-        # x - c_list cutting WHAT is read per vector, exact re-rank on
-        # the shortlist. The standard billion-scale serving shape (full
-        # FAISS IVFPQ: residual encoding, per-list codebooks), fully
-        # deterministic and hash-verified; recall@5 0.78 at sf0.001 (the
-        # nprobe=8 pruning ceiling exactly).
-        "similarity_topk_ivfpq": (similarity.topk_ivfpq, similarity.TOPK_IVFPQ_ORACLE),
+        # similarity_topk_ivfpq RETIRED round 13 (size policy's sixth
+        # exercise, VERDICT r12 order 1): the trained twin carries the
+        # driver rows at 4.1x the sf1 wall; full row-for-row oracle
+        # parity survives as tests/test_similarity_pq.py::
+        # test_ivfpq_matches_oracle_post_retirement, the per-list-books
+        # recall/plan floor as test_ivfpq_recall_and_plan. Its slot went
+        # to ann_append_serving below.
+        # NEW round 13: the incremental-add contract served end-to-end —
+        # a derived base snapshot is indexed once, the appended corpus
+        # declares its lineage (ann_base.json) and serves flat trained-PQ
+        # top-k through FROZEN base models with an O(delta) encode of the
+        # appended tail only (the FAISS train/add split, driver-visible).
+        # K-means -> rows-only; frozen-model + searchability contracts
+        # pinned by the KMeans-poison test in tests/test_ann_index.py.
+        "ann_append_serving": (similarity.ann_append_serving, None),
         # Rule 1b, round 10: residual IVF-PQ under the TRAINED coarse
         # quantizer — k-means centroids dropped into the identical
         # _ivfpq_from plan (README lever 2). Training is not

@@ -56,20 +56,12 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 12: the r11 pin (multimodal_real_jpeg) retired at rotation
-    # (ordinary fresh driver row). Four pins land with the evidence
-    # commit — the PQ stage-fusion rewrites (pre-rewrite hashes:
-    # topk_pq / topk_ivfpq from GATE_sf0.01_r11.log, unchanged since;
-    # ivfpq_trained from GATE_rule1a_pre_r12_sf0.01.log, captured
-    # FRESH-FIT off the untouched r11 tree because KMeans refits do not
-    # bit-reproduce r11-era artifacts and the r12 fingerprint change
-    # orphans them anyway) and the JPEG DRI/RSTn kernel extension
-    # (jpeg_color's pre hash = its r11 PASS hash; the patterned encoder
-    # emits no DRI, so the stream bytes are unchanged).
-    "similarity_topk_pq": ("GATE_sf0.01_r12.log", "b5e2a87a06a8a32e"),
-    "similarity_topk_ivfpq": ("GATE_sf0.01_r12.log", "6a1948aaeb5952e9"),
-    "similarity_topk_ivfpq_trained": ("GATE_sf0.01_r12.log", "6ae703087c89d282"),
-    "multimodal_real_jpeg_color": ("GATE_sf0.01_r12.log", "a3d1cbffd11fd982"),
+    # Round 13: the four r12 pins retired at rotation (fresh driver
+    # rows). One pin lands with the evidence commit —
+    # similarity_topk_ivf_spann against GATE_sf0.01_r13.log, pre-rewrite
+    # hash from GATE_rule1a_pre_r13_sf0.01.log (fresh-fit off the
+    # untouched r12 tree; equal to the r12 log hash-for-hash). Empty
+    # until that commit, in lockstep with REWRITTEN_HASH_IDENTICAL.
 }
 
 

@@ -212,3 +212,70 @@ def test_ivf_spann_recall_beats_trained(spark, sf_dir):
     r_spann = sum(len(es[q] & ss.get(q, set())) for q in es) / total
     assert r_spann >= r_base, f"spann {r_spann:.2f} < trained {r_base:.2f}"
     assert r_spann >= 0.8, f"spann recall@5={r_spann:.2f}"
+
+
+def test_probe_lists_adaptive_floor_cap_and_tie_order():
+    """The round-13 adaptive probe rule: (a) floor probes are IDENTICAL
+    to the fixed top-n assignment (stable tie order, cent_id asc) so
+    interior queries cost exactly what they did before; (b) a query
+    near-equidistant from several centroids widens within the (1+eps)
+    bound; (c) the cap binds."""
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.similarity import (
+        _assign_topn_np,
+        _probe_lists_adaptive,
+    )
+
+    # Four well-separated unit centroids + one near-duplicate pair.
+    cents = [
+        (7, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    interior = [0.99, 0.01, 0.0, 0.0]   # decisively inside centroid 7
+    boundary = [0.7, 0.7, 0.0, 0.0]     # equidistant from 7 and 3
+    x = np.asarray([interior, boundary], dtype=np.float64)
+
+    fixed = _assign_topn_np(x, cents, 2)
+    adaptive = _probe_lists_adaptive(x, cents, 2, 0.1, 4)
+    # Interior query: eps admits only the nearest -> floor of 2, and the
+    # floor prefix equals the fixed assignment exactly.
+    assert adaptive[0] == fixed[0]
+    assert len(adaptive[0]) == 2
+    # Boundary query: both straddled lists pass the bound; the floor
+    # already covers them, and the prefix still matches fixed order.
+    assert adaptive[1][:2] == fixed[1][:2]
+    assert set(adaptive[1][:2]) == {7, 3}
+
+    # A query equidistant from ALL four centroids widens to the cap.
+    allsame = np.asarray([[0.5, 0.5, 0.5, 0.5]], dtype=np.float64)
+    wide = _probe_lists_adaptive(allsame, cents, 1, 0.1, 3)
+    assert len(wide[0]) == 3  # cap binds below the 4 eligible
+    full = _probe_lists_adaptive(allsame, cents, 1, 0.1, 4)
+    assert sorted(full[0]) == [1, 3, 5, 7]
+    # Ties rank cent_id asc (stable argsort over the sorted rows).
+    assert full[0] == [1, 3, 5, 7]
+
+
+def test_adc_arrays_pad_full_byte_range():
+    """Sparse books can never surface NULL ADC sums (VERDICT r12): the
+    per-query lookup arrays span all 256 slots; cells absent from the
+    books read +inf, and any real cell is finite."""
+    import math
+
+    from mapreduce_hadoop_spark.operators.similarity import _adc_arrays_np
+
+    # 2 subspaces x 2 dims; book has cells {0, 1} for m=0 but ONLY {0}
+    # for m=1 — cell (1, 1) is absent (the sparse-artifact trap).
+    rows = [(0, 0, [0.0, 0.0]), (0, 1, [1.0, 1.0]), (1, 0, [0.5, 0.5])]
+    out = _adc_arrays_np([[1.0, 2.0, 3.0, 4.0]], rows, 2, 2)
+    assert len(out) == 2
+    assert out[0].shape == (1, 256)
+    assert out[1].shape == (1, 256)
+    assert out[0][0][0] == 1.0 + 4.0          # (1-0)^2 + (2-0)^2
+    assert out[0][0][1] == 0.0 + 1.0          # (1-1)^2 + (2-1)^2
+    assert out[1][0][0] == 6.25 + 12.25       # (3-.5)^2 + (4-.5)^2
+    assert math.isinf(out[1][0][1])           # absent cell -> +inf
+    assert math.isinf(out[0][0][255])         # pad -> +inf

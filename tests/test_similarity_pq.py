@@ -476,3 +476,29 @@ def test_ivfpq_trained_warm_plan_is_fused(spark, sf_dir, tmp_path, monkeypatch):
     assert "codes_res" in plan, "scan must read the residual codes artifact"
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+
+
+def test_ivfpq_matches_oracle_post_retirement(spark, sf_dir, duck):
+    """``similarity_topk_ivfpq`` RETIRED from the registry in round 13
+    (size policy, VERDICT r12 order 1: its trained twin carries driver
+    rows, 4x the sf1 wall, and crossover-measured economics; the freed
+    slot went to ``ann_append_serving``). The oracle parity the driver
+    re-verified every round survives HERE: full row-for-row equality
+    against the module's DuckDB oracle — the per-list residual books,
+    probe-filter ADC join, and two-phase shortlist stay bit-pinned."""
+    from mapreduce_hadoop_spark.operators.similarity import (
+        TOPK_IVFPQ_ORACLE,
+        topk_ivfpq,
+        unpersist_intermediates,
+    )
+
+    got = sorted(
+        (r["query_id"], r["vec_id"], round(r["cosine"], 6), round(r["adc"], 6), r["rank"])
+        for r in topk_ivfpq(spark, sf_dir).collect()
+    )
+    unpersist_intermediates()
+    want = sorted(
+        (int(q), int(v), round(float(c), 6), round(float(a), 6), int(rk))
+        for q, v, c, a, rk in duck.execute(TOPK_IVFPQ_ORACLE).fetchall()
+    )
+    assert got == want

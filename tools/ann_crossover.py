@@ -70,25 +70,49 @@ def derive(factor: int) -> str:
     return dst
 
 
-def _input_bytes(spark) -> int:
-    """Total executor input bytes across all COMPLETE stages so far, read
+_SIZE_UNITS = {"B": 1, "KiB": 1024, "MiB": 1024**2, "GiB": 1024**3, "TiB": 1024**4}
+
+
+def _scan_bytes_since(spark, after_id: int) -> "tuple[int, int]":
+    """(scan_bytes, max_sql_id): total ``size of files read`` over the
+    parquet Scan nodes of every SQL execution with id > ``after_id``,
     from the live UI's REST API (the tool enables the UI on its own
-    session). Deltas around a query give MEASURED bytes scanned — turning
-    the crossover's '64x fewer corpus bytes' from arithmetic into a
-    recorded column (VERDICT r12 order 7)."""
+    session). Deltas around a query give MEASURED file bytes opened by
+    its scans — turning the crossover's '64x fewer corpus bytes' from
+    arithmetic into a recorded column (VERDICT r12 order 7).
+
+    Semantics, stated honestly: this is the size of the FILES the scans
+    read, the right currency for 'how much corpus does a query touch'.
+    Stage-level ``inputBytes`` would be bytes-after-column-pruning but
+    reads 0 for the local vectorized parquet path (measured: a 3.8 MiB
+    full-column scan reported 2 KB), so file-size-read is the
+    strongest measurable signal here."""
     import urllib.request
 
     base = spark.sparkContext.uiWebUrl
     if not base:
-        return -1
+        return -1, after_id
     apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
     app_id = apps[0]["id"]
-    stages = json.load(
+    sqls = json.load(
         urllib.request.urlopen(
-            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+            f"{base}/api/v1/applications/{app_id}/sql"
+            "?details=true&planDescription=false&length=100000"
         )
     )
-    return sum(s["inputBytes"] for s in stages)
+    total, mx = 0, after_id
+    for q in sqls:
+        if q["id"] <= after_id:
+            continue
+        mx = max(mx, q["id"])
+        for node in q.get("nodes", []):
+            if not node.get("nodeName", "").startswith("Scan"):
+                continue
+            for m in node.get("metrics", []):
+                if m["name"] == "size of files read":
+                    num, unit = m["value"].split()
+                    total += int(float(num) * _SIZE_UNITS[unit])
+    return total, mx
 
 
 def main() -> None:
@@ -127,13 +151,13 @@ def main() -> None:
                 recalls[tag][name] = round(
                     hits / sum(len(s) for s in exact.values()), 2
                 )
+        sql_cursor = _scan_bytes_since(spark, -1)[1]
         for name in QUERIES:
             best = float("inf")
             bytes_read = -1
             for _ in range(2):
                 spark.catalog.clearCache()
                 similarity.unpersist_intermediates()
-                b0 = _input_bytes(spark)
                 t0 = time.time()
                 queries[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -141,7 +165,7 @@ def main() -> None:
                 best = min(best, time.time() - t0)
                 # Bytes are deterministic per warm run (same plan, same
                 # artifacts); record the last run's delta.
-                bytes_read = _input_bytes(spark) - b0
+                bytes_read, sql_cursor = _scan_bytes_since(spark, sql_cursor)
             results[tag][name] = round(best, 2)
             bytes_scanned[tag][name] = bytes_read
             print(f"| {tag} | {name} | {results[tag][name]} s | "
