@@ -778,12 +778,23 @@ class _JpegScanWriter:
 
         if self._zz is None:
             self._zz = np.asarray(_JPEG_ZIGZAG)
-        flat = coeff_block.reshape(64)[self._zz]
-        diff = int(flat[0]) - prev_dc
+        raw = coeff_block.reshape(64)
+        diff = int(raw[0]) - prev_dc
         size = abs(diff).bit_length()
         self._put(dc_codes[size])
         if size:
             self._put_amp(diff)
+        # DC-only fast path (content-checked, bit-identical): an all-zero
+        # AC set emits exactly one EOB under the generic run-length walk
+        # below, and raw[0] IS the zig-zag DC. Block-constant patterned
+        # payloads — every block of every plane — take this branch, which
+        # was ~46% of the whole encode (the 63-coefficient Python walk
+        # per block); richer AC content (the round-trip unit fixtures)
+        # still exercises the generic walk.
+        if not raw[1:].any():
+            self._put(ac_codes[0x00])  # EOB
+            return int(raw[0])
+        flat = raw[self._zz]
         run = 0
         for k in range(1, 64):
             v = int(flat[k])
