@@ -128,16 +128,125 @@ SELECT query_id, vec_id, cosine, rank FROM (
 """
 
 
+def _near_dup_blocks(n: int, parallelism: int) -> int:
+    """Block count B for the triangle-blocked all-pairs plan: the smallest
+    B whose B(B+1)/2 block-pair groups cover the cluster's parallelism,
+    raised so no block exceeds ~4096 rows (bounds each group's pandas
+    frame and the numpy accumulator tile regardless of corpus size)."""
+    import math
+
+    b_par = math.ceil((math.sqrt(8.0 * max(parallelism, 1) + 1) - 1) / 2)
+    return max(b_par, math.ceil(n / 4096), 1)
+
+
 def near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs near-duplicates: cosine >= 0.4, vec_a < vec_b.
 
-    The labeled O(n^2) baseline (``near_dup_cosine_lsh`` is the scale
-    path). The inequality join plans as BroadcastNestedLoopJoin, whose
-    parallelism is the STREAMED side's partition count — and a small
-    parquet arrives as one split, which serializes the whole n^2 scan on
-    one core. Spreading the streamed side across defaultParallelism
-    restores full-width execution (measured 32x at sf1).
+    Exact O(n^2) COMPUTE is the semantics (``near_dup_cosine_lsh`` is the
+    approximate scale path) — but the round-12 shape, a
+    BroadcastNestedLoopJoin evaluating a 64-term ``aggregate`` fold per
+    pair in the JVM expression interpreter, pays that n^2 at
+    interpreted-expression speed and broadcasts one whole side.  This
+    plan is the textbook triangle blocking instead: rows hash into B
+    blocks by ``vec_id % B``, every unordered block pair (i <= j) is one
+    ``applyInPandas`` group, and each group evaluates its dense tile as a
+    numpy outer-product ACCUMULATE whose summation order is the exact
+    left fold of ``_dot`` / the DuckDB oracle's ``list_reduce`` — so
+    every output bit (hash-pinned vs the r12 BNLJ plan at three gate
+    scales, and vs ``near_dup_cosine_bnlj`` in
+    tests/test_similarity_ivf.py) is unchanged while the arithmetic runs
+    vectorized.
+
+    Scale accounting: shuffle is n*B rows (= n^2/4096, vanishing next to
+    the unavoidable n^2*d compute), no broadcast of data rows, no driver
+    collect, groups are size-capped (~4096 rows/block) and uniformly
+    keyed by the dense vec_id residue — skew-immune.  The final round +
+    threshold stay in Spark so the filter semantics are byte-identical
+    to the oracle's.
     """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    n_rows = emb.count()
+    n_blocks = _near_dup_blocks(n_rows, spark.sparkContext.defaultParallelism)
+
+    ks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    bid = (F.col("vec_id") % n_blocks).cast("int")
+    tagged = emb.withColumn("bid", bid).withColumn(
+        "g",
+        F.explode(
+            F.transform(
+                ks,
+                lambda k: F.struct(
+                    F.least(F.col("bid"), k).alias("gi"),
+                    F.greatest(F.col("bid"), k).alias("gj"),
+                ),
+            )
+        ),
+    )
+
+    pre_cut = NEAR_DUP_COS - 1e-6  # below round-half-up's 6-dp boundary
+
+    def _tile(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "raw": pd.Series(dtype="float64")})
+        side_a = pdf[pdf["bid"] == gi]
+        side_b = pdf if gi == gj else pdf[pdf["bid"] == gj]
+        if not len(side_a) or not len(side_b):
+            return empty
+
+        def _mat_norm(side):
+            m = np.stack(side["v"].to_numpy()).astype(np.float64, copy=False)
+            acc = np.zeros(len(m))
+            for i in range(m.shape[1]):  # left fold, bit-exact vs _dot
+                acc += m[:, i] * m[:, i]
+            return m, np.sqrt(acc)
+
+        ma, na = _mat_norm(side_a)
+        mb, nb = _mat_norm(side_b)
+        ids_a = side_a["vec_id"].to_numpy()
+        ids_b = side_b["vec_id"].to_numpy()
+        out = []
+        for s in range(0, len(ma), 1024):  # tile rows: bounds acc memory
+            a, ia, npa = ma[s : s + 1024], ids_a[s : s + 1024], na[s : s + 1024]
+            acc = np.zeros((len(a), len(mb)))
+            for i in range(a.shape[1]):  # same left fold as _dot
+                acc += a[:, i : i + 1] * mb[:, i]
+            raw = acc / (npa[:, None] * nb[None, :])
+            keep = (raw >= pre_cut) & (ia[:, None] != ids_b[None, :])
+            r, c = np.nonzero(keep)
+            if not len(r):
+                continue
+            va, vb = ia[r], ids_b[c]
+            lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+            if gi == gj:  # self tile sees each pair twice; keep one
+                once = va < vb
+                lo, hi, r, c = lo[once], hi[once], r[once], c[once]
+            out.append(pd.DataFrame({"vec_a": lo, "vec_b": hi,
+                                     "raw": raw[keep][once] if gi == gj
+                                     else raw[keep]}))
+        return pd.concat(out) if out else empty
+
+    raw = tagged.groupBy("g.gi", "g.gj").applyInPandas(
+        _tile, "vec_a long, vec_b long, raw double"
+    )
+    cos = F.round(F.col("raw"), 6)
+    return raw.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= F.lit(NEAR_DUP_COS)
+    )
+
+
+def near_dup_cosine_bnlj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r13 BroadcastNestedLoopJoin formulation of
+    ``near_dup_cosine`` — kept UNREGISTERED as the JVM-fold parity
+    reference: tests/test_similarity_ivf.py asserts the blocked plan's
+    output is row- and bit-identical to this one, which is the shape the
+    committed r12 gate hashes were produced by."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")

@@ -279,3 +279,38 @@ def test_adc_arrays_pad_full_byte_range():
     assert out[1][0][0] == 6.25 + 12.25       # (3-.5)^2 + (4-.5)^2
     assert math.isinf(out[1][0][1])           # absent cell -> +inf
     assert math.isinf(out[0][0][255])         # pad -> +inf
+
+
+def test_near_dup_blocked_bit_identical_to_bnlj(spark, sf_dir):
+    """The r13 triangle-blocked all-pairs plan must reproduce the r12
+    BroadcastNestedLoopJoin formulation row-for-row and BIT-for-bit: the
+    numpy outer-product accumulate is the exact left fold of ``_dot``, so
+    rounded cosines are the same doubles (gate hashes at sf0.001/0.01/0.1
+    were verified unchanged when the rewrite landed)."""
+    from mapreduce_hadoop_spark.operators.similarity import (
+        near_dup_cosine,
+        near_dup_cosine_bnlj,
+    )
+
+    blocked = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in near_dup_cosine(spark, sf_dir).collect()
+    }
+    bnlj = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in near_dup_cosine_bnlj(spark, sf_dir).collect()
+    }
+    assert blocked.keys() == bnlj.keys()
+    assert len(blocked) > 0
+    for k, v in blocked.items():
+        assert v == bnlj[k], (k, v, bnlj[k])
+
+
+def test_near_dup_blocks_sizing():
+    """B covers the parallelism triangle-wise and caps block size ~4096."""
+    from mapreduce_hadoop_spark.operators.similarity import _near_dup_blocks
+
+    assert _near_dup_blocks(500, 32) == 8       # 8*9/2 = 36 >= 32 groups
+    assert _near_dup_blocks(20_000, 32) == 8    # parallelism-bound
+    assert _near_dup_blocks(2_000_000, 32) == 489   # memory-bound: n/4096
+    assert _near_dup_blocks(1, 1) == 1
