@@ -1511,7 +1511,7 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_rank(
         codes,
         _adc_scatter_arrays(adc, ["query_id"], PQ_M),
-        nvt,
+        emb.select("vec_id", "v"),
         q,
         shortlist,
         candidates_per_query=n,
@@ -1643,7 +1643,7 @@ def _local_qarr_df(
 def _pq_adc_rank(
     codes: DataFrame,
     qarr: DataFrame,
-    nvt: DataFrame,
+    raw: DataFrame,
     q: DataFrame,
     shortlist: int,
     m_subspaces: int = PQ_M,
@@ -1651,7 +1651,8 @@ def _pq_adc_rank(
     persist_codes: bool = True,
 ) -> DataFrame:
     """Shared flat-PQ ADC scan + two-phase shortlist + exact re-rank;
-    ``codes`` is (vec_id, c0..c{M-1}), ``qarr`` is one row per query
+    ``codes`` is (vec_id, c0..c{M-1}), ``raw`` is the (vec_id, v) double
+    corpus for the post-join re-rank, ``qarr`` is one row per query
     carrying M dense 256-slot ADC lookup arrays (columns `0`..`M-1`).
     Used by both the sign-orthant oracle twin (``topk_pq``) and the
     Lloyd-trained primary (``topk_pq_trained``) — identical plan shape,
@@ -1689,15 +1690,23 @@ def _pq_adc_rank(
     # Exact re-rank of the shortlist: the query vectors join the Q*R
     # survivors INSIDE the broadcast build (q is query-sized), so the
     # final stage is ONE broadcast-hash join against one pruned scan of
-    # the normalized vectors — not two separate broadcast jobs (round-12
-    # stage fusion; output identical, the join is the same inner equi-join
-    # either side of the broadcast boundary).
-    rer = nvt.join(
+    # the corpus — not two separate broadcast jobs (round-12 stage
+    # fusion). Round 13: the join runs on the RAW (vec_id, v) scan and
+    # the normalize-fold + cosine evaluate ABOVE it — r12's plan kept
+    # the O(d) norm fold + divide in a Project BELOW the join, paying
+    # ~200 interpreted lambda ops for EVERY corpus row when only the
+    # ~Q*R shortlist survivors reach the cosine. Same expression tree
+    # (_div_by keeps the fold once-per-row), same bits, n-fold fewer
+    # evaluations.
+    rer = raw.join(
         F.broadcast(short.join(F.broadcast(q), "query_id")), "vec_id"
     ).select(
         "query_id",
         "vec_id",
-        F.round(_dot(F.col("qnv"), F.col("nv")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("qnv"), _div_by(F.col("v"), F.sqrt(_dot(F.col("v"), F.col("v"))))),
+            6,
+        ).alias("cosine"),
         "adc",
     )
     w3 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -2118,7 +2127,7 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_rank(
         codes,
         qarr,
-        nvt,
+        emb.select("vec_id", "v"),
         q,
         _pq_trained_shortlist(n),
         m_subspaces=PQ_TRAINED_M,
@@ -2420,7 +2429,7 @@ def _ivfpq_from(
         return _ivfpq_scan_rank(
             codes,
             qarr,
-            nvt,
+            emb.select("vec_id", "v"),
             q,
             shortlist,
             m_subspaces=PQ_TRAINED_M,
@@ -2509,7 +2518,7 @@ def _ivfpq_from(
     return _ivfpq_scan_rank(
         codes,
         _adc_scatter_arrays(adc, ["query_id", "cent_id"], PQ_M),
-        nvt,
+        emb.select("vec_id", "v"),
         q,
         shortlist,
         candidates_per_query=candidates_per_query,
@@ -2519,7 +2528,7 @@ def _ivfpq_from(
 def _ivfpq_scan_rank(
     codes: DataFrame,
     qarr: DataFrame,
-    nvt: DataFrame,
+    raw: DataFrame,
     q: DataFrame,
     shortlist: int,
     m_subspaces: int = PQ_M,
@@ -2556,13 +2565,18 @@ def _ivfpq_scan_rank(
     # see _shortlist_topr; identical output either way).
     short = _shortlist_topr(scored, shortlist, candidates_per_query)
     # Re-rank with q folded into the shortlist broadcast — one
-    # broadcast-hash join against the corpus, same fusion as _pq_adc_rank.
-    rer = nvt.join(
+    # broadcast-hash join against the RAW corpus scan, with the
+    # normalize-fold + cosine computed ABOVE the join (shortlist
+    # survivors only), same fusion + fold placement as _pq_adc_rank.
+    rer = raw.join(
         F.broadcast(short.join(F.broadcast(q), "query_id")), "vec_id"
     ).select(
         "query_id",
         "vec_id",
-        F.round(_dot(F.col("qnv"), F.col("nv")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("qnv"), _div_by(F.col("v"), F.sqrt(_dot(F.col("v"), F.col("v"))))),
+            6,
+        ).alias("cosine"),
         "adc",
     )
     w3 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))

@@ -283,10 +283,21 @@ ROUND = 13
 # rather than rule-1a pinned. The rewrite retires the sf1 gate
 # exclusion: Spark side now ~2 s and the DuckDB twin measured 276 s at
 # n=20k, both inside the gate budget for the first time.
+# similarity_topk_pq + similarity_topk_pq_trained (and the trained IVF-PQ
+# + append-serving paths, already listed): the shared exact re-rank now
+# joins on the RAW (vec_id, v) scan and evaluates the normalize fold +
+# cosine ABOVE the broadcast join — r12's plan paid the O(d) fold for
+# every corpus row when only the shortlist survivors reach the cosine.
+# Bit-identical (topk_pq's sf0.01 oracle hash byte-equal to the r12 log;
+# crossover recalls unchanged at all three n); measured -32%/-36% wall
+# on the trained paths at n=200k/1M (SCALE_ann_r13.md §2). All four
+# re-rank consumers sit in the head this round.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "similarity_topk_ivfpq_trained",
     "ann_append_serving",
     "similarity_near_dup_cosine",
+    "similarity_topk_pq",
+    "similarity_topk_pq_trained",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every

@@ -1,22 +1,19 @@
 #!/bin/bash
-# Round-12 gate matrix: full registry at the three driver scales, and the
-# sf1 / sf1skew derivations minus the one LABELED O(n^2) baseline whose
-# DuckDB twin cannot finish 50k x 50k in the gate budget
-# (similarity_near_dup_cosine — same exclusion as rounds 4-7).
+# Round-13 gate matrix: the FULL registry at all five scales — the first
+# round with zero exclusions. The one historical exclusion
+# (similarity_near_dup_cosine at sf1/sf1skew: its DuckDB twin needed
+# ~n^2 list_reduce evaluations and could not finish in the gate budget)
+# ended this round: the Spark side is triangle-blocked (bit-identical)
+# and the DuckDB twin measured 276 s at n=20k — long, but inside budget,
+# and worth it for a hash-verified exact O(n^2) baseline at gate scale.
 set -u
 cd "$(dirname "$0")/.."
-R=12
-HDR_TREE="final round-${R} tree: PQ warm serving path stage-fused (driver-built query relations from persisted artifacts incl. query vectors; q folded into the shortlist broadcast; the CollapseProject O(d^2) norm-refold fixed via _div_by — outputs bit-identical, rule-1a pinned), index artifacts keyed by training recipe + parquet-footer fingerprint, SPANN promoted to the driver head with fetch-count instrumentation, JPEG DRI/RSTn restart markers in profile"
+R=13
+HDR_TREE="final round-${R} tree: adaptive IVF-PQ serving dials (SPANN (1+eps) probe widening + squared width/floor shortlist), ann_append_serving driver query over the hardened artifact layer (footer fingerprints, base+watermark delta keys, aside-rename swap), triangle-blocked exact near-dup (bit-identical; sf1 exclusion retired), JPEG DC-only encoder fast path (bit-identical)"
 
-BIG_EXCL="similarity_near_dup_cosine"
 ALLQ=$(python - <<'EOF'
 from mapreduce_hadoop_spark import registry
 print(" ".join(registry.queries()))
-EOF
-)
-BIGQ=$(python - <<'EOF'
-from mapreduce_hadoop_spark import registry
-print(" ".join(n for n in registry.queries() if n != "similarity_near_dup_cosine"))
 EOF
 )
 
@@ -29,8 +26,8 @@ run_gate() {
   echo "== ${label} exit ${rc}"
 }
 
-run_gate /root/testdata/sf0.001     GATE_sf0.001_r12.log sf0.001 "$ALLQ" "full registry, 92 queries"
-run_gate /root/testdata/sf0.01      GATE_sf0.01_r12.log  sf0.01  "$ALLQ" "full registry, 92 queries"
-run_gate /root/testdata/sf0.1       GATE_sf0.1_r12.log   sf0.1   "$ALLQ" "full registry, 92 queries"
-run_gate /root/repo/.scale_data/sf1     GATE_sf1_r12.log     sf1     "$BIGQ" "91 queries: full registry minus ${BIG_EXCL} (LABELED O(n^2) baseline; its DuckDB twin cannot finish 50k x 50k in the gate budget); derived 10x via tools/make_scale_data.py"
-run_gate /root/repo/.scale_data/sf1skew GATE_sf1skew_r12.log sf1skew "$BIGQ" "91 queries, hot-key derivation (--skew: one taxi ~10% of positions, one source ~50% of documents); same exclusion as sf1"
+run_gate /root/testdata/sf0.001     GATE_sf0.001_r13.log sf0.001 "$ALLQ" "full registry, 92 queries"
+run_gate /root/testdata/sf0.01      GATE_sf0.01_r13.log  sf0.01  "$ALLQ" "full registry, 92 queries"
+run_gate /root/testdata/sf0.1       GATE_sf0.1_r13.log   sf0.1   "$ALLQ" "full registry, 92 queries"
+run_gate /root/repo/.scale_data/sf1     GATE_sf1_r13.log     sf1     "$ALLQ" "full registry, 92 queries — first round with NO exclusion; derived 10x via tools/make_scale_data.py"
+run_gate /root/repo/.scale_data/sf1skew GATE_sf1skew_r13.log sf1skew "$ALLQ" "full registry, 92 queries, hot-key derivation (--skew: one taxi ~10% of positions, one source ~50% of documents); no exclusion"
