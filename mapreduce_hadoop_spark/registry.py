@@ -281,8 +281,10 @@ ROUND = 13
 # near_dup_cosine_bnlj reference (tests/test_similarity_ivf.py), but it
 # already sits in the forced-rotation head, so it is listed as changed
 # rather than rule-1a pinned. The rewrite retires the sf1 gate
-# exclusion: Spark side now ~2 s and the DuckDB twin measured 276 s at
-# n=20k, both inside the gate budget for the first time.
+# exclusion: Spark side measured 14.3 s cold / 9.3 s repeat at sf1
+# (n=20k, 182k pairs, hash f5030fab16f12573 — equal to the r12 BNLJ
+# shape's, which took 109.1 s paired same-session) and the DuckDB twin
+# 276 s, all inside the gate budget for the first time.
 # similarity_topk_pq + similarity_topk_pq_trained (and the trained IVF-PQ
 # + append-serving paths, already listed): the shared exact re-rank now
 # joins on the RAW (vec_id, v) scan and evaluates the normalize fold +

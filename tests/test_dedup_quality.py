@@ -297,3 +297,45 @@ def test_dedup_keep_best_is_cluster_quality_argmax(spark, sf_dir):
     for r in got:
         assert r["keep_doc"] == want[r["cluster_id"]][1]
         assert r["n_members"] == sizes[r["cluster_id"]]
+
+
+def test_simhash60_np_matches_pure_python():
+    """The vectorized batch core reproduces the definition: per bit j,
+    majority of set bits across the row's hashes."""
+    import numpy as np
+
+    from mapreduce_hadoop_spark.operators.dedup import SIMHASH_BITS, _simhash60_np
+
+    rng_rows = [
+        [0x123456789ABCDEF, 0x0F0F0F0F0F0F0F0, 0x7FFFFFFFFFFFFFF],
+        [1],
+        [(1 << 60) - 1, 0],
+        [0x5A5A5A5A5A5A5A5, 0x5A5A5A5A5A5A5A5, 0x25A5A5A5A5A5A5A],
+    ]
+    got = _simhash60_np([np.asarray(r, dtype=np.int64) for r in rng_rows])
+    for row, sim in zip(rng_rows, got):
+        want = 0
+        for j in range(SIMHASH_BITS):
+            cnt = sum((h >> j) & 1 for h in row)
+            if 2 * cnt > len(row):
+                want |= 1 << j
+        assert int(sim) == want, (row, int(sim), want)
+    assert len(_simhash60_np([])) == 0
+
+
+def test_simhash_arrow_fold_matches_jvm(spark, sf_dir):
+    """The r13 Arrow signature fold is bit-identical to the r12 JVM
+    array-accumulator it replaced (integer arithmetic — kept as the
+    rule-1a parity reference; measured 0.65 s vs 2.1 s warm at sf1 on
+    the persisted hash relation)."""
+    from mapreduce_hadoop_spark.operators.dedup import (
+        _shingle_hashes60,
+        _simhash_from_hs,
+        _simhash_from_hs_jvm,
+    )
+
+    hs = _shingle_hashes60(spark, sf_dir)
+    new = {r["doc_id"]: r["simhash"] for r in _simhash_from_hs(hs).collect()}
+    old = {r["doc_id"]: r["simhash"] for r in _simhash_from_hs_jvm(hs).collect()}
+    assert len(new) > 0
+    assert new == old
