@@ -38,6 +38,10 @@ HEADLINE = [
     "text_token_counts",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # NEW round 13: the exact all-pairs baseline joined the headline set
+    # when its triangle-blocked rewrite made it benchable (sf1 109 -> 9.3 s
+    # warm, bit-identical; the first round it runs at every gate scale).
+    "similarity_near_dup_cosine",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "similarity_topk_pq",
@@ -77,21 +81,17 @@ MAX_METRIC_LINE = 1800
 # round-7 note).
 ROUND_NOTES = {
     13: (
-        "r13: ivfpq_trained's serving dials now ADAPT — SPANN (1+eps) "
-        "closeness on the query-side probe set + shortlist scaled by the "
-        "squared width/floor ratio (free clusteredness signal): recall "
-        "on the clustered n=20k crossover corpus 0.54->0.92 at +7% "
-        "organic-sf1 wall (grid in SCALE_ann_r13.md). Sign-orthant "
-        "similarity_topk_ivfpq RETIRED (oracle parity survives as a "
-        "unit fixture); slot -> NEW ann_append_serving: derived base "
-        "indexed once, appended corpus serves frozen models with "
-        "O(delta) encode, driver-visible. ann_index hardened: dir-shaped "
-        "corpora fingerprint durably (memoized footer hash), deltas key "
-        "base+watermark, aside-rename swap. ADC arrays pad the full "
-        "byte range (NULLS-FIRST trap closed). NEW bench line "
-        "pipeline_airport_revenue: the full reference lifecycle off one "
-        "cached DAG. Crossover bytes-scanned now measured (REST SQL "
-        "metrics)."
+        "r13: ANN exact re-rank folds its normalize ABOVE the broadcast "
+        "join (was per-corpus-row below) — bit-identical, n=1M warm "
+        "pq_trained 26.7->17.0s, ivfpq_trained 36.0->23.1s (-36%); found "
+        "via the new measured bytes column (r12 '64x bytes' corrected: "
+        "codes ~12x, one full re-rank scan dominates). Adaptive ivfpq "
+        "dials: mutated recall 0.54->0.92 at +7% organic wall. Near-dup "
+        "triangle-blocked: sf1 109->9.3s hash-equal, the sf1 gate "
+        "exclusion RETIRED (92 queries x 5 scales, zero exclusions). "
+        "Simhash fold Arrow-vectorized (3.2x warm, integer-identical). "
+        "topk_ivfpq retired -> NEW ann_append_serving + near_dup_cosine "
+        "bench lines. Details: SCALE_ann_r13.md."
     ),
     12: (
         "r12: the r11 'stage-latency floor' on trained PQ was a Catalyst "
