@@ -304,19 +304,26 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
-# Round 13: the four r12 pins retire at rotation (all four queries are
-# in the forced rotation set / CHANGED set and take ordinary fresh
-# driver rows). One pin lands in the end-of-round evidence commit —
-# similarity_topk_ivf_spann (r12 head -> r13 tail): its coarse-quantizer
-# artifacts load through the hardened ann_index layer (fingerprint
-# memoization + directory support + swap protocol), all
-# behavior-neutral for file-shaped corpora by construction; pre-rewrite
-# hashes captured FRESH-FIT off the untouched r12 tree in
-# GATE_rule1a_pre_r13_*.log at all five scales (and equal to the r12
-# logs hash-for-hash). Set together with the test pin dict and the
-# regenerated SRCHASH-bound r13 logs (the round-8/9/11 lesson); empty
-# until that commit.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
+# Round 13: the four r12 pins retired at rotation (fresh driver rows).
+# Two pins this round, both verified against the full r13 matrix
+# (92 queries x 5 scales, 0 failures, ZERO exclusions):
+# - similarity_topk_ivf_spann (r12 head -> r13 tail): its
+#   coarse-quantizer artifacts load through the hardened ann_index
+#   layer (fingerprint memoization + directory support + swap
+#   protocol); pre-rewrite hashes captured FRESH-FIT off the untouched
+#   r12 tree in GATE_rule1a_pre_r13_*.log at all five scales, and
+#   RE-VERIFIED bit-for-bit the day the r13 matrix ran by re-running
+#   the r12 tree (83e6149) from a fresh worktree with its own index
+#   root. All five r13 matrix hashes equal the pre-logs.
+# - dedup_simhash (tail): the 60-bit signature fold moved from the JVM
+#   array-accumulator to an Arrow batch kernel — integer arithmetic,
+#   identity structural; r13 matrix hashes equal GATE_*_r12.log at
+#   every scale, plus a Spark-side parity test against the kept JVM
+#   formulation.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
+    "similarity_topk_ivf_spann",
+    "dedup_simhash",
+)
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
 # Round 13: none — ann_append_serving took the retired similarity_topk_ivfpq

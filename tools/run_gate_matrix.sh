@@ -9,7 +9,7 @@
 set -u
 cd "$(dirname "$0")/.."
 R=13
-HDR_TREE="final round-${R} tree: adaptive IVF-PQ serving dials (SPANN (1+eps) probe widening + squared width/floor shortlist), ann_append_serving driver query over the hardened artifact layer (footer fingerprints, base+watermark delta keys, aside-rename swap), triangle-blocked exact near-dup (bit-identical; sf1 exclusion retired), JPEG DC-only encoder fast path (bit-identical)"
+HDR_TREE="final round-${R} tree: adaptive IVF-PQ serving dials (SPANN (1+eps) probe widening + squared width/floor shortlist), ann_append_serving driver query over the hardened artifact layer (footer fingerprints, base+watermark delta keys, aside-rename swap), triangle-blocked exact near-dup (bit-identical; sf1 exclusion retired), ANN exact re-rank normalize fold moved above the broadcast join (bit-identical, -36% at n=1M), Arrow simhash signature fold (integer-identical), JPEG DC-only encoder fast path (bit-identical). Fresh .ann_index this run; kmeans fits verified stable across process mixes/cpu counts this session, and the committed rule-1a pre-logs re-verified hash-for-hash today against a fresh worktree of the r12 tree (83e6149)"
 
 ALLQ=$(python - <<'EOF'
 from mapreduce_hadoop_spark import registry
