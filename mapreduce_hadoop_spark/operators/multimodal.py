@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+from functools import lru_cache as _lru_cache
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -675,23 +676,35 @@ def _jpeg_canonical_codes(bits: "list[int]", vals: "list[int]"):
     return out
 
 
+@_lru_cache(maxsize=None)
 def _jpeg_dct_matrix():
+    """Cached and WRITE-PROTECTED. The recompute itself measured ~nil
+    (kernel profile 0.304 -> 0.302 s for 80 docs), so the cache is not a
+    perf claim — the point is ``setflags(write=False)``: these tables are
+    now shared across every block of every doc in a worker, and a single
+    in-place mutation anywhere would silently corrupt all later docs'
+    bit-pinned output. Read-only turns that class of bug into an
+    immediate ValueError. Float bits identical either way."""
     import numpy as np
 
     u = np.arange(8).reshape(8, 1)
     x = np.arange(8).reshape(1, 8)
     a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
     a[0] /= np.sqrt(2.0)
+    a.setflags(write=False)
     return a
 
 
+@_lru_cache(maxsize=None)
 def _jpeg_qtable():
     import numpy as np
 
     u = np.arange(8).reshape(8, 1)
     v = np.arange(8).reshape(1, 8)
     q = 8 + 4 * (u + v)  # q[0][0] = 8: the block-constant exactness anchor
-    return q.astype(np.int64)
+    q = q.astype(np.int64)
+    q.setflags(write=False)
+    return q
 
 
 def _pack_codes_msb(codes: "list[int]", widths: "list[int]") -> bytes:
@@ -1176,13 +1189,16 @@ _JPEG_AC_SPEC_CHROMA = (
 )
 
 
+@_lru_cache(maxsize=None)
 def _jpeg_qtable_chroma():
     import numpy as np
 
     u = np.arange(8).reshape(8, 1)
     v = np.arange(8).reshape(1, 8)
     q = 8 + 6 * (u + v)  # q[0][0] = 8: same block-constant exactness anchor
-    return q.astype(np.int64)
+    q = q.astype(np.int64)
+    q.setflags(write=False)
+    return q
 
 
 # Baseline chroma-subsampling layouts: Y sampling factors (h, v) with
