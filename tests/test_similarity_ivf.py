@@ -314,3 +314,46 @@ def test_near_dup_blocks_sizing():
     assert _near_dup_blocks(20_000, 32) == 8    # parallelism-bound
     assert _near_dup_blocks(2_000_000, 32) == 489   # memory-bound: n/4096
     assert _near_dup_blocks(1, 1) == 1
+
+
+def test_near_dup_plans_as_arrow_tiles_not_bnlj(spark, sf_dir):
+    """The blocked all-pairs plan must be the applyInPandas tile stage —
+    never the r12 BroadcastNestedLoopJoin (whose n^2 interpreted pair
+    evaluation is what the rewrite retired)."""
+    from mapreduce_hadoop_spark.operators.similarity import near_dup_cosine
+
+    plan = near_dup_cosine(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan[:500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_rerank_fold_is_above_the_join(spark, sf_dir):
+    """Round-13 fold placement: the exact re-rank's O(d) normalize fold
+    must sit ABOVE the broadcast-hash join (evaluated per shortlist
+    survivor), not in the corpus-side projection below it (evaluated per
+    corpus row — the shape that cost 36% at n=1M)."""
+    import re
+
+    from mapreduce_hadoop_spark.operators.similarity import topk_pq
+
+    plan = topk_pq(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    bhj = next(
+        i for i, l in enumerate(lines) if "BroadcastHashJoin [vec_id" in l
+    )
+    # The streamed (corpus) subtree of the re-rank join: the ":"-prefixed
+    # lines immediately under the first BHJ in toString() tree layout.
+    streamed = []
+    for l in lines[bhj + 1 :]:
+        if re.match(r"^\s*:", l):
+            streamed.append(l)
+        else:
+            break
+    assert streamed, plan[:500]
+    assert any("Scan parquet" in l or "FileScan parquet" in l for l in streamed)
+    assert not any("aggregate(" in l for l in streamed), (
+        "normalize fold found BELOW the re-rank join (per-corpus-row)"
+    )
+    # ...and the fold exists above the join (the cosine projection).
+    assert any("aggregate(" in l for l in lines[:bhj])
