@@ -433,6 +433,50 @@ def pq_codebooks(
     return rows
 
 
+def fixed_model(
+    sf_dir: str,
+    fname: str,
+    columns: "list[str]",
+    compute: "Callable[[], list[tuple]]",
+) -> "list[tuple]":
+    """Load-or-compute a DETERMINISTIC (non-fitted) model artifact with
+    frozen-base resolution — the fixed-books analogue of
+    ``pq_codebooks`` for models that are a pure function of the corpus
+    (e.g. the sign-orthant PQ centroid means of
+    ``similarity.topk_pq_fixed``: one exact fixed-point aggregation, no
+    k-means). Resolution order mirrors the fitted path: in-session memo,
+    disk artifact under the corpus fingerprint, FROZEN artifact from a
+    declared append base (``_base_info``), else ``compute()`` + persist.
+
+    Because the model is deterministic, the frozen-base load is a pure
+    cache: a caller whose ``compute`` closure derives from the MODEL
+    corpus (base rows when a lineage is declared) gets bit-identical
+    rows either way — which is what makes the whole append-serving path
+    SQL-expressible and lets the driver hash-verify the base+delta union
+    that the k-means twins can only rows-check."""
+    key = _fingerprint(sf_dir)
+    memo_key = (key, fname)
+    rows = _MODEL_MEMO.get(memo_key)
+    if rows is not None:
+        return rows
+    path = os.path.join(_corpus_dir(sf_dir), fname)
+    loaded = _load_model(path, columns) if _durable(key) else None
+    if loaded is None:
+        loaded = _load_base_model(sf_dir, fname, columns)
+    if loaded is not None:
+        rows = [tuple(r) for r in loaded]
+    else:
+        rows = compute()
+        if _durable(key):
+            d = _corpus_dir(sf_dir, create=True)
+            _save_model(
+                os.path.join(d, fname),
+                {c: [r[i] for r in rows] for i, c in enumerate(columns)},
+            )
+    _MODEL_MEMO[memo_key] = rows
+    return rows
+
+
 def codes_artifact_name(tag: str, m_subspaces: int, k: int, coarse_k: "int | None" = None) -> str:
     """Artifact name for encoded PQ codes: keys the code geometry AND the
     training recipe of the books that produced them (plus the coarse K

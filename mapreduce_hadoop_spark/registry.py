@@ -159,6 +159,26 @@ commit against the fresh-fit GATE_rule1a_pre_r13_*.log hashes captured
 off the untouched round-12 tree (which match the r12 logs
 hash-for-hash at every scale).
 
+Round-14 application: the cadence forces the full rotation a seventh
+time — all 42 r14-tail candidates (the r13 tail) have r12 rows, so they
+all rotate in. This is the round the reference-surface arithmetic of
+the cadence pinches to ZERO spare slots (7 always-in-window reference +
+42 forced rotations = 49 of 50), so VERDICT r13 order 1's new query —
+``ann_append_serving_fixed``, the deterministic fixed-books twin that
+makes the base+delta append union HASH-verifiable — is funded by the
+size policy's seventh exercise: ``fn_distance`` (ranked candidate #1
+since round 11) RETIRES at rotation (see the retirement list). Head =
+7 reference + 1 new + 42 rotations = 50; the new tail is the
+round-13-green remainder (the r13 head minus the reference surface and
+the retirement). Every kmeans-trained query (pq/ivf/ivfpq_trained,
+ann_append_serving, spann) is now in the TAIL riding its fresh r13
+row, which is why round 14 must not change their outputs: the
+cross-session kmeans hash anomaly (SCALE_ann_r13.md §7) makes their
+rule-1a pins same-day-only, and the deterministic-fit rework is staged
+for round 15 when the forced rotation puts them all back in the head.
+As always, CHANGED_THIS_ROUND starts with only the new query and grows
+commit-by-commit.
+
 Round-11 application: the cadence forces the full rotation a fourth
 time — all 37 r11-tail candidates with rows (the r10 tail minus the 5
 rule-1b staged entries) have r9 rows, so they all rotate in, and the 5
@@ -231,10 +251,19 @@ same commit). ``similarity_topk_pq`` stays as the single hash-verified
 PQ parity twin, its n/10 shortlist documented as the verification
 trade.
 
-1. ``fn_distance`` — consumed (and therefore driver-verified) by
-   ``trip_length_histogram`` and the sessionize family every round; the
-   plane-projection arithmetic stays pinned by
-   ``tests/test_histogram.py`` and ``tests/test_gps.py``.
+And a seventh, round 14: ``fn_distance`` (candidate #1 since round 11)
+retired in favor of ``ann_append_serving_fixed`` — the plane-projection
+distance is consumed (and therefore driver-verified) by
+``trip_length_histogram`` (reference surface, always in-window) and the
+sessionize family every round, and the standalone arithmetic stays
+pinned by ``tests/test_gps.py`` / ``tests/test_histogram.py``; the
+operator itself (``scalars.fn_distance``) and its oracle remain in the
+tree for local verification.
+
+1. ``events_daily_by_type`` — its rows are exactly the finest grouping
+   set of ``events_cube`` (driver-verified on the rotation cadence);
+   if exercised, add a same-commit fixture pinning the daily-by-type
+   projection against the cube's non-null cells.
 """
 
 from __future__ import annotations
@@ -258,86 +287,40 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 13
+ROUND = 14
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row. Starts EMPTY at
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
-# Round 13: similarity_topk_ivfpq_trained — BOTH serving dials are now
-# adaptive (the SPANN (1+eps) closeness rule on the query-side probe
-# set + the shortlist scaled by the squared width/floor ratio, the
-# free clusteredness signal): recall on the clustered n=20k crossover
-# corpus 0.54 -> 0.92 at +7% organic-sf1 wall (measured grid in
-# SCALE_ann_r13.md). Output changes wherever a query's eps-set exceeds
-# the old fixed floor — a semantic improvement, not a rewrite, so it
-# takes its forced-rotation head slot as a changed entry.
-# ann_append_serving is NEW this round (first driver row; rows-only —
-# k-means); listed for the head-membership check.
-# similarity_near_dup_cosine: the O(n^2) BroadcastNestedLoopJoin was
-# replaced by the triangle-blocked applyInPandas plan (outer-product
-# accumulate in _dot's exact left fold) — output verified BIT-IDENTICAL
-# to the committed r12 gate hashes at sf0.001/0.01/0.1 and to the kept
-# near_dup_cosine_bnlj reference (tests/test_similarity_ivf.py), but it
-# already sits in the forced-rotation head, so it is listed as changed
-# rather than rule-1a pinned. The rewrite retires the sf1 gate
-# exclusion: Spark side measured 14.3 s cold / 9.3 s repeat at sf1
-# (n=20k, 182k pairs, hash f5030fab16f12573 — equal to the r12 BNLJ
-# shape's, which took 109.1 s paired same-session) and the DuckDB twin
-# 276 s, all inside the gate budget for the first time.
-# similarity_topk_pq + similarity_topk_pq_trained (and the trained IVF-PQ
-# + append-serving paths, already listed): the shared exact re-rank now
-# joins on the RAW (vec_id, v) scan and evaluates the normalize fold +
-# cosine ABOVE the broadcast join — r12's plan paid the O(d) fold for
-# every corpus row when only the shortlist survivors reach the cosine.
-# Bit-identical (topk_pq's sf0.01 oracle hash byte-equal to the r12 log;
-# crossover recalls unchanged at all three n); measured -32%/-36% wall
-# on the trained paths at n=200k/1M (SCALE_ann_r13.md §2). All four
-# re-rank consumers sit in the head this round.
+# Round 14: ann_append_serving_fixed is NEW (first driver row; full
+# DuckDB oracle — the deterministic fixed-books twin of
+# ann_append_serving that hash-verifies the base+delta append union,
+# VERDICT r13 order 1); listed for the head-membership check.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "similarity_topk_ivfpq_trained",
-    "ann_append_serving",
-    "similarity_near_dup_cosine",
-    "similarity_topk_pq",
-    "similarity_topk_pq_trained",
+    "ann_append_serving_fixed",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
-# Round 13: the four r12 pins retired at rotation (fresh driver rows).
-# Two pins this round, both verified against the full r13 matrix
-# (92 queries x 5 scales, 0 failures, ZERO exclusions):
-# - similarity_topk_ivf_spann (r12 head -> r13 tail): its
-#   coarse-quantizer artifacts load through the hardened ann_index
-#   layer (fingerprint memoization + directory support + swap
-#   protocol); pre-rewrite hashes captured FRESH-FIT off the untouched
-#   r12 tree in GATE_rule1a_pre_r13_*.log at all five scales, and
-#   RE-VERIFIED bit-for-bit the day the r13 matrix ran by re-running
-#   the r12 tree (83e6149) from a fresh worktree with its own index
-#   root. All five r13 matrix hashes equal the pre-logs.
-# - dedup_simhash (tail): the 60-bit signature fold moved from the JVM
-#   array-accumulator to an Arrow batch kernel — integer arithmetic,
-#   identity structural; r13 matrix hashes equal GATE_*_r12.log at
-#   every scale, plus a Spark-side parity test against the kept JVM
-#   formulation.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
-    "similarity_topk_ivf_spann",
-    "dedup_simhash",
-)
+# Round 14: the two r13 pins (similarity_topk_ivf_spann, dedup_simhash)
+# retired at rotation — both are in the forced-rotation head and take
+# fresh driver rows. Starts EMPTY; grows commit-by-commit as
+# output-identical rewrites land, with PINNED_REWRITE_HASHES updated in
+# the SAME commit.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
-# Round 13: none — ann_append_serving took the retired similarity_topk_ivfpq
+# Round 14: none — ann_append_serving_fixed took the retired fn_distance
 # slot directly in the head (first driver row this round).
 STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
-# surface (always in window) + 41 row-carrying round-12 tail entries
-# (rule 2 — the forced full rotation; similarity_topk_ivfpq RETIRED at
-# rotation, see the retirement list) + ann_append_serving (NEW — the
-# incremental-add serving path's first driver row, in the retired slot)
-# + 1 spare change slot (similarity_topk_pq_trained — the artifact layer
-# it serves from was hardened this round; see the Round-13 application
-# paragraph).
+# surface (always in window) + ann_append_serving_fixed (NEW — the
+# hash-verifiable fixed-books append twin, in the slot freed by retiring
+# fn_distance) + 42 row-carrying round-13 tail entries (rule 2 — the
+# forced full rotation). Zero spare slots this round; see the Round-14
+# application paragraph.
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -347,55 +330,54 @@ HEAD = (
     "airport_trips_parity",
     "daily_revenue",
     "total_revenue",
-    # NEW round 13 (slot freed by retiring similarity_topk_ivfpq): the
-    # append-lineage serving path, driver-visible (rows-only — k-means).
-    "ann_append_serving",
-    # Spare change slot: the flat-PQ serving primary (rows-only) — its
-    # artifact layer (ann_index) was hardened this round.
-    "similarity_topk_pq_trained",
-    # Round-12-green tail rotations (rule 2): the row-carrying round-12
-    # tail rotates in (minus the retirement).
-    "events_cube",
-    "customer_balance_windows",
-    "events_hash_sample",
-    "events_stratified_sample",
-    "customer_order_semi_anti",
-    "events_grouping_sets",
-    "orders_pivot_priority",
-    "lineitem_measures_unpivot",
-    "lineitem_percentiles",
-    "approx_lineitem_percentiles",
-    "events_salted_agg",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_daily_gapfill",
-    "fn_distance",
-    "corpus_domain_mix",
-    "corpus_pack_sequences",
-    "events_keyed_dedup",
-    "events_enriched",
-    "similarity_near_dup_cosine",
-    "global_top_orders",
-    "sql_revenue_by_nation",
-    "trips_concurrency",
-    "text_pii_scrub",
-    "views_before_purchase_range_join",
-    "similarity_topk_ivf_trained",
-    "multimodal_real_jpeg_color",
-    "airport_trips_timeout",
-    "corpus_weighted_sample",
-    "corpus_train_split",
-    "corpus_domain_quota",
-    "customer_activity_reconcile",
-    "sql_orders_above_customer_avg",
-    "corpus_vocab_topk",
-    "text_language_id_ngram",
-    "dedup_minhash_lsh",
-    "similarity_topk_ivf",
-    "similarity_topk_pq",
-    "multimodal_real_wav",
-    "similarity_topk_ivfpq_trained",
-    "multimodal_real_avi",
+    # NEW round 14 (slot freed by retiring fn_distance): the append
+    # union semantics under deterministic fixed books — full DuckDB
+    # oracle, first driver row.
+    "ann_append_serving_fixed",
+    # Round-13-green tail rotations (rule 2): the row-carrying round-13
+    # tail rotates in.
+    "dedup_keep_best",
+    "similarity_topk_ivf_spann",
+    "multimodal_real_jpeg",
+    "multimodal_real_resize",
+    "dedup_exact_normalized",
+    "multimodal_real_roundtrip",
+    "dedup_simhash",
+    "corpus_clean_stats",
+    "events_daily_by_type",
+    "market_segment_balance",
+    "text_fingerprints",
+    "text_tfidf_top_terms",
+    "text_document_chunks",
+    "text_normalize",
+    "text_repetition_score",
+    "similarity_topk_bruteforce",
+    "similarity_topk_filtered",
+    "similarity_topk_lsh",
+    "similarity_near_dup_lsh",
+    "multimodal_metadata",
+    "events_rollup",
+    "purchase_asof_view",
+    "event_props_json",
+    "distinct_users_daily",
+    "approx_distinct_users_daily",
+    "segment_customer_setops",
+    "contamination_check",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "shipping_priority",
+    "text_quality_score",
+    "text_token_counts",
+    "events_session_window",
+    "text_span_dedup",
+    "text_gopher_rules",
+    "embedding_quantize_int8",
+    "events_funnel",
+    "events_cohort_retention",
 )
 
 
@@ -408,7 +390,6 @@ def _specs() -> dict[str, QuerySpec]:
         multimodal,
         relational_ext,
         revenue,
-        scalars,
         segments,
         sessionize,
         similarity,
@@ -478,8 +459,13 @@ def _specs() -> dict[str, QuerySpec]:
             temporal.events_daily_gapfill,
             temporal.EVENTS_GAPFILL_ORACLE,
         ),
-        # Scalar-function layer, each standalone (SURVEY §7 step 2).
-        "fn_distance": (scalars.fn_distance, scalars.FN_DISTANCE_ORACLE),
+        # fn_distance RETIRED round 14 (size policy's seventh exercise,
+        # candidate #1 since round 11, its slot funding
+        # ann_append_serving_fixed): the plane-projection arithmetic is
+        # consumed by trip_length_histogram (reference surface, always
+        # in-window) and the sessionize family every round, stays
+        # unit-pinned by tests/test_gps.py / tests/test_histogram.py,
+        # and scalars.fn_distance + its oracle remain in the tree.
         # NEW round 11 (slot freed by retiring fn_epoch): flat PQ under
         # Lloyd-TRAINED subspace codebooks — the judge's named lever
         # against the sign-orthant n/10 shortlist. Trained-cell ADC
@@ -767,6 +753,17 @@ def _specs() -> dict[str, QuerySpec]:
         # K-means -> rows-only; frozen-model + searchability contracts
         # pinned by the KMeans-poison test in tests/test_ann_index.py.
         "ann_append_serving": (similarity.ann_append_serving, None),
+        # NEW round 14 (slot freed by retiring fn_distance): the SAME
+        # append contract — 90% watermark derivation, ann_base.json
+        # lineage, frozen base models, O(delta) encode, base+delta codes
+        # union — under DETERMINISTIC sign-orthant books, so the union/
+        # watermark/frozen-base semantics themselves hash-verify against
+        # a full DuckDB oracle (VERDICT r13 order 1: the logic the
+        # k-means twin's rows-only row cannot see).
+        "ann_append_serving_fixed": (
+            similarity.ann_append_serving_fixed,
+            similarity.ANN_APPEND_FIXED_ORACLE,
+        ),
         # Rule 1b, round 10: residual IVF-PQ under the TRAINED coarse
         # quantizer — k-means centroids dropped into the identical
         # _ivfpq_from plan (README lever 2). Training is not

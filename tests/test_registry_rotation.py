@@ -56,25 +56,10 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 13: the four r12 pins retired at rotation (fresh driver
-    # rows). Two pins this round:
-    # - similarity_topk_ivf_spann (tail; its artifacts load through the
-    #   r13-hardened ann_index layer): pre-rewrite hash from
-    #   GATE_rule1a_pre_r13_sf0.01.log, captured fresh-fit off the
-    #   untouched r12 tree — and RE-VERIFIED the day the r13 matrix ran,
-    #   by re-running the r12 tree (83e6149) in a fresh worktree with
-    #   its own index root: all five scales reproduced the committed
-    #   pre-log hashes bit-for-bit (sf0.001 054444a01bc886d2, sf0.01
-    #   5cd451669907ca48, sf0.1 17782b8c0857093e, sf1 == sf1skew
-    #   577e8d885f5c84a8 — the skew derivation leaves embeddings
-    #   untouched).
-    # - dedup_simhash (tail; the 60-bit signature fold moved from the
-    #   JVM array-accumulator to an Arrow batch kernel — integer
-    #   arithmetic, so identity is structural): pre-rewrite hash from
-    #   GATE_sf0.01_r12.log; Spark-side parity additionally pinned by
-    #   tests/test_dedup_quality.py::test_simhash_arrow_fold_matches_jvm.
-    "similarity_topk_ivf_spann": ("GATE_sf0.01_r13.log", "5cd451669907ca48"),
-    "dedup_simhash": ("GATE_sf0.01_r13.log", "15ca8f177d42b079"),
+    # Round 14: the two r13 pins (similarity_topk_ivf_spann,
+    # dedup_simhash) retired at rotation — both take fresh driver rows
+    # from the forced-rotation head. Grows commit-by-commit alongside
+    # registry.REWRITTEN_HASH_IDENTICAL.
 }
 
 
