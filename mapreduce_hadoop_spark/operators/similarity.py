@@ -174,7 +174,14 @@ def near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_blocks = _near_dup_blocks(n_rows, spark.sparkContext.defaultParallelism)
 
     ks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
-    bid = (F.col("vec_id") % n_blocks).cast("int")
+    # pmod, not %: Spark's % is sign-preserving, so a NEGATIVE vec_id
+    # would land in a (neg, k) group that no bid==k row joins and its
+    # cross-block pairs would silently vanish — violating the exact
+    # all-pairs contract (ADVICE r13). Every current corpus has
+    # non-negative ids (pmod == % there, output bits unchanged — rule-1a
+    # pinned), but exactness must not ride an undocumented id-sign
+    # assumption.
+    bid = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
     tagged = emb.withColumn("bid", bid).withColumn(
         "g",
         F.explode(

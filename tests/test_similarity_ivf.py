@@ -306,6 +306,46 @@ def test_near_dup_blocked_bit_identical_to_bnlj(spark, sf_dir):
         assert v == bnlj[k], (k, v, bnlj[k])
 
 
+def test_near_dup_blocked_handles_negative_ids(spark, tmp_path):
+    """Exactness must not depend on id sign (ADVICE r13): with Spark's
+    sign-preserving ``%`` a negative vec_id got a negative block id, whose
+    (neg, k) groups contain no bid==k rows — silently dropping every
+    cross-block pair. ``pmod`` closes it; this corpus would lose pairs
+    under the old expression whenever blocking is active."""
+    import math
+
+    from mapreduce_hadoop_spark.operators.similarity import (
+        _near_dup_blocks,
+        near_dup_cosine,
+        near_dup_cosine_bnlj,
+    )
+
+    # Two exact-duplicate clusters spanning negative and positive ids, so
+    # qualifying pairs cross sign (and therefore blocks).
+    rows = [
+        (vid, [float(math.sin(c * 7 + d)) for d in range(64)])
+        for c in (0, 1)
+        for vid in (-40 - c, -3 - c, 5 + c, 90 + c)
+    ]
+    corpus = str(tmp_path / "negids")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(corpus + "/embeddings.parquet")
+    # Blocking must actually be active for the regression to bite.
+    assert _near_dup_blocks(len(rows), spark.sparkContext.defaultParallelism) > 1
+
+    blocked = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in near_dup_cosine(spark, corpus).collect()
+    }
+    bnlj = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in near_dup_cosine_bnlj(spark, corpus).collect()
+    }
+    assert blocked == bnlj
+    assert any(a < 0 <= b for a, b in blocked)
+
+
 def test_near_dup_blocks_sizing():
     """B covers the parallelism triangle-wise and caps block size ~4096."""
     from mapreduce_hadoop_spark.operators.similarity import _near_dup_blocks
