@@ -283,6 +283,99 @@ def _save_model(path: str, columns: dict[str, list]) -> None:
     os.replace(tmp, path)
 
 
+# Cap on how many leading vec_ids the fit-env sidecar hashes IN FILE
+# ORDER (8 B each -> 8 MB ceiling). The order hash exists because the
+# round-14 diagnosis of the cross-session kmeans hash shifts
+# (SCALE_ann_r14.md) demonstrated the fit is a function of the training
+# input's PHYSICAL ROW ORDER: k-means|| seeding samples by position, so
+# a regenerated corpus file with identical logical rows but a different
+# layout perturbs every fitted cell (measured: 1999/2000 pq book cells
+# moved under a same-rows shuffle). Two artifacts fitted from the same
+# logical corpus can now be attributed: same order_sha -> the fit path
+# itself drifted (a real bug); different order_sha -> the input layout
+# changed (the known, named variable).
+_FIT_ENV_ORDER_CAP = 1 << 20
+
+
+def _fit_env(sf_dir: str) -> dict:
+    """Environment + fit-input provenance recorded NEXT TO every fitted
+    model artifact (``<artifact>.fit_env.json``) — diagnostic metadata
+    only, never an input to any query, so writing it changes no output
+    byte. Failures are swallowed field-by-field: provenance must never
+    make a fit fail."""
+    import platform
+    import sys as _sys
+
+    env: dict = {"python": _sys.version.split()[0], "platform": platform.platform()}
+    try:
+        import numpy as _np
+        import pyarrow as _pa
+        import pyspark as _ps
+
+        env.update(
+            pyspark=_ps.__version__, numpy=_np.__version__, pyarrow=_pa.__version__
+        )
+    except Exception:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            info = f.read()
+        model = next(
+            (l.split(":", 1)[1].strip() for l in info.splitlines() if "model name" in l),
+            "",
+        )
+        flags = next(
+            (l.split(":", 1)[1] for l in info.splitlines() if l.startswith("flags")), ""
+        )
+        env["cpu_model"] = model
+        env["cpu_flags_sha"] = hashlib.sha256(
+            " ".join(sorted(flags.split())).encode()
+        ).hexdigest()[:16]
+        env["nproc"] = os.cpu_count()
+    except Exception:
+        pass
+    env["corpus_fingerprint"] = _fingerprint(sf_dir)
+    try:
+        # The named variable: physical row order of the training input.
+        # vec_id column only, capped — one cheap driver-side read.
+        import pyarrow.parquet as pq
+
+        src = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+        if os.path.isdir(src):
+            members = sorted(
+                os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+            )
+        else:
+            members = [src]
+        h = hashlib.sha256()
+        seen = 0
+        for m in members:
+            if seen >= _FIT_ENV_ORDER_CAP:
+                break
+            col = pq.read_table(m, columns=["vec_id"]).column("vec_id")
+            ids = col.to_numpy(zero_copy_only=False)[: _FIT_ENV_ORDER_CAP - seen]
+            h.update(ids.astype("<i8").tobytes())
+            seen += len(ids)
+        env["vec_id_order_sha"] = h.hexdigest()[:16]
+        env["vec_id_order_rows"] = seen
+    except Exception as e:
+        env["vec_id_order_sha"] = f"unavailable:{type(e).__name__}"
+    return env
+
+
+def _write_fit_env(path: str, sf_dir: str, extra: "dict | None" = None) -> None:
+    try:
+        env = _fit_env(sf_dir)
+        if extra:
+            env.update(extra)
+        tmp = path + ".fit_env.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(env, f, indent=1, sort_keys=True)
+        os.replace(tmp, path + ".fit_env.json")
+    except Exception:
+        pass  # provenance must never fail a fit
+
+
 def coarse_centroids(
     spark: SparkSession, emb: DataFrame, sf_dir: str, k: int
 ) -> list[tuple[int, list[float]]]:
@@ -333,6 +426,11 @@ def coarse_centroids(
             _save_model(
                 os.path.join(d, fname),
                 {"cent_id": [r[0] for r in rows], "cv": [r[1] for r in rows]},
+            )
+            _write_fit_env(
+                os.path.join(d, fname),
+                sf_dir,
+                {"model": "coarse", "k": k, "n": n, "sampled": n > TRAIN_SAMPLE_CAP},
             )
     _MODEL_MEMO[memo_key] = rows
     return rows
@@ -427,6 +525,18 @@ def pq_codebooks(
                     "m": [r[0] for r in rows],
                     "code": [r[1] for r in rows],
                     "cd": [r[2] for r in rows],
+                },
+            )
+            _write_fit_env(
+                os.path.join(d, fname),
+                sf_dir,
+                {
+                    "model": "pq",
+                    "m_subspaces": m_subspaces,
+                    "k": k,
+                    "n": n,
+                    "coarse_k": coarse_k,
+                    "sampled": n > TRAIN_SAMPLE_CAP,
                 },
             )
     _MODEL_MEMO[memo_key] = rows

@@ -389,3 +389,45 @@ def test_write_committed_post_swap_recheck(spark, index_dir, tmp_path):
         d for d in os.listdir(tmp_path) if ".old." in d or ".tmp." in d
     ]
     assert not leftovers, leftovers
+
+
+def test_fit_env_sidecar_records_input_order(spark, sf_dir, index_dir, tmp_path):
+    """Every fitted artifact gets a ``.fit_env.json`` sidecar whose
+    ``vec_id_order_sha`` hashes the training input's PHYSICAL row order —
+    the variable the round-14 diagnosis named for the cross-session
+    kmeans hash shifts (same logical rows, shuffled layout -> 1999/2000
+    pq book cells move). Two corpora with identical logical rows but
+    different order must be attributable by sidecar diff alone."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb = _emb(spark, sf_dir)
+    ann_index.coarse_centroids(spark, emb, sf_dir, k=4)
+    sidecar = os.path.join(
+        ann_index._corpus_dir(sf_dir),
+        f"coarse_k4_{ann_index._recipe(ann_index.COARSE_MAXITER)}.parquet.fit_env.json",
+    )
+    assert os.path.isfile(sidecar)
+    with open(sidecar) as f:
+        env = json.load(f)
+    assert env["model"] == "coarse" and env["k"] == 4
+    assert len(env["vec_id_order_sha"]) == 16
+
+    # Same logical rows, reversed order -> different order hash.
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    rev = src.take(pa.array(range(src.num_rows - 1, -1, -1)))
+    alt = tmp_path / "alt_corpus"
+    alt.mkdir()
+    pq.write_table(rev, str(alt / "embeddings.parquet"))
+    alt_emb = _emb(spark, str(alt))
+    ann_index.coarse_centroids(spark, alt_emb, str(alt), k=4)
+    alt_sidecar = os.path.join(
+        ann_index._corpus_dir(str(alt)),
+        f"coarse_k4_{ann_index._recipe(ann_index.COARSE_MAXITER)}.parquet.fit_env.json",
+    )
+    with open(alt_sidecar) as f:
+        alt_env = json.load(f)
+    assert alt_env["vec_id_order_sha"] != env["vec_id_order_sha"]
+    assert alt_env["vec_id_order_rows"] == env["vec_id_order_rows"]
