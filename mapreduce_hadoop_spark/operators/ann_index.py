@@ -548,6 +548,7 @@ def fixed_model(
     fname: str,
     columns: "list[str]",
     compute: "Callable[[], list[tuple]]",
+    frozen_base: bool = True,
 ) -> "list[tuple]":
     """Load-or-compute a DETERMINISTIC (non-fitted) model artifact with
     frozen-base resolution — the fixed-books analogue of
@@ -563,7 +564,13 @@ def fixed_model(
     corpus (base rows when a lineage is declared) gets bit-identical
     rows either way — which is what makes the whole append-serving path
     SQL-expressible and lets the driver hash-verify the base+delta union
-    that the k-means twins can only rows-check."""
+    that the k-means twins can only rows-check.
+
+    ``frozen_base=False`` skips the base-artifact resolution: for
+    statistics of the SERVED relation (e.g. the code histogram behind
+    the adaptive-shortlist bulk estimate) the base snapshot's copy is
+    wrong BY DESIGN on an appended corpus — the live corpus must compute
+    (and persist under its own fingerprint) its own."""
     key = _fingerprint(sf_dir)
     memo_key = (key, fname)
     rows = _MODEL_MEMO.get(memo_key)
@@ -571,7 +578,7 @@ def fixed_model(
         return rows
     path = os.path.join(_corpus_dir(sf_dir), fname)
     loaded = _load_model(path, columns) if _durable(key) else None
-    if loaded is None:
+    if loaded is None and frozen_base:
         loaded = _load_base_model(sf_dir, fname, columns)
     if loaded is not None:
         rows = [tuple(r) for r in loaded]

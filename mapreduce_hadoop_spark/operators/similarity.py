@@ -1675,6 +1675,7 @@ def _pq_adc_rank(
     m_subspaces: int = PQ_M,
     candidates_per_query: "int | None" = None,
     persist_codes: bool = True,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Shared flat-PQ ADC scan + two-phase shortlist + exact re-rank;
     ``codes`` is (vec_id, c0..c{M-1}), ``raw`` is the (vec_id, v) double
@@ -1692,6 +1693,15 @@ def _pq_adc_rank(
     broadcast-hash-join form it replaces: outputs identical, wash at
     M=4, -30% wall at M=8/sf1 (32.6 -> 23.0 s before the codes persist)
     — one join instead of M beats M O(1) hash probes once M grows.
+
+    ``adaptive=True`` (the trained flat primary): ``qarr`` additionally
+    carries a per-query ``bulk`` column (driver-side mean-ADC estimate,
+    ``_bulk_adc_estimates``) and the shortlist becomes per-query — the
+    exact re-rank reads ``PQ_ADAPT_WIDEN x shortlist`` candidates iff
+    the query's covered-gap signal fires (see the constants' comment).
+    The widened budget flows through the same window exchange; the
+    signal is one extra window aggregate over the already-partitioned
+    ranked relation — no new shuffle, no new scan.
     """
     # The 8-ish-byte codes relation is scanned by the broadcast fan-out.
     # Sign-orthant twins persist it (its lineage carries the in-plan
@@ -1705,13 +1715,43 @@ def _pq_adc_rank(
     t_sum = " + ".join(f"element_at(`{m}`, c{m} + 1)" for m in range(m_subspaces))
     scored = sc.select(
         "query_id",
+        *(["bulk"] if adaptive else []),
         "vec_id",
         F.round(F.expr(f"0.0D + {t_sum}"), 6).alias("adc"),
     ).filter(F.col("vec_id") != F.col("query_id"))
 
     # Shortlist (one window or bucketed two-phase by candidate volume —
     # see _shortlist_topr; identical output either way).
-    short = _shortlist_topr(scored, shortlist, candidates_per_query)
+    if not adaptive:
+        short = _shortlist_topr(scored, shortlist, candidates_per_query)
+    else:
+        wide = shortlist * PQ_ADAPT_WIDEN
+        if candidates_per_query is None or candidates_per_query > PQ_TWO_PHASE_MIN:
+            w1 = Window.partitionBy(
+                "query_id", F.col("vec_id") % PQ_TOPK_BUCKETS
+            ).orderBy(F.col("adc").asc(), F.col("vec_id"))
+            scored = (
+                scored.select("*", F.row_number().over(w1).alias("lr"))
+                .filter(F.col("lr") <= wide)
+                .drop("lr")
+            )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("adc").asc(), F.col("vec_id")
+        )
+        wq = Window.partitionBy("query_id")
+        ranked = scored.select("*", F.row_number().over(w2).alias("sr")).filter(
+            F.col("sr") <= wide
+        )
+        a_top = F.max(F.when(F.col("sr") <= TOP_K, F.col("adc"))).over(wq)
+        a_floor = F.max(F.when(F.col("sr") <= shortlist, F.col("adc"))).over(wq)
+        fire = (a_floor - a_top) < F.lit(PQ_ADAPT_COVER) * F.greatest(
+            F.col("bulk") - a_top, F.lit(1e-9)
+        )
+        short = (
+            ranked.select("*", fire.alias("_fire"))
+            .filter((F.col("sr") <= shortlist) | F.col("_fire"))
+            .drop("sr", "bulk", "_fire")
+        )
 
     # Exact re-rank of the shortlist: the query vectors join the Q*R
     # survivors INSIDE the broadcast build (q is query-sized), so the
@@ -1878,6 +1918,105 @@ IVFPQ_PROBE_EPS = 0.3
 # scales by its SQUARE (probe volume x per-candidate distortion),
 # capped at the sign-orthant n/10 law so the adaptive path can never
 # re-rank deeper than the stopgap it replaced.
+
+
+# Per-query adaptive shortlist (VERDICT r13 order 4): the flat trained
+# path widens a query's exact-re-rank shortlist by PQ_ADAPT_WIDEN iff
+# the ADC gap covered between rank TOP_K and rank `shortlist` is less
+# than PQ_ADAPT_COVER of the gap to the corpus BULK (the mean ADC of a
+# random candidate, computed driver-side from the persisted code
+# histogram x the query's ADC table — model-sized, zero extra scan).
+# Geometry: when the shortlist boundary has barely separated from the
+# top while the decoy bulk sits far away, the true neighbor is likely
+# buried among near-equal ADC values (quantization noise >= local gaps)
+# and the re-rank needs more candidates; when the boundary has traveled
+# well toward the bulk, the top ranks are already separated and the
+# floor suffices. Measured per query across five corpora
+# (SCALE_ann_r14.md): every query that LOSES a true neighbor at the
+# floor reads covered <= 0.333 (organic sf0.1, mutated n=20k) and every
+# query that does not reads >= 0.367 (sf0.001/0.01, replica sf1) — the
+# threshold sits in the measured gap, and recall goes 0.80 -> 1.00
+# (organic sf0.1) / 0.82 -> 1.00 (mutated n=20k) with zero widening on
+# the corpora that never lose a neighbor. Like the IVF probe dial, the
+# signal spends re-rank budget only where recall is lost: per-query
+# arithmetic over the already-shuffled ranked relation, request-sized
+# extra join rows, zero new distributed passes.
+PQ_ADAPT_WIDEN = 4
+PQ_ADAPT_COVER = 0.35
+
+
+def _codes_histogram(
+    spark: SparkSession,
+    codes: DataFrame,
+    sf_dir: str,
+    m_subspaces: int,
+    k: int,
+    tag: str,
+) -> "list[tuple[int, int, int]]":
+    """Per-(subspace, code) frequency of the SERVED codes relation —
+    the model-sized statistic behind the adaptive-shortlist bulk
+    estimate. One aggregation job on a cold corpus, persisted next to
+    the codes artifact (same recipe key, so a retrain orphans both);
+    warm sessions load it with zero Spark jobs. ``frozen_base=False``:
+    on an appended corpus the histogram must describe base+delta, not
+    the base snapshot."""
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    fname = "hist_" + ann_index.codes_artifact_name(tag, m_subspaces, k)
+
+    def compute() -> "list[tuple[int, int, int]]":
+        agg = (
+            codes.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(m).alias("m"), F.col(f"c{m}").alias("code")
+                            )
+                            for m in range(m_subspaces)
+                        ]
+                    )
+                ).alias("s")
+            )
+            .groupBy("s.m", "s.code")
+            .count()
+        )
+        return sorted(
+            (int(r["m"]), int(r["code"]), int(r["count"])) for r in agg.collect()
+        )
+
+    return [
+        (int(m), int(c), int(f))
+        for m, c, f in ann_index.fixed_model(
+            sf_dir, fname, ["m", "code", "freq"], compute, frozen_base=False
+        )
+    ]
+
+
+def _bulk_adc_estimates(
+    adc_arrays: "list", hist_rows: "list[tuple[int, int, int]]", m_subspaces: int
+) -> "list[float]":
+    """Per-query mean ADC of a random candidate: sum_m sum_c
+    freq[m,c]/n * ts[q,m,c] — driver-side arithmetic over the code
+    histogram and the dense ADC lookup arrays. Unoccupied cells carry
+    +inf in the arrays but zero frequency; they are masked out rather
+    than multiplied (0 * inf is NaN)."""
+    import numpy as np
+
+    k = adc_arrays[0].shape[1]
+    freq = np.zeros((m_subspaces, k))
+    for m, c, f in hist_rows:
+        freq[m, c] = f
+    n = freq[0].sum()
+    out = []
+    for g in range(adc_arrays[0].shape[0]):
+        tot = 0.0
+        for m in range(m_subspaces):
+            t = adc_arrays[m][g]
+            mask = freq[m] > 0
+            tot += float((freq[m][mask] * t[mask]).sum())
+        out.append(float(tot / n))
+    return out
 
 
 def _pq_trained_shortlist(n: int) -> int:
@@ -2062,7 +2201,9 @@ def _adc_t(vec_col: str, sub: int, m_expr: str = "m") -> Column:
     )
 
 
-def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def topk_pq_trained(
+    spark: SparkSession, sf_dir: str, adaptive: bool = True
+) -> DataFrame:
     """Product-quantization ANN under Lloyd-TRAINED subspace codebooks —
     the PRIMARY flat-PQ path (``topk_pq``'s sign-orthant books are the
     oracle-checkable twin, the ``topk_ivf``/``topk_ivf_trained``
@@ -2099,6 +2240,16 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs (shortlist build over the codes artifact, then one
     broadcast-hash re-rank pass over the corpus), not the ~12-stage
     r11 chain whose per-stage latency dominated sf1 wall time.
+
+    Round 14 — the DEFAULT serving shape is per-query ADAPTIVE: the
+    exact re-rank widens ``PQ_ADAPT_WIDEN``-fold for exactly the queries
+    whose ADC covered-gap signal says the floor shortlist has not
+    separated from the decoy bulk (see the ``PQ_ADAPT_*`` comment —
+    measured recall 0.80 -> 1.00 on organic sf0.1, 0.82 -> 1.00 on the
+    mutated n=20k crossover corpus, with ZERO widening on corpora that
+    lose no neighbor). The bulk estimate is driver-side arithmetic over
+    a persisted code histogram; ``adaptive=False`` reproduces the
+    round-13 fixed-floor plan bit-for-bit (the append demo pins it).
     """
     from mapreduce_hadoop_spark.operators import ann_index
 
@@ -2141,10 +2292,23 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Query side: driver-built local relations (zero Spark jobs warm).
     qnv_rows = _query_nv_rows(emb, sf_dir)
     q = spark.createDataFrame(qnv_rows, "query_id long, qnv array<double>")
+    key_fields: "list[tuple[str, str]]" = [("query_id", "long")]
+    key_rows: "list[tuple]" = [(qid,) for qid, _ in qnv_rows]
+    if adaptive:
+        hist = _codes_histogram(spark, codes, sf_dir, PQ_TRAINED_M, k, tag="nv")
+        bulk = _bulk_adc_estimates(
+            _adc_arrays_np(
+                [nv for _, nv in qnv_rows], rows, PQ_TRAINED_M, PQ_TRAINED_SUB
+            ),
+            hist,
+            PQ_TRAINED_M,
+        )
+        key_fields.append(("bulk", "double"))
+        key_rows = [(qid, b) for (qid, _), b in zip(qnv_rows, bulk)]
     qarr = _local_qarr_df(
         spark,
-        [("query_id", "long")],
-        [(qid,) for qid, _ in qnv_rows],
+        key_fields,
+        key_rows,
         [nv for _, nv in qnv_rows],
         rows,
         PQ_TRAINED_M,
@@ -2159,6 +2323,7 @@ def topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_subspaces=PQ_TRAINED_M,
         candidates_per_query=n,
         persist_codes=False,
+        adaptive=adaptive,
     )
 
 
@@ -2226,9 +2391,13 @@ def ann_append_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction; warm calls load artifacts and fit nothing). The base
     # result frame itself is discarded — this is the one-time deployment
     # step a production system runs at train time.
-    topk_pq_trained(spark, base_dir)
+    # adaptive=False: this tail entry pins the round-13 fixed-floor
+    # serving shape bit-for-bit (rule 1a) while the adaptive dial ships
+    # on the primary flat entry, which carries a fresh driver row; the
+    # demo adopts the dial at its next head rotation.
+    topk_pq_trained(spark, base_dir, adaptive=False)
     # Serve the appended corpus through the frozen-model delta path.
-    return topk_pq_trained(spark, full_dir)
+    return topk_pq_trained(spark, full_dir, adaptive=False)
 
 
 FIXED_BOOKS_FNAME = f"pqfix_nv_m{PQ_M}.parquet"

@@ -163,21 +163,26 @@ Round-14 application: the cadence forces the full rotation a seventh
 time — all 42 r14-tail candidates (the r13 tail) have r12 rows, so they
 all rotate in. This is the round the reference-surface arithmetic of
 the cadence pinches to ZERO spare slots (7 always-in-window reference +
-42 forced rotations = 49 of 50), so VERDICT r13 order 1's new query —
-``ann_append_serving_fixed``, the deterministic fixed-books twin that
-makes the base+delta append union HASH-verifiable — is funded by the
-size policy's seventh exercise: ``fn_distance`` (ranked candidate #1
-since round 11) RETIRES at rotation (see the retirement list). Head =
-7 reference + 1 new + 42 rotations = 50; the new tail is the
-round-13-green remainder (the r13 head minus the reference surface and
-the retirement). Every kmeans-trained query (pq/ivf/ivfpq_trained,
-ann_append_serving, spann) is now in the TAIL riding its fresh r13
-row, which is why round 14 must not change their outputs: the
-cross-session kmeans hash anomaly (SCALE_ann_r13.md §7) makes their
-rule-1a pins same-day-only, and the deterministic-fit rework is staged
-for round 15 when the forced rotation puts them all back in the head.
-As always, CHANGED_THIS_ROUND starts with only the new query and grows
-commit-by-commit.
+42 forced rotations = 49 of 50), so the round's two output-changing
+entries are each funded by a size-policy retirement: VERDICT r13
+order 1's new ``ann_append_serving_fixed`` (the deterministic
+fixed-books twin that makes the base+delta append union
+HASH-verifiable) by retiring ``fn_distance`` (candidate #1 since round
+11), and the order-4 per-query adaptive shortlist on
+``similarity_topk_pq_trained`` (changed-while-fresh, head) by retiring
+``events_daily_by_type``. Head = 7 reference + 1 new + 1 changed + 41
+rotations = 50; the new tail is the round-13-green remainder. The
+OTHER kmeans-trained queries (ivf/ivfpq_trained, ann_append_serving,
+spann) stay in the TAIL riding fresh r13 rows, which is why their
+outputs must not change this round: the cross-session kmeans hash
+anomaly (diagnosed this round — the fit tracks the training input's
+PHYSICAL ROW ORDER; SCALE_ann_r14.md) makes their rule-1a pins
+same-day-only, and the deterministic-fit rework is staged for round 15
+when the forced rotation puts every kmeans query back in the head.
+``ann_append_serving`` therefore pins the round-13 fixed-floor serving
+shape via an explicit ``adaptive=False`` (rule 1a, same-day pre/post
+logs), adopting the dial at its next head rotation. As always,
+CHANGED_THIS_ROUND grows commit-by-commit.
 
 Round-11 application: the cadence forces the full rotation a fourth
 time — all 37 r11-tail candidates with rows (the r10 tail minus the 5
@@ -260,10 +265,22 @@ pinned by ``tests/test_gps.py`` / ``tests/test_histogram.py``; the
 operator itself (``scalars.fn_distance``) and its oracle remain in the
 tree for local verification.
 
-1. ``events_daily_by_type`` — its rows are exactly the finest grouping
-   set of ``events_cube`` (driver-verified on the rotation cadence);
-   if exercised, add a same-commit fixture pinning the daily-by-type
-   projection against the cube's non-null cells.
+And an eighth, round 14: ``events_daily_by_type`` (nominated candidate
+#1 earlier this round) retired in favor of promoting
+``similarity_topk_pq_trained`` into the head as a changed-while-fresh
+entry — the round's per-query adaptive shortlist (VERDICT r13 order 4)
+changes its sf0.1+ output, and the reference-surface arithmetic left
+zero spare slots. Its rows are exactly the finest grouping set of
+``events_cube`` (driver-verified on the rotation cadence), pinned by
+the same-commit fixture ``tests/test_relational_ext.py::
+test_daily_by_type_is_cube_finest_cells``; the operator and its oracle
+remain in the tree.
+
+1. ``text_normalize`` — its normalization expression is consumed (and
+   therefore driver-verified) by ``dedup_exact_normalized`` on the
+   rotation cadence; the standalone projection stays pinned by the
+   textops fixtures. If exercised, add a same-commit fixture asserting
+   the shared expression identity.
 """
 
 from __future__ import annotations
@@ -297,8 +314,18 @@ ROUND = 14
 # DuckDB oracle — the deterministic fixed-books twin of
 # ann_append_serving that hash-verifies the base+delta append union,
 # VERDICT r13 order 1); listed for the head-membership check.
+# similarity_topk_pq_trained: the flat serving default is now the
+# per-query ADAPTIVE shortlist (VERDICT r13 order 4) — the exact
+# re-rank widens 4x for exactly the queries whose ADC covered-gap
+# signal fires (driver-side bulk estimate from a persisted code
+# histogram). Recall 0.80 -> 1.00 on organic sf0.1 and 0.82 -> 1.00 on
+# the mutated n=20k crossover corpus at ~0% organic-wall regression
+# (SCALE_ann_r14.md); output changes at sf0.1+ (the scales where the
+# floor was losing neighbors), so it takes the head slot freed by
+# retiring events_daily_by_type.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ann_append_serving_fixed",
+    "similarity_topk_pq_trained",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
@@ -344,7 +371,9 @@ HEAD = (
     "multimodal_real_roundtrip",
     "dedup_simhash",
     "corpus_clean_stats",
-    "events_daily_by_type",
+    # Changed-while-fresh (slot freed by retiring events_daily_by_type):
+    # the adaptive-shortlist flat primary.
+    "similarity_topk_pq_trained",
     "market_segment_balance",
     "text_fingerprints",
     "text_tfidf_top_terms",
@@ -634,10 +663,13 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_minhash_lsh": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_ORACLE),
         "dedup_simhash": (dedup.simhash_pairs, dedup.SIMHASH_ORACLE),
         "corpus_clean_stats": (corpus.corpus_clean_stats, corpus.CORPUS_CLEAN_ORACLE),
-        "events_daily_by_type": (
-            analytics.events_daily_by_type,
-            analytics.EVENTS_DAILY_ORACLE,
-        ),
+        # events_daily_by_type RETIRED round 14 (size policy's eighth
+        # exercise, funding the adaptive-shortlist head slot for
+        # similarity_topk_pq_trained): its rows are exactly the finest
+        # grouping set of events_cube (driver-verified on the cadence),
+        # pinned by tests/test_relational_ext.py::
+        # test_daily_by_type_is_cube_finest_cells; the operator and its
+        # oracle remain in the tree.
         "market_segment_balance": (
             analytics.market_segment_balance,
             analytics.MARKET_SEGMENT_ORACLE,

@@ -34,8 +34,10 @@ def _correctness_rounds() -> dict[int, str]:
 def test_head_window_size_and_total():
     names = _names()
     assert len(names) >= registry.DRIVER_WINDOW, len(names)
-    # Update alongside registering/retiring queries.
-    assert len(names) == 92, len(names)
+    # Update alongside registering/retiring queries. Round 14: 92 - 2
+    # retirements (fn_distance, events_daily_by_type) + 1 new
+    # (ann_append_serving_fixed) = 91.
+    assert len(names) == 91, len(names)
     # Size policy: past MAX_REGISTRY the 2-round rotation cadence cannot
     # cover every entry — adding a query then requires retiring one.
     assert len(names) <= registry.MAX_REGISTRY, (

@@ -502,3 +502,79 @@ def test_ivfpq_matches_oracle_post_retirement(spark, sf_dir, duck):
         for q, v, c, a, rk in duck.execute(TOPK_IVFPQ_ORACLE).fetchall()
     )
     assert got == want
+
+
+def test_adaptive_shortlist_no_fire_is_bit_identical(spark, sf_dir, tmp_path, monkeypatch):
+    """On a corpus where no query's covered-gap signal fires (sf0.001:
+    measured covered >= 0.41 vs the 0.35 threshold), the adaptive
+    default must reproduce the fixed-floor plan BIT-for-bit — widening
+    is spent only where recall is lost."""
+    from mapreduce_hadoop_spark.operators import ann_index
+    from mapreduce_hadoop_spark.operators.similarity import topk_pq_trained
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    ann_index.clear_memos()
+    try:
+        adaptive = sorted(map(tuple, topk_pq_trained(spark, sf_dir).collect()))
+        fixed = sorted(
+            map(tuple, topk_pq_trained(spark, sf_dir, adaptive=False).collect())
+        )
+        assert adaptive == fixed and len(adaptive) == N_QUERIES * TOP_K
+    finally:
+        ann_index.clear_memos()
+
+
+def test_adaptive_shortlist_recovers_clustered_recall(spark, sf_dir, tmp_path, monkeypatch):
+    """The order-4 contract on a corpus the fixed floor demonstrably
+    loses neighbors on: 4 orthogonally-mutated replicas of the test
+    corpus (the gate's own clustered-derivation recipe). The adaptive
+    default must beat the fixed floor and clear 0.9 recall@5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_hadoop_spark.operators import ann_index
+    from mapreduce_hadoop_spark.operators.similarity import (
+        topk_pq_trained,
+    )
+    from tools.make_scale_data import OFF, _mutate_embedding
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    ann_index.clear_memos()
+    src = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    parts = []
+    for r in range(4):
+        cols = {
+            "vec_id": pa.compute.add(
+                src.column("vec_id"), pa.scalar(r * OFF["D"], src.column("vec_id").type)
+            )
+        }
+        if r > 0:
+            cols["embedding"] = _mutate_embedding(src.column("embedding"), r)
+        parts.append(
+            pa.table(
+                {n: cols.get(n, src.column(n)) for n in src.schema.names},
+                schema=src.schema,
+            )
+        )
+    corpus = tmp_path / "clustered"
+    corpus.mkdir()
+    pq.write_table(pa.concat_tables(parts), str(corpus / "embeddings.parquet"))
+
+    try:
+        exact: dict = {}
+        for r in topk_bruteforce(spark, str(corpus)).collect():
+            exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        def recall(adaptive: bool) -> float:
+            got: dict = {}
+            for r in topk_pq_trained(spark, str(corpus), adaptive=adaptive).collect():
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return sum(len(exact[q] & got.get(q, set())) for q in exact) / sum(
+                len(s) for s in exact.values()
+            )
+
+        fixed, adaptive = recall(False), recall(True)
+        assert adaptive >= 0.9, (fixed, adaptive)
+        assert adaptive >= fixed, (fixed, adaptive)
+    finally:
+        ann_index.clear_memos()
