@@ -80,6 +80,18 @@ MAX_METRIC_LINE = 1800
 # text (the r8/r9 failure mode — BENCH_r09.json carried the verbatim
 # round-7 note).
 ROUND_NOTES = {
+    14: (
+        "r14: append union semantics HASH-verified (new "
+        "ann_append_serving_fixed: fixed-books twin, DuckDB-green x5). "
+        "Flat PQ serving now per-query ADAPTIVE: covered-gap signal "
+        "widens the re-rank 4x only where recall is lost (sf0.1 "
+        "0.80->1.00, mutated n20k 0.82->1.00, ~0% organic wall). "
+        "Cross-session kmeans shifts DIAGNOSED: fits track the training "
+        "input's physical row order (same-rows shuffle moves 1999/2000 "
+        "book cells); fit_env sidecars record it; deterministic fit "
+        "staged r15. NEW calibration key self-normalizes VM drift; "
+        "stream timing now min-of-2. Details: SCALE_ann_r14.md."
+    ),
     13: (
         "r13: ANN exact re-rank folds its normalize ABOVE the broadcast "
         "join (was per-corpus-row below) — bit-identical, n=1M warm "
@@ -286,6 +298,12 @@ def main() -> None:
     payload = {
         "metric": "headline_queries_total",
         "value": total,
+        # Fixed engine-independent workload (pure spark.range -> hash ->
+        # shuffle -> agg; touches no repo operator and no data file), so
+        # BENCH files self-normalize across VM-drift days: if this key
+        # moves between rounds, the SHARED VM moved — divide it out
+        # before reading per-query deltas (VERDICT r13 order 3).
+        "calibration_sec": _calibration_bench(spark),
         "unit": "sec",
         "reference_relational_sec": round(
             sum(t for q, t in timings.items() if q not in ANN_MEDIA), 3
@@ -308,6 +326,28 @@ def main() -> None:
         line = json.dumps(payload)
     assert len(line) <= MAX_METRIC_LINE, len(line)
     print(line)
+
+
+def _calibration_bench(spark) -> float:
+    """Deterministic CPU + shuffle probe, min-of-2: 5x10^9 xxhash64 rows
+    summed (whole-stage codegen CPU) plus a 5x10^7-row groupBy on 1024
+    keys (one real exchange). No repo operator, no data file — the
+    number moves only when the MACHINE does. Sized to ~2 s at local[32]
+    so a 10% VM drift reads well above the timer noise floor."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        # % 1e6 keeps the ANSI-mode sum far from long overflow.
+        spark.range(5_000_000_000).select(
+            F.sum(F.xxhash64("id") % 1_000_000).alias("s")
+        ).collect()
+        spark.range(50_000_000).groupBy(
+            (F.col("id") % 1024).alias("k")
+        ).count().select(F.sum("count")).collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def _pipeline_airport_revenue(spark, sf_dir: str) -> None:
@@ -380,20 +420,26 @@ def _stream_timeout_bench(spark, sf_dir: str) -> dict:
             with open(marker, "w") as f:
                 f.write(src_mtime)
 
-        t0 = time.time()
-        q = (
-            airport_trips_stream_timeout(spark, stage, max_files_per_trigger=1)
-            .writeStream.format("noop")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            finished = q.awaitTermination(600)
-            progress = [json.loads(p.json) for p in q.recentProgress]
-        finally:
-            q.stop()
-        sec = round(time.time() - t0, 3)
+        # Min-of-2 like every batch number (VERDICT r13 order 8: the
+        # single-shot stream timing swung +-34% on flat sf1 twins — VM
+        # noise, not code). Each run replays the full staged file
+        # sequence from scratch; state/batch counts come from the last.
+        sec, finished, progress = float("inf"), False, []
+        for _ in range(2):
+            t0 = time.time()
+            q = (
+                airport_trips_stream_timeout(spark, stage, max_files_per_trigger=1)
+                .writeStream.format("noop")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                finished = q.awaitTermination(600)
+                progress = [json.loads(p.json) for p in q.recentProgress]
+            finally:
+                q.stop()
+            sec = min(sec, round(time.time() - t0, 3))
         ops = [so for p in progress for so in p.get("stateOperators", [])]
         return {
             "airport_trips_timeout_sec": sec if finished else -1.0,
