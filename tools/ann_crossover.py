@@ -115,7 +115,68 @@ def _scan_bytes_since(spark, after_id: int) -> "tuple[int, int]":
     return total, mx
 
 
+def batch1(factors: "list[int]") -> None:
+    """The single-query serving regime (VERDICT r13 order 5): every
+    crossover number batches 10 queries, which makes the probed-list
+    union cover ~all posting lists and hides any per-query locality a
+    clustered corpus layout could exploit. This mode re-times the two
+    trained serving paths with the query set patched to ONE vector
+    (vec_id < 1; separate ``queries_n1`` artifact, shared books/codes),
+    recording wall + measured scan bytes next to the batch-10 row — the
+    measurement that decides whether the coarse-list layout lever is
+    worth implementing."""
+    from mapreduce_hadoop_spark import registry
+    from mapreduce_hadoop_spark.operators import similarity
+    from mapreduce_hadoop_spark.session import get_spark
+
+    spark = get_spark("ann-batch1", extra_conf={"spark.ui.enabled": "true"})
+    spark.range(1).count()
+    queries = registry.queries()
+    out: dict[str, dict[str, dict]] = {}
+    for factor in factors:
+        sf_dir = derive(factor)
+        tag = f"n={factor * 2000}"
+        out[tag] = {}
+        for name in ("similarity_topk_pq_trained", "similarity_topk_ivfpq_trained"):
+            for batch, nq in (("batch10", similarity.N_QUERIES), ("batch1", 1)):
+                old = similarity.N_QUERIES
+                similarity.N_QUERIES = nq
+                try:
+                    # warm (artifacts + plan), untimed
+                    spark.catalog.clearCache()
+                    similarity.unpersist_intermediates()
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best, bytes_read = float("inf"), -1
+                    cursor = _scan_bytes_since(spark, -1)[1]
+                    for _ in range(2):
+                        spark.catalog.clearCache()
+                        similarity.unpersist_intermediates()
+                        t0 = time.time()
+                        queries[name](spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        best = min(best, time.time() - t0)
+                        bytes_read, cursor = _scan_bytes_since(spark, cursor)
+                finally:
+                    similarity.N_QUERIES = old
+                out[tag][f"{name}/{batch}"] = {
+                    "sec": round(best, 2),
+                    "mb_scanned": round(bytes_read / 1e6, 1),
+                }
+                print(
+                    f"| {tag} | {name} | {batch} | {round(best, 2)} s | "
+                    f"{bytes_read / 1e6:.1f} MB scanned |",
+                    flush=True,
+                )
+    print(json.dumps({"batch1": out}))
+
+
 def main() -> None:
+    if "--batch1" in sys.argv[1:]:
+        batch1([int(a) for a in sys.argv[1:] if a != "--batch1"] or [500])
+        return
     factors = [int(a) for a in sys.argv[1:]] or [10, 100]
     from mapreduce_hadoop_spark import registry
     from mapreduce_hadoop_spark.operators import similarity
