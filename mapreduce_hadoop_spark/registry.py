@@ -332,10 +332,25 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
 # Round 14: the two r13 pins (similarity_topk_ivf_spann, dedup_simhash)
 # retired at rotation — both are in the forced-rotation head and take
-# fresh driver rows. Starts EMPTY; grows commit-by-commit as
-# output-identical rewrites land, with PINNED_REWRITE_HASHES updated in
-# the SAME commit.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
+# fresh driver rows. Three pins this round:
+# - similarity_near_dup_cosine (tail): block id moved from % to pmod
+#   (ADVICE r13 — exactness under negative ids). Identity is structural
+#   on the non-negative gate corpora; the query is ALSO hash-verified
+#   against its DuckDB oracle at every scale in the same r14 matrix.
+# - similarity_topk_pq (tail): byte-untouched function, but its shared
+#   helper `_pq_adc_rank` gained the (default-off) adaptive branch —
+#   pinned defensively; also oracle-hash-verified at every scale.
+# - ann_append_serving (tail, kmeans): now passes adaptive=False
+#   explicitly, reproducing its previous default bit-for-bit. Kmeans
+#   pins are same-day-only (SCALE_ann_r14.md §2): the r14 matrix runs
+#   in the same session as the warm artifacts whose sf0.01 serve was
+#   verified equal to the committed r13 log (0991cd3e817ec2d6) before
+#   the change landed.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
+    "similarity_near_dup_cosine",
+    "similarity_topk_pq",
+    "ann_append_serving",
+)
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
 # Round 14: none — ann_append_serving_fixed took the retired fn_distance
