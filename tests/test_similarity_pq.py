@@ -578,3 +578,47 @@ def test_adaptive_shortlist_recovers_clustered_recall(spark, sf_dir, tmp_path, m
         assert adaptive >= fixed, (fixed, adaptive)
     finally:
         ann_index.clear_memos()
+
+
+def test_bulk_adc_estimate_masks_unoccupied_cells():
+    """The bulk (mean candidate ADC) estimate must skip book cells that
+    no code occupies: those slots carry +inf in the dense lookup arrays
+    and zero frequency — multiplying instead of masking would poison
+    the whole estimate with NaN (0 * inf)."""
+    from mapreduce_hadoop_spark.operators.similarity import _bulk_adc_estimates
+
+    arrays = [np.full((2, 256), np.inf) for _ in range(2)]
+    for m in range(2):
+        arrays[m][:, :4] = [[1.0, 2.0, 3.0, 4.0], [2.0, 2.0, 2.0, 2.0]]
+    # 10 codes per subspace, all mass on cells 0..3.
+    hist = [(m, c, f) for m in range(2) for c, f in enumerate((4, 3, 2, 1))]
+    bulk = _bulk_adc_estimates(arrays, hist, 2)
+    # query 0: per-m mean = (4*1+3*2+2*3+1*4)/10 = 2.0 -> total 4.0
+    assert bulk == [4.0, 4.0 * 0 + 2.0 * 2]  # q1: all entries 2.0 -> 4.0
+    assert all(np.isfinite(b) for b in bulk)
+
+
+def test_codes_histogram_warm_loads_artifact(spark, sf_dir, tmp_path, monkeypatch):
+    """The code histogram is a persisted model artifact: a warm session
+    must load it without touching the codes relation (poisoned here) —
+    the zero-warm-jobs contract the adaptive bulk estimate rides on."""
+    from mapreduce_hadoop_spark.operators import ann_index
+    from mapreduce_hadoop_spark.operators.similarity import _codes_histogram
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    ann_index.clear_memos()
+    codes = spark.createDataFrame(
+        [(i, i % 3, (i + 1) % 3) for i in range(30)], "vec_id long, c0 int, c1 int"
+    )
+    cold = _codes_histogram(spark, codes, sf_dir, 2, 3, tag="t")
+    assert sum(f for _, _, f in cold) == 60  # 30 rows x 2 subspaces
+
+    ann_index.clear_memos()
+
+    class Boom:
+        def __getattr__(self, name):  # pragma: no cover - failure path
+            raise AssertionError("warm histogram must not touch the codes relation")
+
+    warm = _codes_histogram(spark, Boom(), sf_dir, 2, 3, tag="t")
+    assert warm == cold
+    ann_index.clear_memos()
