@@ -16,6 +16,14 @@ regenerated testdata refits (fingerprints key mtime) on a possibly
 re-layouted file. The ``.fit_env.json`` sidecars record the layout
 (``vec_id_order_sha``) so any future shift is attributable by diff.
 
+3. ``canonical`` — the round-15 fix, PROVEN here before it ships: fit
+   through ``repartition(1).sortWithinPartitions(vec_id)`` on both the
+   original and the shuffled rewrite. Expected: bit-identical — the
+   canonicalized sample makes the fit a pure function of logical
+   content (the capped sample is executor-sized by TRAIN_SAMPLE_CAP, so
+   one partition is the FAISS train-on-a-RAM-sample shape, not a
+   scalability cost).
+
 Usage: python tools/fit_order_probe.py [sf_dir]
 """
 
@@ -78,6 +86,49 @@ def main() -> int:
     print(
         "verdict: fit is bit-reproducible on identical bytes; it is a "
         "function of PHYSICAL ROW ORDER (the named cross-session variable)"
+    )
+
+    # 3. The r15 recipe: canonicalized sample -> layout-independent fit.
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.operators import similarity
+
+    def canon_fit(d: str, m_subspaces=8, sub=8, kk=None):
+        emb = similarity._with_norm(similarity.load_table(spark, d, "embeddings"))
+        nvt = emb.select("vec_id", similarity._div_by("v", "norm").alias("nv"))
+        kk = kk or k
+        sample = (
+            nvt.repartition(1)
+            .sortWithinPartitions("vec_id")
+            .select(
+                *[
+                    array_to_vector(
+                        F.slice(F.col("nv"), m * sub + 1, sub)
+                    ).alias(f"sub{m}")
+                    for m in range(m_subspaces)
+                ]
+            )
+            .persist()
+        )
+        rows = []
+        for m in range(m_subspaces):
+            km = KMeans(k=kk, seed=42 + m, maxIter=20, featuresCol=f"sub{m}").fit(
+                sample
+            )
+            rows.extend(
+                (m, code, [float(x) for x in c])
+                for code, c in enumerate(km.clusterCenters())
+            )
+        sample.unpersist()
+        return sorted(rows)
+
+    ca, cb = canon_fit(sf_dir), canon_fit(shuf_dir)
+    print(f"canonical fit: original == shuffled-order rewrite: {ca == cb}")
+    print(
+        "r15 recipe verdict: repartition(1).sortWithinPartitions(vec_id) "
+        "before .fit() makes the model a pure function of logical content"
     )
     return 0
 
