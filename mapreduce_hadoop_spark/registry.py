@@ -184,6 +184,29 @@ shape via an explicit ``adaptive=False`` (rule 1a, same-day pre/post
 logs), adopting the dial at its next head rotation. As always,
 CHANGED_THIS_ROUND grows commit-by-commit.
 
+Round-15 application: the cadence forces the full rotation an eighth
+time — all 41 r15-tail candidates (the r14 tail) have r13 rows, so they
+all rotate in. Head = 7 reference + 41 rotations + 2 spare change slots
+= 50; the new tail is the round-14-green remainder. The spares are held
+for the round's planned output changes (VERDICT r14 orders 1 and 4):
+the DETERMINISTIC k-means fit (``repartition(1).sortWithinPartitions
+("vec_id")`` on the capped training sample — proven bit-identical
+across physical row layouts in round 14, tools/fit_order_probe.py
+experiment 3) changes every kmeans-trained query's output, and the two
+kmeans queries NOT already forced into the head by rotation
+(``similarity_topk_pq_trained``, ``similarity_topk_ivf_spann``, both
+r14 head) take the spares; the other three kmeans entries
+(``similarity_topk_ivf_trained``, ``similarity_topk_ivfpq_trained``,
+``ann_append_serving`` — which also adopts the adaptive shortlist dial
+this round, its r14 ``adaptive=False`` pin expiring at rotation as
+planned) are in the forced-rotation set already. As always,
+CHANGED_THIS_ROUND starts EMPTY and grows commit-by-commit; rule-1a
+candidate: ``ann_append_serving_fixed`` (r14 head -> r15 tail; the
+round folds its line-for-line duplicated base/full derivation block
+into a shared helper with ``ann_append_serving`` — VERDICT r14 wrong
+item 3 — with byte-identical output, pinned against regenerated r15
+gate logs).
+
 Round-11 application: the cadence forces the full rotation a fourth
 time — all 37 r11-tail candidates with rows (the r10 tail minus the 5
 rule-1b staged entries) have r9 rows, so they all rotate in, and the 5
@@ -304,65 +327,34 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 14
+ROUND = 15
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row. Starts EMPTY at
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
-# Round 14: ann_append_serving_fixed is NEW (first driver row; full
-# DuckDB oracle — the deterministic fixed-books twin of
-# ann_append_serving that hash-verifies the base+delta append union,
-# VERDICT r13 order 1); listed for the head-membership check.
-# similarity_topk_pq_trained: the flat serving default is now the
-# per-query ADAPTIVE shortlist (VERDICT r13 order 4) — the exact
-# re-rank widens 4x for exactly the queries whose ADC covered-gap
-# signal fires (driver-side bulk estimate from a persisted code
-# histogram). Recall 0.80 -> 1.00 on organic sf0.1 and 0.82 -> 1.00 on
-# the mutated n=20k crossover corpus at ~0% organic-wall regression
-# (SCALE_ann_r14.md); output changes at sf0.1+ (the scales where the
-# floor was losing neighbors), so it takes the head slot freed by
-# retiring events_daily_by_type.
-CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "ann_append_serving_fixed",
-    "similarity_topk_pq_trained",
-)
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
-# Round 14: the two r13 pins (similarity_topk_ivf_spann, dedup_simhash)
-# retired at rotation — both are in the forced-rotation head and take
-# fresh driver rows. Three pins this round:
-# - similarity_near_dup_cosine (tail): block id moved from % to pmod
-#   (ADVICE r13 — exactness under negative ids). Identity is structural
-#   on the non-negative gate corpora; the query is ALSO hash-verified
-#   against its DuckDB oracle at every scale in the same r14 matrix.
-# - similarity_topk_pq (tail): byte-untouched function, but its shared
-#   helper `_pq_adc_rank` gained the (default-off) adaptive branch —
-#   pinned defensively; also oracle-hash-verified at every scale.
-# - ann_append_serving (tail, kmeans): now passes adaptive=False
-#   explicitly, reproducing its previous default bit-for-bit. Kmeans
-#   pins are same-day-only (SCALE_ann_r14.md §2): the r14 matrix runs
-#   in the same session as the warm artifacts whose sf0.01 serve was
-#   verified equal to the committed r13 log (0991cd3e817ec2d6) before
-#   the change landed.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
-    "similarity_near_dup_cosine",
-    "similarity_topk_pq",
-    "ann_append_serving",
-)
+# Round 15: the three r14 pins (similarity_near_dup_cosine,
+# similarity_topk_pq, ann_append_serving) retired at rotation — all
+# three are in the forced-rotation head and take fresh driver rows.
+# Starts EMPTY; grows in the commit that lands each output-identical
+# rewrite (planned: ann_append_serving_fixed — the shared append-demo
+# derivation helper fold).
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
-# Round 14: none — ann_append_serving_fixed took the retired fn_distance
-# slot directly in the head (first driver row this round).
+# Round 15: none.
 STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
-# surface (always in window) + ann_append_serving_fixed (NEW — the
-# hash-verifiable fixed-books append twin, in the slot freed by retiring
-# fn_distance) + 42 row-carrying round-13 tail entries (rule 2 — the
-# forced full rotation). Zero spare slots this round; see the Round-14
-# application paragraph.
+# surface (always in window) + 41 row-carrying round-14 tail entries
+# (rule 2 — the forced full rotation) + 2 spare change slots holding the
+# two kmeans queries the round's deterministic-fit rework changes that
+# the rotation did not already force in (similarity_topk_pq_trained,
+# similarity_topk_ivf_spann). See the Round-15 application paragraph.
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -372,56 +364,55 @@ HEAD = (
     "airport_trips_parity",
     "daily_revenue",
     "total_revenue",
-    # NEW round 14 (slot freed by retiring fn_distance): the append
-    # union semantics under deterministic fixed books — full DuckDB
-    # oracle, first driver row.
-    "ann_append_serving_fixed",
-    # Round-13-green tail rotations (rule 2): the row-carrying round-13
-    # tail rotates in.
-    "dedup_keep_best",
-    "similarity_topk_ivf_spann",
-    "multimodal_real_jpeg",
-    "multimodal_real_resize",
-    "dedup_exact_normalized",
-    "multimodal_real_roundtrip",
-    "dedup_simhash",
-    "corpus_clean_stats",
-    # Changed-while-fresh (slot freed by retiring events_daily_by_type):
-    # the adaptive-shortlist flat primary.
+    # Round-14-green tail rotations (rule 2): the row-carrying round-14
+    # tail rotates in, in its r14 definition order.
+    "events_cube",
+    "customer_balance_windows",
+    "events_hash_sample",
+    "events_stratified_sample",
+    "customer_order_semi_anti",
+    "events_grouping_sets",
+    "orders_pivot_priority",
+    "lineitem_measures_unpivot",
+    "lineitem_percentiles",
+    "approx_lineitem_percentiles",
+    "events_salted_agg",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_daily_gapfill",
+    "corpus_domain_mix",
+    "corpus_pack_sequences",
+    "events_keyed_dedup",
+    "events_enriched",
+    "similarity_near_dup_cosine",
+    "global_top_orders",
+    "sql_revenue_by_nation",
+    "trips_concurrency",
+    "text_pii_scrub",
+    "views_before_purchase_range_join",
+    "similarity_topk_ivf_trained",
+    "multimodal_real_jpeg_color",
+    "airport_trips_timeout",
+    "corpus_weighted_sample",
+    "corpus_train_split",
+    "corpus_domain_quota",
+    "customer_activity_reconcile",
+    "sql_orders_above_customer_avg",
+    "corpus_vocab_topk",
+    "text_language_id_ngram",
+    "dedup_minhash_lsh",
+    "similarity_topk_ivf",
+    "similarity_topk_pq",
+    "multimodal_real_wav",
+    "ann_append_serving",
+    "similarity_topk_ivfpq_trained",
+    "multimodal_real_avi",
+    # Spare change slots (the planned round-15 output changes): the
+    # deterministic k-means fit perturbs every trained model, and these
+    # two kmeans queries were in the r14 head (fresh rows) so rotation
+    # alone would have parked them in the tail with changed output.
     "similarity_topk_pq_trained",
-    "market_segment_balance",
-    "text_fingerprints",
-    "text_tfidf_top_terms",
-    "text_document_chunks",
-    "text_normalize",
-    "text_repetition_score",
-    "similarity_topk_bruteforce",
-    "similarity_topk_filtered",
-    "similarity_topk_lsh",
-    "similarity_near_dup_lsh",
-    "multimodal_metadata",
-    "events_rollup",
-    "purchase_asof_view",
-    "event_props_json",
-    "distinct_users_daily",
-    "approx_distinct_users_daily",
-    "segment_customer_setops",
-    "contamination_check",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "revenue_by_nation",
-    "pricing_summary",
-    "top_orders_per_customer",
-    "shipping_priority",
-    "text_quality_score",
-    "text_token_counts",
-    "events_session_window",
-    "text_span_dedup",
-    "text_gopher_rules",
-    "embedding_quantize_int8",
-    "events_funnel",
-    "events_cohort_retention",
+    "similarity_topk_ivf_spann",
 )
 
 

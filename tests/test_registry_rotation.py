@@ -58,16 +58,9 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 14: the two r13 pins retired at rotation (fresh driver
-    # rows). Three pins this round, pre-rewrite hashes from
-    # GATE_sf0.01_r13.log (near_dup's pmod and topk_pq's shared-helper
-    # change are additionally oracle-hash-verified at every scale in
-    # the same regenerated matrix; ann_append_serving's warm sf0.01
-    # serve was verified equal to the r13 log before its adaptive=False
-    # pin landed — kmeans pins are same-day-only, SCALE_ann_r14.md §2).
-    "similarity_near_dup_cosine": ("GATE_sf0.01_r14.log", "23f365a9beeaa5f7"),
-    "similarity_topk_pq": ("GATE_sf0.01_r14.log", "b5e2a87a06a8a32e"),
-    "ann_append_serving": ("GATE_sf0.01_r14.log", "0991cd3e817ec2d6"),
+    # Round 15: the three r14 pins retired at rotation (fresh driver
+    # rows). Grows in the commit that lands each output-identical
+    # rewrite, alongside registry.REWRITTEN_HASH_IDENTICAL.
 }
 
 
