@@ -29,6 +29,12 @@ fixed seed) on a deterministically bounded sample (`TRAIN_SAMPLE_CAP`):
 at 100 TB nobody trains a coarse quantizer on every row — FAISS trains
 on an in-RAM sample and so do we, with the cap making the fit cost a
 constant while assignment/encode stay full-corpus and distributed.
+Since round 15 the capped sample is CANONICALIZED (one partition,
+sorted by vec_id — ``_canonical_sample``) before every fit, so the
+fitted model is a pure function of the corpus' logical content: the
+round-14 diagnosis (SCALE_ann_r14.md §2) proved k-means|| seeds by
+physical row position, making un-canonicalized fits track the training
+file's layout across regenerations.
 """
 
 from __future__ import annotations
@@ -49,17 +55,41 @@ from pyspark.sql import functions as F
 TRAIN_SAMPLE_CAP = 1 << 17
 
 # Training recipe, baked into every artifact name: seed, per-model
-# maxIter, and the sample cap. Changing ANY of these (bumping maxIter,
-# widening the sample) would otherwise silently serve a stale model to
-# the rows-only trained queries — the artifact is keyed by corpus
-# fingerprint alone, and a warm .ann_index would mask the change.
+# maxIter, the sample cap, and the sample-order canonicalization
+# version. Changing ANY of these (bumping maxIter, widening the sample)
+# would otherwise silently serve a stale model to the rows-only trained
+# queries — the artifact is keyed by corpus fingerprint alone, and a
+# warm .ann_index would mask the change.
 KMEANS_SEED = 42
 COARSE_MAXITER = 10
 PQ_MAXITER = 20
 
+# Round 15: every KMeans fit canonicalizes its capped sample to ONE
+# partition sorted by vec_id before .fit(). k-means|| seeds by PHYSICAL
+# ROW POSITION, so without this the fitted model tracks the training
+# file's row layout — the named round-14 cross-session hash variable
+# (SCALE_ann_r14.md §2: a same-rows shuffled rewrite moved 1999/2000 pq
+# book cells; tools/fit_order_probe.py experiment 3 proves the sorted
+# single-partition sample restores bit-identical books across layouts).
+# One sorted partition of a TRAIN_SAMPLE_CAP-bounded sample is the FAISS
+# train-on-a-RAM-sample shape, not a scalability cost. ``o1`` in the
+# recipe string orphans every pre-canonicalization artifact (books,
+# codes, histograms — all key the recipe).
+_SAMPLE_ORDER_VERSION = "o1"
+
 
 def _recipe(max_iter: int) -> str:
-    return f"s{KMEANS_SEED}i{max_iter}c{TRAIN_SAMPLE_CAP.bit_length() - 1}"
+    return (
+        f"s{KMEANS_SEED}i{max_iter}c{TRAIN_SAMPLE_CAP.bit_length() - 1}"
+        f"{_SAMPLE_ORDER_VERSION}"
+    )
+
+
+def _canonical_sample(df: DataFrame) -> DataFrame:
+    """Layout-independent training input: one partition, vec_id-sorted.
+    Makes every downstream ``KMeans.fit`` a pure function of the sample's
+    LOGICAL content rather than of (content, physical row order)."""
+    return df.repartition(1).sortWithinPartitions("vec_id")
 
 _META_MEMO: dict[str, dict] = {}
 _MODEL_MEMO: dict[tuple, list] = {}
@@ -352,10 +382,16 @@ def _fit_env(sf_dir: str) -> dict:
         for m in members:
             if seen >= _FIT_ENV_ORDER_CAP:
                 break
-            col = pq.read_table(m, columns=["vec_id"]).column("vec_id")
-            ids = col.to_numpy(zero_copy_only=False)[: _FIT_ENV_ORDER_CAP - seen]
-            h.update(ids.astype("<i8").tobytes())
-            seen += len(ids)
+            # Row-group-at-a-time (ADVICE r14): a 20M-row member must not
+            # materialize its whole vec_id column to hash the first 1M.
+            for batch in pq.ParquetFile(m).iter_batches(columns=["vec_id"]):
+                ids = batch.column("vec_id").to_numpy(zero_copy_only=False)[
+                    : _FIT_ENV_ORDER_CAP - seen
+                ]
+                h.update(ids.astype("<i8").tobytes())
+                seen += len(ids)
+                if seen >= _FIT_ENV_ORDER_CAP:
+                    break
         env["vec_id_order_sha"] = h.hexdigest()[:16]
         env["vec_id_order_rows"] = seen
     except Exception as e:
@@ -414,7 +450,7 @@ def coarse_centroids(
             feats = emb.filter(
                 F.abs(F.xxhash64(F.col("vec_id"))) % F.lit(1 << 16) < F.lit(frac_num)
             )
-        feats = feats.select(
+        feats = _canonical_sample(feats).select(
             "vec_id", array_to_vector(F.col("v")).alias("features")
         )
         km = KMeans(k=k, seed=KMEANS_SEED, maxIter=COARSE_MAXITER).fit(feats)
@@ -430,7 +466,13 @@ def coarse_centroids(
             _write_fit_env(
                 os.path.join(d, fname),
                 sf_dir,
-                {"model": "coarse", "k": k, "n": n, "sampled": n > TRAIN_SAMPLE_CAP},
+                {
+                    "model": "coarse",
+                    "k": k,
+                    "n": n,
+                    "sampled": n > TRAIN_SAMPLE_CAP,
+                    "sample_order": _SAMPLE_ORDER_VERSION,
+                },
             )
     _MODEL_MEMO[memo_key] = rows
     return rows
@@ -492,8 +534,9 @@ def pq_codebooks(
             sample = nvt.filter(
                 F.abs(F.xxhash64(F.col("vec_id"))) % F.lit(1 << 16) < F.lit(frac_num)
             )
-        # One cached materialization feeds all M fits (KMeans iterates).
-        sample = sample.select(
+        # One cached materialization feeds all M fits (KMeans iterates);
+        # canonicalized order makes every fit layout-independent.
+        sample = _canonical_sample(sample).select(
             *[
                 array_to_vector(
                     F.slice(F.col(tag), m * sub_dim + 1, sub_dim)
@@ -537,6 +580,7 @@ def pq_codebooks(
                     "n": n,
                     "coarse_k": coarse_k,
                     "sampled": n > TRAIN_SAMPLE_CAP,
+                    "sample_order": _SAMPLE_ORDER_VERSION,
                 },
             )
     _MODEL_MEMO[memo_key] = rows

@@ -333,7 +333,17 @@ ROUND = 15
 # changed and therefore require a fresh driver row. Starts EMPTY at
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+# Round 15: the deterministic k-means fit (ann_index._canonical_sample,
+# recipe bumped to ...o1 — VERDICT r14 order 1) changes every
+# kmeans-trained query's output; all five are in the head (three by
+# forced rotation, two in the spare slots).
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "similarity_topk_pq_trained",
+    "similarity_topk_ivf_trained",
+    "similarity_topk_ivfpq_trained",
+    "similarity_topk_ivf_spann",
+    "ann_append_serving",
+)
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.

@@ -431,3 +431,39 @@ def test_fit_env_sidecar_records_input_order(spark, sf_dir, index_dir, tmp_path)
         alt_env = json.load(f)
     assert alt_env["vec_id_order_sha"] != env["vec_id_order_sha"]
     assert alt_env["vec_id_order_rows"] == env["vec_id_order_rows"]
+
+
+def test_fit_is_layout_independent(spark, sf_dir, index_dir, tmp_path):
+    """Round 15: the canonicalized training sample (one partition,
+    vec_id-sorted — ``_canonical_sample``) makes every KMeans fit a pure
+    function of LOGICAL corpus content. Same rows written in a shuffled
+    physical order must yield bit-identical coarse centroids AND PQ
+    books — the property whose absence caused the round-13/14
+    cross-session hash shifts (k-means|| seeds by row position;
+    tools/fit_order_probe.py experiment 2 measured 1999/2000 book cells
+    moving without the canonicalization)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    perm = np.random.default_rng(7).permutation(src.num_rows)
+    shuf = tmp_path / "shuffled_corpus"
+    shuf.mkdir()
+    pq.write_table(src.take(pa.array(perm)), str(shuf / "embeddings.parquet"))
+
+    def fits(d):
+        emb = _emb(spark, d)
+        cents = ann_index.coarse_centroids(spark, emb, d, k=8)
+        nvt = emb.select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("nv"),
+        )
+        books = ann_index.pq_codebooks(spark, nvt, d, 4, 16, 8, tag="nv")
+        return cents, sorted(books)
+
+    orig = fits(sf_dir)
+    shuffled = fits(str(shuf))
+    assert shuffled[0] == orig[0], "coarse centroids track physical row order"
+    assert shuffled[1] == orig[1], "PQ books track physical row order"
