@@ -650,9 +650,17 @@ def codes_artifact_name(tag: str, m_subspaces: int, k: int, coarse_k: "int | Non
 # --- persisted relations (the FAISS ``add`` half) ----------------------------
 
 
-def _write_committed(df: DataFrame, path: str) -> None:
+def _write_committed(
+    df: DataFrame, path: str, partition_by: "str | None" = None
+) -> None:
     """Stage a Spark parquet build per-pid and rename into place only
     after it committed (_SUCCESS) — shared by full and delta artifacts.
+
+    ``partition_by``: hive-partition the artifact by that column (one
+    directory per value, rows shuffled so each value lands in one file)
+    — the FAISS by-list layout, where a reader whose probe set is known
+    driver-side prunes whole directories instead of scanning the flat
+    artifact (see cached_relation).
 
     Swap protocol (ADVICE r12 hardened the old rmtree+replace, whose
     window let a racing session recreate the destination mid-swap and
@@ -676,7 +684,15 @@ def _write_committed(df: DataFrame, path: str) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by is not None:
+        # One shuffle so each partition value lands in ONE file (a
+        # directory-per-list layout written task-striped would fragment
+        # into tasks x lists files).
+        writer = df.repartition(F.col(partition_by)).write.mode(
+            "overwrite"
+        ).partitionBy(partition_by)
+    writer.parquet(tmp)
     if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
         raise RuntimeError(f"index artifact build did not commit: {tmp}")
     aside = f"{path}.old.{os.getpid()}"
@@ -703,6 +719,7 @@ def cached_relation(
     name: str,
     build: "Callable[[], DataFrame]",
     delta_build: "Callable[[int], DataFrame] | None" = None,
+    partition_by: "str | None" = None,
 ) -> DataFrame:
     """Load a DATA-sized index relation (e.g. the encoded PQ codes) from
     a parquet artifact under the corpus snapshot dir, or build + persist
@@ -731,6 +748,15 @@ def cached_relation(
     persisted under the CURRENT corpus fingerprint. An append therefore
     costs O(delta) encode work; the base artifact's bytes are pinned
     untouched by tests/test_ann_index.py.
+
+    BY-LIST LAYOUT (round 15): ``partition_by`` hive-partitions the
+    artifact (and its delta) by that column — the FAISS layout where
+    the serving copy lives inside the index clustered by coarse list,
+    so a reader filtering on a driver-known probe set prunes whole
+    list directories instead of scanning the flat artifact (partition
+    pruning is the mechanism that matches FAISS's contiguous-list
+    reads; row-group pruning does NOT work here because probe sets
+    scatter across list ids — measured in SCALE_ann_r14.md §5).
     """
     key = _fingerprint(sf_dir)
     if not _durable(key):
@@ -747,13 +773,15 @@ def cached_relation(
             dname = f"{name}.delta.{_fingerprint(base['base'])}.w{base['watermark']}"
             dpath = os.path.join(_corpus_dir(sf_dir, create=True), dname)
             if not os.path.isfile(os.path.join(dpath, "_SUCCESS")):
-                _write_committed(delta_build(base["watermark"]), dpath)
+                _write_committed(
+                    delta_build(base["watermark"]), dpath, partition_by
+                )
             return spark.read.parquet(base_path).unionByName(
                 spark.read.parquet(dpath)
             )
     path = os.path.join(_corpus_dir(sf_dir, create=True), name)
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        _write_committed(build(), path)
+        _write_committed(build(), path, partition_by)
     return spark.read.parquet(path)
 
 

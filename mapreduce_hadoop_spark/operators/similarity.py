@@ -2825,7 +2825,7 @@ def _ivfpq_from(
             sf_dir, PQ_TRAINED_M, PQ_TRAINED_SUB, k, tag="res",
             coarse_k=coarse_k,
         )
-        def encode_src(src: DataFrame) -> DataFrame:
+        def add_src(src: DataFrame) -> DataFrame:
             enc = _pq_encode_udf(
                 _books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB),
                 residual=True,
@@ -2835,31 +2835,44 @@ def _ivfpq_from(
                 "vec_id",
                 "cent_id",
                 enc(F.col("v"), F.col("norm"), F.col("ncv")).alias("cs"),
+                "v",
             ).select(
                 "vec_id",
-                "cent_id",
                 *[
                     F.element_at("cs", m + 1).alias(f"c{m}")
                     for m in range(PQ_TRAINED_M)
                 ],
+                "v",
+                "cent_id",
             )
 
-        # The FAISS ``add`` half: (cent_id, codes) persist next to the
-        # books — the artifact name keys the residual book (k), the
-        # coarse quantizer (K) it was encoded against, and the training
-        # recipe. Deterministic given them; assignment included, so a
-        # warm session also skips the corpus assign. Appended corpora
-        # assign + encode only the delta against the frozen models.
-        codes = ann_index.cached_relation(
+        # The FAISS ``add`` half, BY-LIST RAW-IN-INDEX since round 15
+        # (VERDICT r14 order 2): (codes, RAW vector) persist together,
+        # hive-partitioned by coarse list — the serving copy of the raw
+        # corpus lives inside the index clustered the way queries read
+        # it, exactly FAISS's ``add``. Both the ADC scan and the exact
+        # re-rank then prune to the driver-known probed-list union
+        # (directory pruning — the mechanism SCALE_ann_r14.md §5
+        # measured as the one that works; the flat layout scanned the
+        # FULL codes artifact and the FULL raw corpus per query, 162 MB
+        # at n=1M regardless of batch size). The artifact name keys the
+        # residual book (k), the coarse quantizer (K) it was encoded
+        # against, and the training recipe. Deterministic given them;
+        # assignment included, so a warm session also skips the corpus
+        # assign. Appended corpora assign + encode only the delta
+        # against the frozen models, partitioned the same way.
+        rel = ann_index.cached_relation(
             spark,
             sf_dir,
-            ann_index.codes_artifact_name(
+            "bylist_"
+            + ann_index.codes_artifact_name(
                 "res", PQ_TRAINED_M, k, coarse_k=coarse_k
             ),
-            lambda: encode_src(lists),
-            delta_build=lambda wm: encode_src(
+            lambda: add_src(lists),
+            delta_build=lambda wm: add_src(
                 lists.filter(F.col("vec_id") >= wm)
             ),
+            partition_by="cent_id",
         )
 
         # Query side, DRIVER-BUILT (round-12 stage fusion): probe
@@ -2883,6 +2896,15 @@ def _ivfpq_from(
             )
         else:
             probe_lists = _assign_topn_np(xq, cents_rows, nprobe)
+        # Directory pruning on the driver-known probe-set union: the
+        # cent_id broadcast join below is still the per-query probe
+        # filter; this literal isin() is what lets the parquet source
+        # skip unprobed list directories at planning time (a join alone
+        # prunes rows, not partitions). Shortlist candidates all come
+        # from probed lists, so serving the re-rank from the same pruned
+        # relation is exact.
+        probed = sorted({int(c) for pl in probe_lists for c in pl})
+        pruned = rel.filter(F.col("cent_id").isin(probed))
         ncv = {
             cid: [x / math.sqrt(_strict_dot(cv, cv)) for x in cv]
             for cid, cv in cents_rows
@@ -2904,9 +2926,9 @@ def _ivfpq_from(
             PQ_TRAINED_SUB,
         )
         return _ivfpq_scan_rank(
-            codes,
+            pruned,
             qarr,
-            emb.select("vec_id", "v"),
+            pruned.select("vec_id", "v"),
             q,
             shortlist,
             m_subspaces=PQ_TRAINED_M,

@@ -473,9 +473,15 @@ def test_ivfpq_trained_warm_plan_is_fused(spark, sf_dir, tmp_path, monkeypatch):
     assert "ArrowEvalPython" not in plan, "warm plan must not assign/encode"
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan, "query side must be driver-built"
-    assert "codes_res" in plan, "scan must read the residual codes artifact"
+    assert "bylist_codes_res" in plan, "scan must read the by-list artifact"
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+    # Round 15 by-list raw-in-index layout: BOTH scans (ADC codes and
+    # the exact re-rank's raw vectors) must carry the driver-known
+    # probed-list union as a PARTITION filter — directory pruning, the
+    # FAISS contiguous-list read (SCALE_ann_r14.md §5 measured row-group
+    # pruning as a non-mechanism here).
+    assert plan.count("PartitionFilters: [cent_id") == 2, plan[:2000]
 
 
 def test_ivfpq_matches_oracle_post_retirement(spark, sf_dir, duck):
