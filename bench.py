@@ -294,6 +294,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     stream = _stream_timeout_bench(spark, sf_dir)
+    calibration = _calibration_bench(spark)
 
     payload = {
         "metric": "headline_queries_total",
@@ -303,7 +304,15 @@ def main() -> None:
         # BENCH files self-normalize across VM-drift days: if this key
         # moves between rounds, the SHARED VM moved — divide it out
         # before reading per-query deltas (VERDICT r13 order 3).
-        "calibration_sec": _calibration_bench(spark),
+        "calibration_sec": calibration,
+        # The normalization APPLIED (VERDICT r14 wrong item 1 / order 5):
+        # the total rescaled to the reference machine speed
+        # (CALIBRATION_REF anchors to the r14 committed sf0.1 run), so
+        # committed BENCH files compare directly without reader-side
+        # arithmetic. The r14 sf1 afternoon scattered -18% same-tree in
+        # twenty minutes; this key is what makes that visible in the
+        # artifact itself.
+        "value_calibrated": round(total * CALIBRATION_REF / calibration, 3),
         "unit": "sec",
         "reference_relational_sec": round(
             sum(t for q, t in timings.items() if q not in ANN_MEDIA), 3
@@ -326,6 +335,13 @@ def main() -> None:
         line = json.dumps(payload)
     assert len(line) <= MAX_METRIC_LINE, len(line)
     print(line)
+
+
+# The calibration anchor: the committed BENCH_r14.json sf0.1 run's
+# calibration_sec. value_calibrated = value * CALIBRATION_REF /
+# calibration_sec expresses every committed total in "r14 reference
+# machine seconds", so cross-round deltas read code, not VM.
+CALIBRATION_REF = 1.911
 
 
 def _calibration_bench(spark) -> float:
@@ -423,8 +439,12 @@ def _stream_timeout_bench(spark, sf_dir: str) -> dict:
         # Min-of-2 like every batch number (VERDICT r13 order 8: the
         # single-shot stream timing swung +-34% on flat sf1 twins — VM
         # noise, not code). Each run replays the full staged file
-        # sequence from scratch; state/batch counts come from the last.
-        sec, finished, progress = float("inf"), False, []
+        # sequence from scratch. Per-run (sec, finished, progress)
+        # tracking (ADVICE r14): the timing min is taken over FINISHED
+        # runs only and the batch/state counts come from the same run
+        # that produced it — a run-2 timeout can no longer discard a
+        # valid run-1 measurement or mix counts across runs.
+        runs: "list[tuple[float, list]]" = []
         for _ in range(2):
             t0 = time.time()
             q = (
@@ -439,10 +459,15 @@ def _stream_timeout_bench(spark, sf_dir: str) -> dict:
                 progress = [json.loads(p.json) for p in q.recentProgress]
             finally:
                 q.stop()
-            sec = min(sec, round(time.time() - t0, 3))
+            if finished:
+                runs.append((round(time.time() - t0, 3), progress))
+        if not runs:
+            return {"airport_trips_timeout_sec": -1.0, "batches": 0,
+                    "state_rows_peak": 0, "state_rows_removed": 0}
+        sec, progress = min(runs, key=lambda r: r[0])
         ops = [so for p in progress for so in p.get("stateOperators", [])]
         return {
-            "airport_trips_timeout_sec": sec if finished else -1.0,
+            "airport_trips_timeout_sec": sec,
             "batches": len(progress),
             "state_rows_peak": max((so.get("numRowsTotal", 0) for so in ops), default=0),
             "state_rows_removed": sum(so.get("numRowsRemoved", 0) for so in ops),
