@@ -1,28 +1,29 @@
-"""Reproduce the round-14 kmeans row-order diagnosis (SCALE_ann_r14.md §2).
+"""Demonstrate the kmeans row-order variable and the shipped fix.
 
-Two experiments over one corpus (default sf0.01):
+Round 14 diagnosed the cross-session kmeans hash shifts
+(SCALE_ann_r14.md §2): k-means|| seeds by PHYSICAL ROW POSITION, so a
+fit was a deterministic function of (file bytes, layout) but NOT of
+logical content — a regenerated corpus with identical rows in a
+different layout moved 1999/2000 PQ book cells. Round 15 SHIPPED the
+fix (`ann_index._canonical_sample`: every fit's capped sample goes
+through ``repartition(1).sortWithinPartitions("vec_id")``; recipe
+bumped to ``...o1``).
+
+Three experiments over one corpus (default sf0.01):
 
 1. ``refit``   — fit the PQ books into a FRESH index root and compare
-   bit-for-bit against the reference artifact under the default root
-   (the warm fit from a previous session). Expected: EQUAL — the fit is
-   a deterministic function of the file bytes, across processes.
+   bit-for-bit against the reference artifact under the default root.
+   Expected: EQUAL — the fit is deterministic across processes.
 2. ``shuffled`` — rewrite the SAME logical rows in a shuffled physical
-   order, fit, and count differing book cells. Expected: almost every
-   cell moves (measured 1999/2000 at n=500) — k-means|| seeds by
-   position, so the fit tracks the training input's PHYSICAL ROW ORDER.
-
-Together these name the cross-session hash variable: the per-round
-regenerated testdata refits (fingerprints key mtime) on a possibly
-re-layouted file. The ``.fit_env.json`` sidecars record the layout
-(``vec_id_order_sha``) so any future shift is attributable by diff.
-
-3. ``canonical`` — the round-15 fix, PROVEN here before it ships: fit
-   through ``repartition(1).sortWithinPartitions(vec_id)`` on both the
-   original and the shuffled rewrite. Expected: bit-identical — the
-   canonicalized sample makes the fit a pure function of logical
-   content (the capped sample is executor-sized by TRAIN_SAMPLE_CAP, so
-   one partition is the FAISS train-on-a-RAM-sample shape, not a
-   scalability cost).
+   order and fit through the SHIPPED path. Expected since round 15:
+   0/2000 cells differ (the canonicalized sample makes the fit a pure
+   function of logical content; tests/test_ann_index.py::
+   test_fit_is_layout_independent pins this in the suite).
+3. ``legacy``  — the same two fits through an UN-canonicalized inline
+   KMeans (the pre-r15 recipe). Expected: almost every cell moves
+   (measured 1999/2000 at n=500) — demonstrating the underlying
+   variable still exists in k-means|| itself and is neutralized only
+   by the canonicalization.
 
 Usage: python tools/fit_order_probe.py [sf_dir]
 """
@@ -36,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _fit(spark, sf_dir: str):
+    """The SHIPPED fit path (canonicalized sample since round 15)."""
     from mapreduce_hadoop_spark.operators import ann_index, similarity
 
     emb = similarity._with_norm(similarity.load_table(spark, sf_dir, "embeddings"))
@@ -47,6 +49,42 @@ def _fit(spark, sf_dir: str):
         tag="nv",
     )
     return sorted(rows), k
+
+
+def _legacy_fit(spark, sf_dir: str, k: int):
+    """The pre-r15 fit: KMeans straight over the sample in file order —
+    kept here to demonstrate the row-order variable the shipped
+    canonicalization neutralizes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.operators import similarity
+
+    m_subspaces, sub = similarity.PQ_TRAINED_M, similarity.PQ_TRAINED_SUB
+    emb = similarity._with_norm(similarity.load_table(spark, sf_dir, "embeddings"))
+    nvt = emb.select("vec_id", similarity._div_by("v", "norm").alias("nv"))
+    sample = nvt.select(
+        *[
+            array_to_vector(F.slice(F.col("nv"), m * sub + 1, sub)).alias(f"sub{m}")
+            for m in range(m_subspaces)
+        ]
+    ).persist()
+    rows = []
+    for m in range(m_subspaces):
+        km = KMeans(k=k, seed=42 + m, maxIter=20, featuresCol=f"sub{m}").fit(sample)
+        rows.extend(
+            (m, code, [float(x) for x in c])
+            for code, c in enumerate(km.clusterCenters())
+        )
+    sample.unpersist()
+    return sorted(rows)
+
+
+def _diff(a_rows, b_rows) -> str:
+    a = {(m, c): tuple(v) for m, c, v in a_rows}
+    b = {(m, c): tuple(v) for m, c, v in b_rows}
+    return f"{sum(1 for kk in b if a.get(kk) != b[kk])}/{len(b)}"
 
 
 def main() -> int:
@@ -70,7 +108,7 @@ def main() -> int:
     fresh, _ = _fit(spark, sf_dir)
     print(f"refit (fresh root, same bytes) == reference: {fresh == ref}")
 
-    # 2. Same logical rows, shuffled physical order.
+    # 2. Same logical rows, shuffled physical order — SHIPPED path.
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     perm = np.random.default_rng(7).permutation(t.num_rows)
     shuf_dir = "/tmp/fit_order_probe_shuffled_corpus"
@@ -79,56 +117,24 @@ def main() -> int:
     os.environ["SPARK_GRAFT_INDEX_DIR"] = "/tmp/fit_order_probe_shuffled"
     ann_index.clear_memos()
     shuffled, _ = _fit(spark, shuf_dir)
-    a = {(m, c): tuple(v) for m, c, v in shuffled}
-    b = {(m, c): tuple(v) for m, c, v in ref}
-    diff = sum(1 for kk in b if a.get(kk) != b[kk])
-    print(f"shuffled-order fit: {diff}/{len(b)} book cells differ from reference")
     print(
-        "verdict: fit is bit-reproducible on identical bytes; it is a "
-        "function of PHYSICAL ROW ORDER (the named cross-session variable)"
+        f"shipped (canonicalized) fit, shuffled-order rewrite: "
+        f"{_diff(shuffled, ref)} book cells differ from reference "
+        f"(expected 0 since round 15)"
     )
 
-    # 3. The r15 recipe: canonicalized sample -> layout-independent fit.
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import functions as F
-
-    from mapreduce_hadoop_spark.operators import similarity
-
-    def canon_fit(d: str, m_subspaces=8, sub=8, kk=None):
-        emb = similarity._with_norm(similarity.load_table(spark, d, "embeddings"))
-        nvt = emb.select("vec_id", similarity._div_by("v", "norm").alias("nv"))
-        kk = kk or k
-        sample = (
-            nvt.repartition(1)
-            .sortWithinPartitions("vec_id")
-            .select(
-                *[
-                    array_to_vector(
-                        F.slice(F.col("nv"), m * sub + 1, sub)
-                    ).alias(f"sub{m}")
-                    for m in range(m_subspaces)
-                ]
-            )
-            .persist()
-        )
-        rows = []
-        for m in range(m_subspaces):
-            km = KMeans(k=kk, seed=42 + m, maxIter=20, featuresCol=f"sub{m}").fit(
-                sample
-            )
-            rows.extend(
-                (m, code, [float(x) for x in c])
-                for code, c in enumerate(km.clusterCenters())
-            )
-        sample.unpersist()
-        return sorted(rows)
-
-    ca, cb = canon_fit(sf_dir), canon_fit(shuf_dir)
-    print(f"canonical fit: original == shuffled-order rewrite: {ca == cb}")
+    # 3. The pre-r15 legacy fit: the variable itself, still demonstrable.
+    legacy_orig = _legacy_fit(spark, sf_dir, k)
+    legacy_shuf = _legacy_fit(spark, shuf_dir, k)
     print(
-        "r15 recipe verdict: repartition(1).sortWithinPartitions(vec_id) "
-        "before .fit() makes the model a pure function of logical content"
+        f"legacy (un-canonicalized) fit: {_diff(legacy_shuf, legacy_orig)} "
+        f"book cells differ between original and shuffled layouts "
+        f"(the named round-14 variable)"
+    )
+    print(
+        "verdict: k-means|| seeds by physical row position; the shipped "
+        "repartition(1).sortWithinPartitions(vec_id) sample makes the "
+        "fitted model a pure function of logical content"
     )
     return 0
 
