@@ -785,6 +785,66 @@ def cached_relation(
     return spark.read.parquet(path)
 
 
+def relation_paths(sf_dir: str, name: str) -> "list[str] | None":
+    """The committed artifact directories ``cached_relation(sf_dir,
+    name)`` serves — ``[base, delta]`` under an append lineage, else
+    ``[path]``; None while nothing is committed (or the corpus is
+    volatile). Mirrors cached_relation's resolution exactly so a caller
+    can do driver-side BYTE ACCOUNTING over the same files the plan
+    will open (the serving cost rule in similarity._ivfpq_from)."""
+    key = _fingerprint(sf_dir)
+    if not _durable(key):
+        return None
+    base = _base_info(sf_dir)
+    if base is not None:
+        base_path = os.path.join(_corpus_dir(base["base"]), name)
+        dname = f"{name}.delta.{_fingerprint(base['base'])}.w{base['watermark']}"
+        dpath = os.path.join(_corpus_dir(sf_dir), dname)
+        if os.path.isfile(os.path.join(base_path, "_SUCCESS")) and os.path.isfile(
+            os.path.join(dpath, "_SUCCESS")
+        ):
+            return [base_path, dpath]
+    path = os.path.join(_corpus_dir(sf_dir), name)
+    if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return [path]
+    return None
+
+
+def tree_bytes(path: str) -> int:
+    """Total bytes under a file or directory — the driver-side cost of a
+    full scan of that source (what Spark's 'size of files read' counts)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def pruned_bytes(paths: "list[str]", partition_by: str, values: "list[int]") -> int:
+    """Exact bytes a partition-pruned scan of the hive-partitioned
+    artifacts would open: the file sizes under ``{partition_by}={v}``
+    for the probed values only. Driver-side stat calls over a
+    K-directory artifact — the same arithmetic a cost-based optimizer
+    runs against file-source statistics."""
+    total = 0
+    for root in paths:
+        for v in values:
+            d = os.path.join(root, f"{partition_by}={v}")
+            if not os.path.isdir(d):
+                continue
+            for fn in os.listdir(d):
+                try:
+                    total += os.path.getsize(os.path.join(d, fn))
+                except OSError:
+                    pass
+    return total
+
+
 # --- the query-side relation --------------------------------------------------
 
 

@@ -2825,7 +2825,7 @@ def _ivfpq_from(
             sf_dir, PQ_TRAINED_M, PQ_TRAINED_SUB, k, tag="res",
             coarse_k=coarse_k,
         )
-        def add_src(src: DataFrame) -> DataFrame:
+        def codes_src(src: DataFrame) -> DataFrame:
             enc = _pq_encode_udf(
                 _books_array(rows, PQ_TRAINED_M, k, PQ_TRAINED_SUB),
                 residual=True,
@@ -2833,43 +2833,63 @@ def _ivfpq_from(
             plain = src.join(F.broadcast(ncents), "cent_id")
             return plain.select(
                 "vec_id",
-                "cent_id",
                 enc(F.col("v"), F.col("norm"), F.col("ncv")).alias("cs"),
-                "v",
+                "cent_id",
             ).select(
                 "vec_id",
                 *[
                     F.element_at("cs", m + 1).alias(f"c{m}")
                     for m in range(PQ_TRAINED_M)
                 ],
-                "v",
                 "cent_id",
             )
 
+        def raw_src(src: DataFrame) -> DataFrame:
+            return src.select("vec_id", "v", "cent_id")
+
         # The FAISS ``add`` half, BY-LIST RAW-IN-INDEX since round 15
-        # (VERDICT r14 order 2): (codes, RAW vector) persist together,
-        # hive-partitioned by coarse list — the serving copy of the raw
-        # corpus lives inside the index clustered the way queries read
-        # it, exactly FAISS's ``add``. Both the ADC scan and the exact
-        # re-rank then prune to the driver-known probed-list union
+        # (VERDICT r14 order 2): the codes AND a serving copy of the raw
+        # vectors persist hive-partitioned by coarse list — FAISS's
+        # ``add``, where the index owns the raw data clustered the way
+        # queries read it. TWO co-partitioned artifacts rather than one:
+        # the ADC scan reads code columns and the exact re-rank reads
+        # vector columns, and a shared artifact would make every scan
+        # open (and a byte-accounting reader count) the other side's
+        # bytes. Both prune to the driver-known probed-list union
         # (directory pruning — the mechanism SCALE_ann_r14.md §5
-        # measured as the one that works; the flat layout scanned the
-        # FULL codes artifact and the FULL raw corpus per query, 162 MB
-        # at n=1M regardless of batch size). The artifact name keys the
-        # residual book (k), the coarse quantizer (K) it was encoded
-        # against, and the training recipe. Deterministic given them;
-        # assignment included, so a warm session also skips the corpus
-        # assign. Appended corpora assign + encode only the delta
-        # against the frozen models, partitioned the same way.
+        # measured as the one matching FAISS's contiguous-list reads;
+        # the flat layout scanned the FULL codes artifact and the FULL
+        # raw corpus per query, 162 MB at n=1M regardless of batch
+        # size). Codes name keys the residual book (k), the coarse
+        # quantizer (K), and the training recipe; the raw copy depends
+        # only on the assignment, so it keys the coarse recipe alone.
+        # Deterministic given the models; assignment included, so a
+        # warm session also skips the corpus assign. Appended corpora
+        # assign + encode only the delta against the frozen models,
+        # partitioned the same way.
+        codes_name = "bylist_" + ann_index.codes_artifact_name(
+            "res", PQ_TRAINED_M, k, coarse_k=coarse_k
+        )
         rel = ann_index.cached_relation(
             spark,
             sf_dir,
-            "bylist_"
-            + ann_index.codes_artifact_name(
-                "res", PQ_TRAINED_M, k, coarse_k=coarse_k
+            codes_name,
+            lambda: codes_src(lists),
+            delta_build=lambda wm: codes_src(
+                lists.filter(F.col("vec_id") >= wm)
             ),
-            lambda: add_src(lists),
-            delta_build=lambda wm: add_src(
+            partition_by="cent_id",
+        )
+        raw_name = (
+            f"bylist_raw_K{coarse_k}_"
+            f"{ann_index._recipe(ann_index.COARSE_MAXITER)}.parquet"
+        )
+        raw_rel = ann_index.cached_relation(
+            spark,
+            sf_dir,
+            raw_name,
+            lambda: raw_src(lists),
+            delta_build=lambda wm: raw_src(
                 lists.filter(F.col("vec_id") >= wm)
             ),
             partition_by="cent_id",
@@ -2905,6 +2925,27 @@ def _ivfpq_from(
         # relation is exact.
         probed = sorted({int(c) for pl in probe_lists for c in pl})
         pruned = rel.filter(F.col("cent_id").isin(probed))
+        # Exact-re-rank source, COST-BASED (the one file-source decision
+        # Catalyst cannot make for us because only the driver knows the
+        # probe set): serve the raw vectors from the pruned by-list copy
+        # iff the bytes its probed directories actually hold undercut a
+        # flat scan of the source corpus — both sides are exact stat()
+        # arithmetic, no estimates. The two regimes are real (measured,
+        # SCALE_ann_r15.md): on production-shaped (incompressible)
+        # embeddings the pruned copy wins ~1/f; on the synthetic gate
+        # corpora the flat source file enjoys cross-replica dictionary
+        # compression the clustered copy cannot keep, and an adaptive
+        # probe set near K would read most of a bigger artifact. The
+        # rule makes the layout NEVER-WORSE in the measured currency.
+        raw = raw_rel.filter(F.col("cent_id").isin(probed)).select("vec_id", "v")
+        raw_paths = ann_index.relation_paths(sf_dir, raw_name)
+        src_path = os.path.join(
+            os.path.realpath(sf_dir), "embeddings.parquet"
+        )
+        if raw_paths is None or ann_index.pruned_bytes(
+            raw_paths, "cent_id", probed
+        ) >= ann_index.tree_bytes(src_path):
+            raw = emb.select("vec_id", "v")
         ncv = {
             cid: [x / math.sqrt(_strict_dot(cv, cv)) for x in cv]
             for cid, cv in cents_rows
@@ -2928,7 +2969,7 @@ def _ivfpq_from(
         return _ivfpq_scan_rank(
             pruned,
             qarr,
-            pruned.select("vec_id", "v"),
+            raw,
             q,
             shortlist,
             m_subspaces=PQ_TRAINED_M,

@@ -476,12 +476,81 @@ def test_ivfpq_trained_warm_plan_is_fused(spark, sf_dir, tmp_path, monkeypatch):
     assert "bylist_codes_res" in plan, "scan must read the by-list artifact"
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
-    # Round 15 by-list raw-in-index layout: BOTH scans (ADC codes and
-    # the exact re-rank's raw vectors) must carry the driver-known
-    # probed-list union as a PARTITION filter — directory pruning, the
-    # FAISS contiguous-list read (SCALE_ann_r14.md §5 measured row-group
-    # pruning as a non-mechanism here).
-    assert plan.count("PartitionFilters: [cent_id") == 2, plan[:2000]
+    # Round 15 by-list raw-in-index layout: the ADC codes scan must
+    # carry the driver-known probed-list union as a PARTITION filter —
+    # directory pruning, the FAISS contiguous-list read
+    # (SCALE_ann_r14.md §5 measured row-group pruning as a
+    # non-mechanism here). The raw re-rank side is COST-BASED (pruned
+    # by-list copy vs flat source scan, exact stat() bytes) so its scan
+    # carries the filter only when the pruned copy wins; at this scale
+    # the probe union covers every list and the flat source is smaller.
+    assert plan.count("PartitionFilters: [cent_id") >= 1, plan[:2000]
+
+
+def test_ivfpq_bylist_raw_source_is_output_invariant(spark, sf_dir, tmp_path, monkeypatch):
+    """The round-15 cost rule picks the exact-re-rank's raw source
+    (pruned by-list copy vs flat corpus scan) from driver-side byte
+    arithmetic — a pure I/O decision, so BOTH branches must produce
+    bit-identical rows. Force each branch by monkeypatching the flat
+    side's cost and compare; also pin that the forced by-list branch
+    actually plans TWO partition-pruned scans."""
+    from mapreduce_hadoop_spark.operators import ann_index
+    from mapreduce_hadoop_spark.operators.similarity import (
+        topk_ivfpq_trained,
+        unpersist_intermediates,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    ann_index.clear_memos()
+    try:
+        # Warm the artifacts once, then serve under each forced branch.
+        topk_ivfpq_trained(spark, sf_dir).collect()
+        unpersist_intermediates()
+
+        real_tree_bytes = ann_index.tree_bytes
+        monkeypatch.setattr(ann_index, "tree_bytes", lambda p: 0)  # flat wins
+        flat = sorted(map(tuple, topk_ivfpq_trained(spark, sf_dir).collect()))
+        unpersist_intermediates()
+
+        monkeypatch.setattr(ann_index, "tree_bytes", lambda p: 1 << 60)  # by-list wins
+        df = topk_ivfpq_trained(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert plan.count("PartitionFilters: [cent_id") == 2
+        bylist = sorted(map(tuple, df.collect()))
+        unpersist_intermediates()
+        monkeypatch.setattr(ann_index, "tree_bytes", real_tree_bytes)
+
+        assert flat == bylist and len(flat) > 0
+    finally:
+        unpersist_intermediates()
+        ann_index.clear_memos()
+
+
+def test_pruned_bytes_counts_probed_directories_only(tmp_path):
+    """relation_paths + pruned_bytes: the serving cost rule's byte
+    arithmetic must count exactly the probed ``cent_id=`` directories
+    of the committed artifact."""
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    art = tmp_path / "art.parquet"
+    sizes = {}
+    for c in range(4):
+        d = art / f"cent_id={c}"
+        d.mkdir(parents=True)
+        payload = b"x" * (100 * (c + 1))
+        (d / "part-0.parquet").write_bytes(payload)
+        sizes[c] = len(payload)
+    (art / "_SUCCESS").write_text("")
+
+    got = ann_index.pruned_bytes([str(art)], "cent_id", [1, 3])
+    assert got == sizes[1] + sizes[3]
+    # Unprobed or missing directories contribute nothing.
+    assert ann_index.pruned_bytes([str(art)], "cent_id", [99]) == 0
+    assert ann_index.tree_bytes(str(art)) == sum(sizes.values())
 
 
 def test_ivfpq_matches_oracle_post_retirement(spark, sf_dir, duck):
