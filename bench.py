@@ -80,6 +80,19 @@ MAX_METRIC_LINE = 1800
 # text (the r8/r9 failure mode — BENCH_r09.json carried the verbatim
 # round-7 note).
 ROUND_NOTES = {
+    15: (
+        "r15: deterministic kmeans fit SHIPPED (canonicalized sample, "
+        "recipe o1): books/serving now bit-identical across physical "
+        "row layouts (probe: 0/2000 cells move; was 1999/2000). By-list "
+        "raw-in-index layout for ivfpq_trained: codes + raw serving "
+        "copy hive-partitioned by coarse list, both scans prune to the "
+        "driver-known probe union; re-rank source is cost-based (exact "
+        "stat bytes) so the measured batch-1 bytes are never worse than "
+        "flat (164 vs 163 MB synthetic / wins ~1/f incompressible). "
+        "ann_append_serving adopts the adaptive dial; append demos "
+        "share one derivation. value_calibrated normalizes VM drift. "
+        "Details: SCALE_ann_r15.md."
+    ),
     14: (
         "r14: append union semantics HASH-verified (new "
         "ann_append_serving_fixed: fixed-books twin, DuckDB-green x5). "
