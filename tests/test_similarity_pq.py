@@ -581,7 +581,7 @@ def test_ivfpq_matches_oracle_post_retirement(spark, sf_dir, duck):
 
 def test_adaptive_shortlist_no_fire_is_bit_identical(spark, sf_dir, tmp_path, monkeypatch):
     """On a corpus where no query's covered-gap signal fires (sf0.001:
-    measured covered >= 0.41 vs the 0.35 threshold), the adaptive
+    measured covered >= 0.41 vs the 0.38 threshold), the adaptive
     default must reproduce the fixed-floor plan BIT-for-bit — widening
     is spent only where recall is lost."""
     from mapreduce_hadoop_spark.operators import ann_index

@@ -110,7 +110,8 @@ def study(spark, sf_dir: str) -> list[dict]:
             return set(cand_ids[sl][sub_order][: similarity.TOP_K])
 
         r_fixed = len(exact & rerank(shortlist)) / similarity.TOP_K
-        r_adapt = len(exact & rerank(wide if fired else shortlist)) / similarity.TOP_K
+        r_wide = len(exact & rerank(wide)) / similarity.TOP_K
+        r_adapt = r_wide if fired else r_fixed
         out.append(
             {
                 "query": int(qid),
@@ -118,6 +119,9 @@ def study(spark, sf_dir: str) -> list[dict]:
                 "fired": bool(fired),
                 "recall_fixed": r_fixed,
                 "recall_adaptive": r_adapt,
+                # What a fire WOULD buy — measured for every query so a
+                # threshold move is decided on data, not extrapolation.
+                "recall_widened": r_wide,
             }
         )
     return out
