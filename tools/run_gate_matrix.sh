@@ -1,17 +1,16 @@
 #!/bin/bash
-# Round-14 gate matrix: the FULL registry (91 queries after the two
-# size-policy retirements funding ann_append_serving_fixed and the
-# adaptive-shortlist head slot) at all five scales, zero exclusions.
-# Runs against the WARM shared index root deliberately: same-bytes fit
-# reproduction was proven explicitly this round (SCALE_ann_r14.md §2 —
-# a fresh fit equals the r13-session artifact bit-for-bit, including
-# under -XX:UseAVX=2), and the kmeans rule-1a pins are same-day-only,
-# so the matrix must serve the same artifacts the pins were verified
-# against.
+# Round-15 gate matrix: the FULL registry (91 queries) at all five
+# scales, zero exclusions. Runs against the WARM shared index root:
+# round 15 shipped the DETERMINISTIC kmeans fit (canonicalized sample,
+# recipe o1 — fits are now bit-identical across physical row layouts,
+# proven at the query level by tests/test_ann_index.py::
+# test_fit_is_layout_independent and tools/fit_order_probe.py), so warm
+# artifacts and fresh fits are interchangeable by construction, not by
+# same-session luck.
 set -u
 cd "$(dirname "$0")/.."
-R=14
-HDR_TREE="final round-${R} tree: ann_append_serving_fixed (fixed-books append twin — the base+delta union hash-verified, DuckDB-green), per-query adaptive flat-PQ shortlist (covered-gap signal, recall 0.80->1.00 organic sf0.1 / 0.82->1.00 mutated n=20k, ~0% organic wall), pmod near-dup block id (bit-identical on non-negative ids), fit_env provenance sidecars (cross-session kmeans variable NAMED: training-input physical row order), bench calibration key + stream min-of-2. fn_distance and events_daily_by_type retired (size policy; unit/fixture-pinned)"
+R=15
+HDR_TREE="final round-${R} tree: deterministic kmeans fit shipped (canonicalized sample, recipe o1 — kmeans outputs layout-independent), by-list raw-in-index layout for ivfpq_trained (codes + raw serving copy hive-partitioned by coarse list, cost-based re-rank source, batch-1 parity on synthetic / 2.9x bytes cut on incompressible n=1M), adaptive shortlist threshold 0.35->0.38 from the measured band (losses to covered 0.372 all recovered by 4x widening), ann_append_serving adopts the adaptive dial, append demos share one derivation helper, bench value_calibrated"
 
 ALLQ=$(python - <<'EOF'
 from mapreduce_hadoop_spark import registry
@@ -28,8 +27,8 @@ run_gate() {
   echo "== ${label} exit ${rc}"
 }
 
-run_gate /root/testdata/sf0.001     GATE_sf0.001_r14.log sf0.001 "$ALLQ" "full registry, 91 queries"
-run_gate /root/testdata/sf0.01      GATE_sf0.01_r14.log  sf0.01  "$ALLQ" "full registry, 91 queries"
-run_gate /root/testdata/sf0.1       GATE_sf0.1_r14.log   sf0.1   "$ALLQ" "full registry, 91 queries"
-run_gate /root/repo/.scale_data/sf1     GATE_sf1_r14.log     sf1     "$ALLQ" "full registry, 91 queries; derived 10x via tools/make_scale_data.py"
-run_gate /root/repo/.scale_data/sf1skew GATE_sf1skew_r14.log sf1skew "$ALLQ" "full registry, 91 queries, hot-key derivation (--skew: one taxi ~10% of positions, one source ~50% of documents)"
+run_gate /root/testdata/sf0.001     GATE_sf0.001_r15.log sf0.001 "$ALLQ" "full registry, 91 queries"
+run_gate /root/testdata/sf0.01      GATE_sf0.01_r15.log  sf0.01  "$ALLQ" "full registry, 91 queries"
+run_gate /root/testdata/sf0.1       GATE_sf0.1_r15.log   sf0.1   "$ALLQ" "full registry, 91 queries"
+run_gate /root/repo/.scale_data/sf1     GATE_sf1_r15.log     sf1     "$ALLQ" "full registry, 91 queries; derived 10x via tools/make_scale_data.py"
+run_gate /root/repo/.scale_data/sf1skew GATE_sf1skew_r15.log sf1skew "$ALLQ" "full registry, 91 queries, hot-key derivation (--skew: one taxi ~10% of positions, one source ~50% of documents)"
