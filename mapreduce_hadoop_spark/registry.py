@@ -350,10 +350,16 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 # Round 15: the three r14 pins (similarity_near_dup_cosine,
 # similarity_topk_pq, ann_append_serving) retired at rotation — all
 # three are in the forced-rotation head and take fresh driver rows.
-# Starts EMPTY; grows in the commit that lands each output-identical
-# rewrite (planned: ann_append_serving_fixed — the shared append-demo
-# derivation helper fold).
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
+# One pin this round: ann_append_serving_fixed (r14 head -> r15 tail)
+# — its line-for-line duplicated base/full derivation block folded
+# into the shared _derive_append_demo helper (VERDICT r14 wrong item
+# 3) and its oracle's ADC sum is now generated from PQ_M (ADVICE r14),
+# both output-identical: the books are deterministic (no kmeans), the
+# derivation writes the same bytes, and the generated SQL string is
+# byte-equal at PQ_M=4. Verified same-day at sf0.01
+# (0e68103c0453892a = the committed r14 driver hash) and pinned
+# against the regenerated r15 gate logs.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ("ann_append_serving_fixed",)
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
 # Round 15: none.

@@ -59,8 +59,10 @@ def test_head_window_size_and_total():
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
     # Round 15: the three r14 pins retired at rotation (fresh driver
-    # rows). Grows in the commit that lands each output-identical
-    # rewrite, alongside registry.REWRITTEN_HASH_IDENTICAL.
+    # rows). One pin — the append-demo derivation fold + generated
+    # oracle ADC sum; pre-rewrite hash from GATE_sf0.01_r14.log (= the
+    # r14 driver row), post log regenerated at the final r15 tree.
+    "ann_append_serving_fixed": ("GATE_sf0.01_r15.log", "0e68103c0453892a"),
 }
 
 
