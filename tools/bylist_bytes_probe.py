@@ -88,8 +88,9 @@ def main() -> int:
     spark.range(1).count()
 
     real_tree_bytes = ann_index.tree_bytes
+    real_eps = similarity.IVFPQ_PROBE_EPS
     results = {}
-    for probe_mode, eps in (("adaptive", similarity.IVFPQ_PROBE_EPS), ("floor", 0.0)):
+    for probe_mode, eps in (("adaptive", real_eps), ("floor", 0.0)):
         for raw_mode in ("cost_based", "forced_flat"):
             similarity.IVFPQ_PROBE_EPS = eps
             ann_index.tree_bytes = (
@@ -117,7 +118,7 @@ def main() -> int:
                     bytes_read, cursor = _scan_bytes_since(spark, cursor)
             finally:
                 similarity.N_QUERIES = old_nq
-                similarity.IVFPQ_PROBE_EPS = similarity.IVFPQ_PROBE_EPS.__class__(0.3)
+                similarity.IVFPQ_PROBE_EPS = real_eps
                 ann_index.tree_bytes = real_tree_bytes
             key = f"{probe_mode}/{raw_mode}"
             results[key] = {
