@@ -684,14 +684,14 @@ def _write_committed(
     tmp = f"{path}.tmp.{os.getpid()}"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    writer = df.write.mode("overwrite")
+    # One writer, built once (ADVICE r15: the unconditional writer was
+    # dead when partition_by was set). The repartition puts each
+    # partition value in ONE file (a directory-per-list layout written
+    # task-striped would fragment into tasks x lists files).
+    src = df.repartition(F.col(partition_by)) if partition_by is not None else df
+    writer = src.write.mode("overwrite")
     if partition_by is not None:
-        # One shuffle so each partition value lands in ONE file (a
-        # directory-per-list layout written task-striped would fragment
-        # into tasks x lists files).
-        writer = df.repartition(F.col(partition_by)).write.mode(
-            "overwrite"
-        ).partitionBy(partition_by)
+        writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
     if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
         raise RuntimeError(f"index artifact build did not commit: {tmp}")
@@ -761,51 +761,86 @@ def cached_relation(
     key = _fingerprint(sf_dir)
     if not _durable(key):
         return build()
-    base = _base_info(sf_dir)
-    if base is not None and delta_build is not None:
-        base_path = os.path.join(_corpus_dir(base["base"]), name)
-        if os.path.isfile(os.path.join(base_path, "_SUCCESS")):
-            # The delta artifact keys the BASE fingerprint and the
-            # watermark next to the current corpus fingerprint (ADVICE
-            # r12): editing ann_base.json in place — new base or new
-            # watermark, same embeddings bytes — must orphan the delta,
-            # or a stale base+delta union serves silently.
-            dname = f"{name}.delta.{_fingerprint(base['base'])}.w{base['watermark']}"
-            dpath = os.path.join(_corpus_dir(sf_dir, create=True), dname)
-            if not os.path.isfile(os.path.join(dpath, "_SUCCESS")):
-                _write_committed(
-                    delta_build(base["watermark"]), dpath, partition_by
-                )
+    lin = _lineage_paths(sf_dir, name)
+    if lin is not None and delta_build is not None:
+        base_path, dpath, watermark = lin
+        if _committed(base_path):
+            if not _committed(dpath):
+                os.makedirs(os.path.dirname(dpath), exist_ok=True)
+                _write_committed(delta_build(watermark), dpath, partition_by)
+            # A ZERO-ROW delta (watermark above every appended vec_id —
+            # a legal degenerate declaration) commits _SUCCESS with no
+            # data files; spark.read would fail schema inference on it
+            # (ADVICE r15). The base alone IS the correct union then.
+            if not _has_data_files(dpath):
+                return spark.read.parquet(base_path)
             return spark.read.parquet(base_path).unionByName(
                 spark.read.parquet(dpath)
             )
     path = os.path.join(_corpus_dir(sf_dir, create=True), name)
-    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+    if not _committed(path):
         _write_committed(build(), path, partition_by)
     return spark.read.parquet(path)
 
 
+def _committed(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def _has_data_files(path: str) -> bool:
+    """True iff a committed artifact holds at least one parquet data
+    file — a zero-row partitionBy write commits _SUCCESS alone."""
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _lineage_paths(sf_dir: str, name: str) -> "tuple[str, str, int] | None":
+    """THE resolver both ``cached_relation`` and ``relation_paths``
+    share (ADVICE r15: the duplication meant any edit to one had to be
+    mirrored by hand): under a declared append lineage, the base
+    artifact path, the delta artifact path, and the watermark. The
+    delta name keys the BASE fingerprint and the watermark next to the
+    current corpus fingerprint (ADVICE r12): editing ann_base.json in
+    place — new base or new watermark, same embeddings bytes — must
+    orphan the delta, or a stale base+delta union serves silently."""
+    base = _base_info(sf_dir)
+    if base is None:
+        return None
+    base_path = os.path.join(_corpus_dir(base["base"]), name)
+    dname = f"{name}.delta.{_fingerprint(base['base'])}.w{base['watermark']}"
+    dpath = os.path.join(_corpus_dir(sf_dir), dname)
+    return base_path, dpath, base["watermark"]
+
+
 def relation_paths(sf_dir: str, name: str) -> "list[str] | None":
     """The committed artifact directories ``cached_relation(sf_dir,
-    name)`` serves — ``[base, delta]`` under an append lineage, else
-    ``[path]``; None while nothing is committed (or the corpus is
-    volatile). Mirrors cached_relation's resolution exactly so a caller
-    can do driver-side BYTE ACCOUNTING over the same files the plan
-    will open (the serving cost rule in similarity._ivfpq_from)."""
+    name)`` serves — ``[base, delta]`` under an append lineage (``[base]``
+    alone when the committed delta holds zero rows), else ``[path]``;
+    None while nothing is committed (or the corpus is volatile). Shares
+    ``_lineage_paths`` with cached_relation so a caller can do
+    driver-side BYTE ACCOUNTING over the same files the plan will open
+    (the serving cost rule in similarity._bylist_raw_source). Under a
+    lineage whose base is committed but whose delta is NOT yet, returns
+    None rather than falling through to a stale full artifact (ADVICE
+    r15): cached_relation would build+serve base+delta there, so no
+    committed path set describes the coming scan — and None makes the
+    cost rule take the flat branch, the safe direction."""
     key = _fingerprint(sf_dir)
     if not _durable(key):
         return None
-    base = _base_info(sf_dir)
-    if base is not None:
-        base_path = os.path.join(_corpus_dir(base["base"]), name)
-        dname = f"{name}.delta.{_fingerprint(base['base'])}.w{base['watermark']}"
-        dpath = os.path.join(_corpus_dir(sf_dir), dname)
-        if os.path.isfile(os.path.join(base_path, "_SUCCESS")) and os.path.isfile(
-            os.path.join(dpath, "_SUCCESS")
-        ):
+    lin = _lineage_paths(sf_dir, name)
+    if lin is not None:
+        base_path, dpath, _wm = lin
+        if _committed(base_path):
+            if not _committed(dpath):
+                return None
+            if not _has_data_files(dpath):
+                return [base_path]
             return [base_path, dpath]
     path = os.path.join(_corpus_dir(sf_dir), name)
-    if os.path.isfile(os.path.join(path, "_SUCCESS")):
+    if _committed(path):
         return [path]
     return None
 
@@ -842,6 +877,46 @@ def pruned_bytes(paths: "list[str]", partition_by: str, values: "list[int]") -> 
                     total += os.path.getsize(os.path.join(d, fn))
                 except OSError:
                     pass
+    return total
+
+
+def column_bytes(path: str, columns: "list[str]") -> int:
+    """Exact bytes a COLUMN-PRUNED scan of ``path`` opens: the
+    compressed column-chunk sizes of the named top-level columns across
+    every row group of every parquet file under the path (plus nothing
+    else — footers are metadata reads, not data bytes). ADVICE r15: the
+    serving cost rule compared the pruned by-list copy (which holds
+    only the columns the re-rank reads) against ``tree_bytes`` of the
+    FULL flat source, overpricing the flat branch on any corpus whose
+    source file carries extra columns; this is the flat side's honest
+    price. Nested columns (``v.list.element``) roll up to their root
+    name. Falls back to ``tree_bytes`` (the whole-file upper bound) if
+    the parquet metadata cannot be read — overpricing the flat side
+    only ever flips the rule toward the pruned copy, whose own cost is
+    stat()-exact, so the fallback stays measurement-honest."""
+    import pyarrow.parquet as pq
+
+    files = []
+    if os.path.isfile(path):
+        files.append(path)
+    else:
+        for root, _dirs, fns in os.walk(path):
+            files.extend(
+                os.path.join(root, fn) for fn in fns if fn.endswith(".parquet")
+            )
+    total = 0
+    want = set(columns)
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema.split(".")[0] in want:
+                        total += col.total_compressed_size
+    except (OSError, ValueError, KeyError):
+        return tree_bytes(path)
     return total
 
 

@@ -2751,6 +2751,45 @@ def topk_ivfpq(
     )
 
 
+def _bylist_raw_source(
+    emb: DataFrame,
+    raw_rel: DataFrame,
+    sf_dir: "str | None",
+    raw_name: str,
+    probed: "list[int]",
+) -> DataFrame:
+    """Exact-re-rank source, COST-BASED (the one file-source decision
+    Catalyst cannot make for us because only the driver knows the probe
+    set): serve the raw vectors from the pruned by-list copy iff the
+    bytes its probed directories actually hold undercut a COLUMN-PRUNED
+    flat scan of the source corpus — the by-list side is exact stat()
+    arithmetic over the probed ``cent_id=`` directories (it holds only
+    the columns the re-rank reads), the flat side is the compressed
+    column-chunk bytes of (vec_id, embedding) in the source file
+    (ADVICE r15: whole-file accounting overpriced the flat branch on
+    corpora whose source carries extra columns). The two regimes are
+    real (measured, SCALE_ann_r15.md): on production-shaped
+    (incompressible) embeddings the pruned copy wins ~1/f; on the
+    synthetic gate corpora the flat source file enjoys cross-replica
+    dictionary compression the clustered copy cannot keep, and an
+    adaptive probe set near K would read most of a bigger artifact. The
+    rule makes the layout NEVER-WORSE in the measured currency. Shared
+    by the trained path (``_ivfpq_from``) and its deterministic-books
+    driver-hash twin (``topk_ivfpq_fixed``) — both branches are
+    output-identical by construction (shortlist candidates all come
+    from probed lists), pinned by tests/test_similarity_pq.py."""
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    raw = raw_rel.filter(F.col("cent_id").isin(probed)).select("vec_id", "v")
+    raw_paths = ann_index.relation_paths(sf_dir, raw_name)
+    src_path = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    if raw_paths is None or ann_index.pruned_bytes(
+        raw_paths, "cent_id", probed
+    ) >= ann_index.column_bytes(src_path, ["vec_id", "embedding"]):
+        return emb.select("vec_id", "v")
+    return raw
+
+
 def _ivfpq_from(
     emb: DataFrame,
     cents: DataFrame,
@@ -2935,27 +2974,7 @@ def _ivfpq_from(
         # relation is exact.
         probed = sorted({int(c) for pl in probe_lists for c in pl})
         pruned = rel.filter(F.col("cent_id").isin(probed))
-        # Exact-re-rank source, COST-BASED (the one file-source decision
-        # Catalyst cannot make for us because only the driver knows the
-        # probe set): serve the raw vectors from the pruned by-list copy
-        # iff the bytes its probed directories actually hold undercut a
-        # flat scan of the source corpus — both sides are exact stat()
-        # arithmetic, no estimates. The two regimes are real (measured,
-        # SCALE_ann_r15.md): on production-shaped (incompressible)
-        # embeddings the pruned copy wins ~1/f; on the synthetic gate
-        # corpora the flat source file enjoys cross-replica dictionary
-        # compression the clustered copy cannot keep, and an adaptive
-        # probe set near K would read most of a bigger artifact. The
-        # rule makes the layout NEVER-WORSE in the measured currency.
-        raw = raw_rel.filter(F.col("cent_id").isin(probed)).select("vec_id", "v")
-        raw_paths = ann_index.relation_paths(sf_dir, raw_name)
-        src_path = os.path.join(
-            os.path.realpath(sf_dir), "embeddings.parquet"
-        )
-        if raw_paths is None or ann_index.pruned_bytes(
-            raw_paths, "cent_id", probed
-        ) >= ann_index.tree_bytes(src_path):
-            raw = emb.select("vec_id", "v")
+        raw = _bylist_raw_source(emb, raw_rel, sf_dir, raw_name, probed)
         ncv = {
             cid: [x / math.sqrt(_strict_dot(cv, cv)) for x in cv]
             for cid, cv in cents_rows
@@ -3243,6 +3262,241 @@ WHERE rank <= {TOP_K}
 
 
 TOPK_IVFPQ_ORACLE = _topk_ivfpq_oracle()
+
+
+FIXED_IVFPQ_BOOKS_FNAME = f"ivfpqfix_res_m{PQ_M}_K{IVF_K}.parquet"
+FIXED_IVFPQ_CENTS_FNAME = f"ivfpqfix_cents_K{IVF_K}.parquet"
+FIXED_IVFPQ_CODES_FNAME = f"bylist_codes_ivfpqfix_m{PQ_M}_K{IVF_K}.parquet"
+FIXED_IVFPQ_RAW_FNAME = f"bylist_raw_ivfpqfix_K{IVF_K}.parquet"
+
+
+def _fixed_ivfpq_books_rows(
+    base: DataFrame,
+) -> "list[tuple[int, int, int, list[float]]]":
+    """The per-list sign-orthant RESIDUAL codebooks as driver-side rows
+    ``[(cent_id, m, code, cd)]`` — ``topk_ivfpq``'s in-plan cb/cent
+    stages restated over the (vec_id, cent_id, r) relation and collected
+    model-sized (<= K * M * 2^8 rows x 16 doubles). Same exact
+    fixed-point arithmetic as ``_fixed_books_rows`` (the flat twin):
+    ``float(bigint_sum) / float(bigint_n) / 1e9`` is the identical IEEE
+    double sequence to Spark's ``cast(s as double) / n / 1e9``, so the
+    persisted artifact is bit-identical to the in-plan aggregation the
+    ``topk_ivfpq`` oracle verifies, and DuckDB reproduces it verbatim."""
+    codes = base.select(
+        "cent_id",
+        "r",
+        *[_pq_code(F.col("r"), m).alias(f"c{m}") for m in range(PQ_M)],
+    )
+    subs = codes.select(
+        "cent_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.col(f"c{m}").alias("code"),
+                        F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("sub"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("cent_id", "s.m", "s.code", "s.sub")
+    cb = subs.groupBy("cent_id", "m", "code").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.expr(f"cast(floor(element_at(sub, {d}) * 1e9 + 0.5D) as bigint)")
+            ).alias(f"s{d}")
+            for d in range(1, PQ_SUB + 1)
+        ],
+    )
+    out = []
+    for r in cb.collect():  # model-sized: <= K * M * 256 rows
+        cd = [float(r[f"s{d}"]) / float(r["n"]) / 1e9 for d in range(1, PQ_SUB + 1)]
+        out.append((int(r["cent_id"]), int(r["m"]), int(r["code"]), cd))
+    out.sort(key=lambda t: (t[0], t[1], t[2]))
+    return out
+
+
+def _adc_arrays_np_keyed(
+    qrs: "list[list[float]]",
+    list_ids: "list[int]",
+    rows: "list[tuple[int, int, int, list[float]]]",
+    m_subspaces: int,
+    sub: int,
+):
+    """``_adc_arrays_np`` under PER-LIST books: row g's lookup arrays are
+    computed against the codebook of the list it probes (``list_ids[g]``),
+    with the identical ascending-d accumulation order, so every entry is
+    bit-identical to the JVM adc-join formulation it replaces. Cells a
+    list's book never emitted are +inf (same pad semantics — an asc
+    shortlist can never surface them; here every scanned candidate's
+    code exists in its own list's book by construction, because book
+    cells are means of that list's occupants)."""
+    import numpy as np
+
+    k = 256
+    books: "dict[int, object]" = {}
+    for cid, m, code, cd in rows:
+        b = books.get(cid)
+        if b is None:
+            b = books[cid] = np.full((m_subspaces, k, sub), np.inf, dtype=np.float64)
+        b[m, code] = cd
+    x = np.asarray(qrs, dtype=np.float64)
+    bmat = np.stack([books[cid] for cid in list_ids])  # (G, M, 256, sub)
+    out = []
+    for m in range(m_subspaces):
+        acc = np.zeros((len(list_ids), k), dtype=np.float64)
+        for d in range(sub):
+            diff = x[:, m * sub + d][:, None] - bmat[:, m, :, d]
+            acc = acc + diff * diff
+        out.append(acc)
+    return out
+
+
+def topk_ivfpq_fixed(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """Residual IVF-PQ served entirely through the BY-LIST ARTIFACT +
+    COST-RULE machinery — the deterministic serving twin that makes the
+    round-15 pruning layer driver-hash-verifiable (VERDICT r15 order 1,
+    the ``topk_pq_fixed`` pattern applied to the IVF-PQ composition).
+
+    Same ARITHMETIC as ``topk_ivfpq`` (fixed K=16 coarse centroids =
+    corpus rows [100,116), per-list sign-orthant residual books with
+    exact fixed-point means, nprobe=8, max(50, n/10) shortlist — all
+    hash-verified against DuckDB since round 10); same SERVING PLAN as
+    ``topk_ivfpq_trained`` (hive-partitioned codes + raw artifacts via
+    ``ann_index.cached_relation(partition_by="cent_id")``, driver-known
+    probe-union directory pruning, the ``_bylist_raw_source`` cost-based
+    re-rank branch over ``relation_paths``/``pruned_bytes``/
+    ``column_bytes``, driver-built per-(query, probed-list) ADC lookup
+    arrays, ``_ivfpq_scan_rank``). The combination is the point: every
+    artifact and every driver-side decision this path makes is a pure
+    function of the corpus, so the FULL by-list machinery — partition
+    layout, pruned scans, byte arithmetic, branch flip — lands under the
+    driver's value hash, where the k-means-trained path can only
+    rows-check. Output is bit-identical to ``topk_ivfpq`` (suite-pinned),
+    so the oracle IS ``TOPK_IVFPQ_ORACLE``, and both cost branches are
+    forced output-invariant by tests/test_similarity_pq.py.
+
+    Append lineages are NOT modeled here (books/codes derive from the
+    live corpus): the append contract's hash coverage lives in
+    ``ann_append_serving_fixed``; this twin exists to pin the by-list
+    serving layer, one contract per twin."""
+    import math
+
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    n = _emb_count(emb, sf_dir)
+    cents = _ivf_centroids(emb)
+    ncents = cents.select("cent_id", _div_by("cv", "cn").alias("ncv"))
+
+    def residuals(src: DataFrame) -> DataFrame:
+        return (
+            _assign(src, cents, 1, "cent_id")
+            .join(F.broadcast(ncents), "cent_id")
+            .select(
+                "vec_id",
+                "cent_id",
+                F.zip_with(
+                    _div_by("v", "norm"), F.col("ncv"), lambda a, b: a - b
+                ).alias("r"),
+            )
+        )
+
+    rows = ann_index.fixed_model(
+        sf_dir,
+        FIXED_IVFPQ_BOOKS_FNAME,
+        ["cent_id", "m", "code", "cd"],
+        lambda: _fixed_ivfpq_books_rows(residuals(emb)),
+        frozen_base=False,
+    )
+    rows = [(int(c), int(m), int(code), list(cd)) for c, m, code, cd in rows]
+
+    # The FAISS ``add`` half, by-list (round 15): codes AND a raw serving
+    # copy hive-partitioned by coarse list, both pruned to the probe
+    # union at read time — identical artifact layer to the trained path.
+    rel = ann_index.cached_relation(
+        spark,
+        sf_dir,
+        FIXED_IVFPQ_CODES_FNAME,
+        lambda: residuals(emb).select(
+            "vec_id",
+            *[_pq_code(F.col("r"), m).alias(f"c{m}") for m in range(PQ_M)],
+            "cent_id",
+        ),
+        partition_by="cent_id",
+    )
+    raw_rel = ann_index.cached_relation(
+        spark,
+        sf_dir,
+        FIXED_IVFPQ_RAW_FNAME,
+        lambda: _assign(emb, cents, 1, "cent_id").select("vec_id", "v", "cent_id"),
+        partition_by="cent_id",
+    )
+
+    # Query side, DRIVER-BUILT like the trained path — probe selection,
+    # per-list query residuals, and ADC arrays replicate the JVM folds
+    # term for term with STRICT sequential arithmetic (_strict_dot), so
+    # the probes match `_assign(..., nprobe)`'s (ccos DESC, cent_id)
+    # ranking bit-for-bit and DuckDB reproduces every value.
+    crows = ann_index.fixed_model(
+        sf_dir,
+        FIXED_IVFPQ_CENTS_FNAME,
+        ["cent_id", "cv"],
+        lambda: sorted(
+            (int(r["cent_id"]), [float(x) for x in r["cv"]])
+            for r in cents.select("cent_id", "cv").collect()  # K=16 rows
+        ),
+        frozen_base=False,
+    )
+    crows = [(int(cid), list(cv)) for cid, cv in crows]
+    cn = {cid: math.sqrt(_strict_dot(cv, cv)) for cid, cv in crows}
+    ncv = {cid: [x / cn[cid] for x in cv] for cid, cv in crows}
+    qv_rows = ann_index.query_vectors(emb, sf_dir, N_QUERIES)
+    qnv_rows = _query_nv_rows(emb, sf_dir)
+    probe_lists = []
+    for qid, v in qv_rows:
+        qn = math.sqrt(_strict_dot(v, v))
+        scored = sorted(
+            (-(_strict_dot(v, cv) / (qn * cn[cid])), cid) for cid, cv in crows
+        )
+        probe_lists.append([cid for _neg, cid in scored[:nprobe]])
+    keys: "list[tuple]" = []
+    qrs: "list[list[float]]" = []
+    for (qid, nv), plist in zip(qnv_rows, probe_lists):
+        for cid in plist:
+            keys.append((qid, cid))
+            qrs.append([a - b for a, b in zip(nv, ncv[cid])])
+    adc = _adc_arrays_np_keyed(qrs, [cid for _q, cid in keys], rows, PQ_M, PQ_SUB)
+    qarr = _local_qarr_df(
+        spark,
+        [("query_id", "long"), ("cent_id", "int")],
+        keys,
+        qrs,
+        [],
+        PQ_M,
+        PQ_SUB,
+        adc=adc,
+    )
+
+    probed = sorted({int(c) for pl in probe_lists for c in pl})
+    pruned = rel.filter(F.col("cent_id").isin(probed))
+    raw = _bylist_raw_source(emb, raw_rel, sf_dir, FIXED_IVFPQ_RAW_FNAME, probed)
+    q = spark.createDataFrame(qnv_rows, "query_id long, qnv array<double>")
+    return _ivfpq_scan_rank(
+        pruned,
+        qarr,
+        raw,
+        q,
+        _pq_shortlist(n),
+        m_subspaces=PQ_M,
+        candidates_per_query=n,
+        persist_codes=False,
+    )
 
 
 def topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:

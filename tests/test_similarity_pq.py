@@ -507,12 +507,14 @@ def test_ivfpq_bylist_raw_source_is_output_invariant(spark, sf_dir, tmp_path, mo
         topk_ivfpq_trained(spark, sf_dir).collect()
         unpersist_intermediates()
 
-        real_tree_bytes = ann_index.tree_bytes
-        monkeypatch.setattr(ann_index, "tree_bytes", lambda p: 0)  # flat wins
+        real_column_bytes = ann_index.column_bytes
+        monkeypatch.setattr(ann_index, "column_bytes", lambda p, c: 0)  # flat wins
         flat = sorted(map(tuple, topk_ivfpq_trained(spark, sf_dir).collect()))
         unpersist_intermediates()
 
-        monkeypatch.setattr(ann_index, "tree_bytes", lambda p: 1 << 60)  # by-list wins
+        monkeypatch.setattr(
+            ann_index, "column_bytes", lambda p, c: 1 << 60
+        )  # by-list wins
         df = topk_ivfpq_trained(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -522,9 +524,61 @@ def test_ivfpq_bylist_raw_source_is_output_invariant(spark, sf_dir, tmp_path, mo
         assert plan.count("PartitionFilters: [cent_id") == 2
         bylist = sorted(map(tuple, df.collect()))
         unpersist_intermediates()
-        monkeypatch.setattr(ann_index, "tree_bytes", real_tree_bytes)
+        monkeypatch.setattr(ann_index, "column_bytes", real_column_bytes)
 
         assert flat == bylist and len(flat) > 0
+    finally:
+        unpersist_intermediates()
+        ann_index.clear_memos()
+
+
+def test_ivfpq_fixed_twin_is_bit_identical_and_branch_invariant(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """``topk_ivfpq_fixed`` (VERDICT r15 order 1): the by-list artifact +
+    cost-rule serving plan under deterministic books must produce rows
+    BIT-IDENTICAL to the in-plan ``topk_ivfpq`` the driver has
+    hash-verified since round 10 — cold (artifact build) and warm
+    (artifact load) — and under BOTH forced cost branches, so the
+    driver's value hash on the twin pins the whole pruning layer."""
+    from mapreduce_hadoop_spark.operators import ann_index
+    from mapreduce_hadoop_spark.operators.similarity import (
+        topk_ivfpq,
+        topk_ivfpq_fixed,
+        unpersist_intermediates,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    ann_index.clear_memos()
+    try:
+        ref = sorted(map(tuple, topk_ivfpq(spark, sf_dir).collect()))
+        unpersist_intermediates()
+        cold = sorted(map(tuple, topk_ivfpq_fixed(spark, sf_dir).collect()))
+        unpersist_intermediates()
+        ann_index.clear_memos()  # drop memos; disk artifacts remain
+        warm = sorted(map(tuple, topk_ivfpq_fixed(spark, sf_dir).collect()))
+        unpersist_intermediates()
+
+        monkeypatch.setattr(ann_index, "column_bytes", lambda p, c: 0)  # flat wins
+        flat = sorted(map(tuple, topk_ivfpq_fixed(spark, sf_dir).collect()))
+        unpersist_intermediates()
+        monkeypatch.setattr(
+            ann_index, "column_bytes", lambda p, c: 1 << 60
+        )  # by-list wins
+        df = topk_ivfpq_fixed(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # Both the codes scan and the forced by-list raw scan carry the
+        # probe union as a PARTITION filter (directory pruning).
+        assert plan.count("PartitionFilters: [cent_id") == 2
+        bylist = sorted(map(tuple, df.collect()))
+        unpersist_intermediates()
+
+        assert len(ref) > 0
+        assert cold == ref and warm == ref and flat == ref and bylist == ref
     finally:
         unpersist_intermediates()
         ann_index.clear_memos()
