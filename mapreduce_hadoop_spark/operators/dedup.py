@@ -149,12 +149,14 @@ WHERE doc_id <> keep_doc_id
 
 # --- normalized exact dedup (C4/CCNet normalize-then-hash) -------------------
 
-# Normalization identical to textops.text_normalize: strip URLs, lowercase,
-# collapse whitespace runs, trim — then hash. Catches the near-trivial
-# variants (case, spacing, tracking URLs appended) that raw exact dedup
-# misses but that dominate real crawl duplication.
-_NORM_URL_RE = r"https?://\S+"
-_NORM_WS_RE = r"\s+"
+# Normalization IS textops.normalize_text_col (one shared expression —
+# round 16, backing text_normalize's registry retirement): strip URLs,
+# lowercase, collapse whitespace runs, trim — then hash. Catches the
+# near-trivial variants (case, spacing, tracking URLs appended) that raw
+# exact dedup misses but that dominate real crawl duplication.
+from mapreduce_hadoop_spark.operators.textops import _URL_RE as _NORM_URL_RE
+from mapreduce_hadoop_spark.operators.textops import _WS_RE as _NORM_WS_RE
+from mapreduce_hadoop_spark.operators.textops import normalize_text_col
 
 
 def _variant_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,13 +190,7 @@ def exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the 60-bit hash of the normalized text. At 100 TB the only
     data crossing the wire is (doc_id, hash) pairs, never text.
     """
-    norm = F.trim(
-        F.regexp_replace(
-            F.lower(F.regexp_replace(F.col("text"), _NORM_URL_RE, "")),
-            _NORM_WS_RE,
-            " ",
-        )
-    )
+    norm = normalize_text_col(F.col("text"))
     docs = _variant_docs(spark, sf_dir).select("doc_id", md5_long(norm).alias("h"))
     keep = docs.groupBy("h").agg(F.min("doc_id").alias("keep_doc_id"))
     return (

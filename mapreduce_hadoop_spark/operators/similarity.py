@@ -1096,6 +1096,159 @@ SELECT query_id, vec_id, cosine, rank FROM (
 """
 
 
+# Adaptive-probe twin dials: the SAME (1+eps)^2 cosine-gap closeness
+# rule the trained serving paths apply driver-side
+# (_probe_lists_adaptive), restated as a window formulation so the
+# driver can hash-verify its SEMANTICS. eps is shared with the deployed
+# dial (IVFPQ_PROBE_EPS); the floor sits below the fixed twin's
+# nprobe=8 so the rule — not the floor — decides most widths. The bound
+# is computed ONCE in Python and embedded as the same double literal in
+# the Spark plan and the SQL, so both engines compare against
+# bit-identical thresholds.
+IVF_ADAPT_FLOOR = 4
+# = IVFPQ_PROBE_EPS (defined with the trained-path dial constants below;
+# an assert next to that definition enforces the twin serves the
+# DEPLOYED eps — this literal exists only because the oracle string is
+# built at import time, before that block).
+IVF_ADAPT_EPS = 0.3
+
+
+def topk_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN under the ADAPTIVE probe-width rule, fixed centroids —
+    the oracle-checkable twin of the round-13 serving dial (VERDICT r15
+    order 5): a query probes its nearest list plus every list whose
+    cosine-gap ``1 - cos`` is within ``(1+eps)^2`` of the nearest's,
+    floored at ``IVF_ADAPT_FLOOR`` and capped at K — exactly
+    ``_probe_lists_adaptive``'s criterion (SPANN's closeness rule on
+    the probe side), which until this round only k-means-trained
+    rows-only paths exercised. Expressed as a pure window formulation
+    (min-gap + conditional count over the per-query centroid scores —
+    no driver arithmetic at all), so the whole dial is SQL-expressible
+    and the driver hash-pins its semantics: an off-by-one in the width
+    clamp, a wrong tie order, or a drifted eps would all hash-mismatch.
+
+    The trained paths compute the same rule driver-side over numpy (the
+    request-sized query matrix x the broadcast-sized centroid list);
+    this twin pins the RULE, not that vectorized evaluation — ties at
+    the bound break identically ((gap asc, cent_id) here = stable
+    argsort with cent_id-ascending input there).
+
+    100 TB shape: identical to ``topk_ivf`` — the probe relation stays
+    query-sized (the window runs over Q x K scored rows, model-sized),
+    and the candidate join still reads nprobe-ish/K of the corpus; the
+    dial only moves per-query width between the floor and K."""
+    bound = (1.0 + IVF_ADAPT_EPS) ** 2
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = _ivf_centroids(emb)
+    lists = _assign(emb, cents, 1, "cent_id")
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    g = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "norm", "cent_id", (F.lit(1.0) - cos).alias("gap")
+        )
+    )
+    wq = Window.partitionBy("vec_id")
+    wo = Window.partitionBy("vec_id").orderBy(F.col("gap").asc(), F.col("cent_id"))
+    probes = (
+        g.select(
+            "*",
+            F.min("gap").over(wq).alias("gmin"),
+            F.row_number().over(wo).alias("crank"),
+        )
+        .select(
+            "*",
+            F.sum(
+                F.when(F.col("gap") <= F.lit(bound) * F.col("gmin"), 1).otherwise(0)
+            )
+            .over(wq)
+            .alias("close"),
+        )
+        .filter(
+            F.col("crank")
+            <= F.greatest(
+                F.lit(IVF_ADAPT_FLOOR), F.least(F.lit(IVF_K), F.col("close"))
+            )
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qn"),
+            "cent_id",
+        )
+    )
+    pairs = lists.join(F.broadcast(probes), "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _topk_ivf_adaptive_oracle() -> str:
+    bound = (1.0 + IVF_ADAPT_EPS) ** 2
+    return f"""
+WITH e AS ({EMB_NORM_SQL}),
+c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e
+      WHERE vec_id >= {IVF_CENT_LO} AND vec_id < {IVF_CENT_HI}),
+assigned AS (
+    SELECT vec_id, v, norm, cent_id FROM (
+        SELECT e.vec_id, e.v, e.norm, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) DESC,
+                            c.cent_id) AS crank
+        FROM e CROSS JOIN c
+    ) WHERE crank <= 1
+),
+g AS (
+    SELECT e.vec_id, e.v, e.norm, c.cent_id,
+           1.0 - {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) AS gap
+    FROM e CROSS JOIN c
+    WHERE e.vec_id < {N_QUERIES}
+),
+p AS (
+    SELECT *,
+           min(gap) OVER (PARTITION BY vec_id) AS gmin,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY gap ASC, cent_id) AS crank
+    FROM g
+),
+probes AS (
+    SELECT vec_id AS query_id, v AS qv, norm AS qn, cent_id FROM (
+        SELECT *,
+               sum(CASE WHEN gap <= {bound!r} * gmin THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY vec_id) AS close
+        FROM p
+    ) WHERE crank <= greatest({IVF_ADAPT_FLOOR}, least({IVF_K}, close))
+),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           round({DOT_SQL.format(a="p.qv", b="a.v")} / (p.qn * a.norm), 6) AS cosine
+    FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+    WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+TOPK_IVF_ADAPTIVE_ORACLE = _topk_ivf_adaptive_oracle()
+
+
 # --- SPANN-style boundary replication ---------------------------------------
 
 # Closeness criterion (after SPANN, Chen et al. 2021 §3.2): a vector
@@ -1911,6 +2064,9 @@ PQ_TRAINED_IVF_SHORTLIST_MIN = 100
 # at equal shortlist (0.76 vs 0.78 at sl=450). Full grid in
 # SCALE_ann_r13.md.
 IVFPQ_PROBE_EPS = 0.3
+# The hash-verified adaptive twin (topk_ivf_adaptive) must pin the
+# deployed eps, not a drifted copy.
+assert IVFPQ_PROBE_EPS == IVF_ADAPT_EPS
 
 # The SAME width profile prices the second failure axis: residual-ADC
 # distortion. On clustered corpora the global residual book pools many

@@ -423,19 +423,36 @@ _URL_RE = r"https?://\S+"
 _WS_RE = r"\s+"
 
 
+def normalize_text_col(c) -> "F.Column":
+    """THE normalization expression — strip URLs, lowercase, collapse
+    whitespace runs, trim — shared by ``text_normalize`` and
+    ``dedup.exact_dedup_normalized``. One definition so the registry can
+    retire the standalone projection (round 16, size policy's ninth
+    exercise) while the expression itself stays driver-verified through
+    the dedup consumer on the rotation cadence; the identity is pinned
+    by tests/test_textops.py::test_normalize_expression_shared_with_dedup.
+    """
+    return F.trim(
+        F.regexp_replace(F.lower(F.regexp_replace(c, _URL_RE, "")), _WS_RE, " ")
+    )
+
+
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-time text normalization — the first stage of a cleaning
     pipeline: strip URLs, lowercase, collapse whitespace runs, trim.
     Map-only (regexp_replace/lower/trim are codegen'd JVM expressions); at
     100 TB this runs at storage bandwidth with zero shuffle. The regexes
     use only constructs Java regex and DuckDB's RE2 interpret identically.
+
+    Registry-RETIRED round 16 (size policy, candidate #1 since round 14;
+    its slot funding the round's two new hash-verified ANN serving
+    twins): the expression is consumed — and therefore driver-verified —
+    by ``dedup_exact_normalized`` on the rotation cadence via the shared
+    ``normalize_text_col``; the operator and this oracle remain in the
+    tree and tests/test_textops.py keeps checking them locally.
     """
     docs = load_table(spark, sf_dir, "documents")
-    cleaned = F.trim(
-        F.regexp_replace(
-            F.lower(F.regexp_replace(F.col("text"), _URL_RE, "")), _WS_RE, " "
-        )
-    )
+    cleaned = normalize_text_col(F.col("text"))
     return docs.select(
         "doc_id",
         cleaned.alias("norm_text"),

@@ -184,6 +184,27 @@ shape via an explicit ``adaptive=False`` (rule 1a, same-day pre/post
 logs), adopting the dial at its next head rotation. As always,
 CHANGED_THIS_ROUND grows commit-by-commit.
 
+Round-16 application: the cadence forces the full rotation a ninth
+time — all 41 r16-tail candidates (the r15 tail) have r14 rows, so they
+all rotate in, EXCEPT ``text_normalize``, which RETIRES at rotation
+(size policy's ninth exercise — see the candidate list; its slot funds
+the round's new queries). Head = 7 reference + 40 rotations + 3 spare
+change slots = 50; the new tail is the round-15-green remainder (the
+r15 head minus the reference surface minus the spare-taken
+``similarity_topk_ivfpq_trained``). The spares hold the round's two NEW
+hash-verified ANN serving twins (VERDICT r15 orders 1 and 5:
+``similarity_topk_ivfpq_fixed``, ``similarity_topk_ivf_adaptive``) and
+``similarity_topk_ivfpq_trained`` (changed-while-fresh: the cost-rule
+rework + the order-3 attribution target). The round's other planned
+change — the escalating widen dial for the flat-PQ adaptive shortlist —
+is expected OUTPUT-NEUTRAL on every organic gate corpus (a lossless
+fire's widened re-rank is a superset that keeps an already-true top-k);
+if the 5-scale hash comparison proves that, its consumers
+(``similarity_topk_pq_trained``, ``ann_append_serving``, both r15 head
+-> r16 tail) take rule-1a pins, else they claim the remaining head
+slots via retirement. As always, CHANGED_THIS_ROUND grows
+commit-by-commit.
+
 Round-15 application: the cadence forces the full rotation an eighth
 time — all 41 r15-tail candidates (the r14 tail) have r13 rows, so they
 all rotate in. Head = 7 reference + 41 rotations + 2 spare change slots
@@ -299,11 +320,24 @@ the same-commit fixture ``tests/test_relational_ext.py::
 test_daily_by_type_is_cube_finest_cells``; the operator and its oracle
 remain in the tree.
 
-1. ``text_normalize`` — its normalization expression is consumed (and
-   therefore driver-verified) by ``dedup_exact_normalized`` on the
-   rotation cadence; the standalone projection stays pinned by the
-   textops fixtures. If exercised, add a same-commit fixture asserting
-   the shared expression identity.
+And a ninth, round 16: ``text_normalize`` (candidate #1 since round 14)
+retired at rotation, its slot funding ``similarity_topk_ivfpq_fixed`` +
+``similarity_topk_ivf_adaptive`` (one registry slot + one head slot; the
+other new-query slot was free — 91 -> 92 = MAX_REGISTRY). Per the
+candidate's own condition, the normalization expression became ONE
+shared function in the same commit (``textops.normalize_text_col``, now
+bound by ``dedup.exact_dedup_normalized`` — driver-verified on the
+rotation cadence) and the identity is pinned by the same-commit fixture
+``tests/test_textops.py::test_normalize_expression_shared_with_dedup``;
+the operator and its oracle remain in the tree.
+
+Next retirement candidates, ranked:
+
+1. ``similarity_topk_filtered`` — predicate-pushdown top-k over the
+   same brute-force plan shape as ``similarity_topk_bruteforce`` (which
+   stays); the filter composition is one broadcast-side WHERE. If
+   exercised, add a same-commit fixture pinning the filtered/unfiltered
+   plan identity.
 """
 
 from __future__ import annotations
@@ -327,50 +361,43 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 15
+ROUND = 16
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row. Starts EMPTY at
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
-# Round 15: the deterministic k-means fit (ann_index._canonical_sample,
-# recipe bumped to ...o1 — VERDICT r14 order 1) changes every
-# kmeans-trained query's output; all five are in the head (three by
-# forced rotation, two in the spare slots).
+# Round 16 at rotation: the two NEW hash-verified ANN serving twins
+# (VERDICT r15 orders 1 and 5 — similarity_topk_ivfpq_fixed drives the
+# by-list artifact + cost-rule machinery under deterministic books;
+# similarity_topk_ivf_adaptive pins the (1+eps)^2 adaptive probe rule as
+# a window formulation), plus similarity_topk_ivfpq_trained, whose
+# serving plan changed in the same commits (shared _bylist_raw_source,
+# column-accurate flat-side byte accounting — output-invariant by the
+# forced-branch suite test, but a fresh driver row is the stronger
+# evidence and VERDICT r15 order 3 centers on this query).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "similarity_topk_pq_trained",
-    "similarity_topk_ivf_trained",
+    "similarity_topk_ivfpq_fixed",
+    "similarity_topk_ivf_adaptive",
     "similarity_topk_ivfpq_trained",
-    "similarity_topk_ivf_spann",
-    "ann_append_serving",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
-# Round 15: the three r14 pins (similarity_near_dup_cosine,
-# similarity_topk_pq, ann_append_serving) retired at rotation — all
-# three are in the forced-rotation head and take fresh driver rows.
-# One pin this round: ann_append_serving_fixed (r14 head -> r15 tail)
-# — its line-for-line duplicated base/full derivation block folded
-# into the shared _derive_append_demo helper (VERDICT r14 wrong item
-# 3) and its oracle's ADC sum is now generated from PQ_M (ADVICE r14),
-# both output-identical: the books are deterministic (no kmeans), the
-# derivation writes the same bytes, and the generated SQL string is
-# byte-equal at PQ_M=4. Verified same-day at sf0.01
-# (0e68103c0453892a = the committed r14 driver hash) and pinned
-# against the regenerated r15 gate logs.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ("ann_append_serving_fixed",)
+# Round 16: the r15 pin (ann_append_serving_fixed) retired at rotation —
+# it is in the forced-rotation head and takes a fresh driver row.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
-# Round 15: none.
+# Round 16: none.
 STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
-# surface (always in window) + 41 row-carrying round-14 tail entries
-# (rule 2 — the forced full rotation) + 2 spare change slots holding the
-# two kmeans queries the round's deterministic-fit rework changes that
-# the rotation did not already force in (similarity_topk_pq_trained,
-# similarity_topk_ivf_spann). See the Round-15 application paragraph.
+# surface (always in window) + 40 row-carrying round-15 tail entries
+# (rule 2 — the forced full rotation, minus the retired text_normalize)
+# + 3 spare change slots (the round's two NEW hash-verified ANN twins
+# and the changed-while-fresh similarity_topk_ivfpq_trained). See the
+# Round-16 application paragraph.
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -380,55 +407,56 @@ HEAD = (
     "airport_trips_parity",
     "daily_revenue",
     "total_revenue",
-    # Round-14-green tail rotations (rule 2): the row-carrying round-14
-    # tail rotates in, in its r14 definition order.
-    "events_cube",
-    "customer_balance_windows",
-    "events_hash_sample",
-    "events_stratified_sample",
-    "customer_order_semi_anti",
-    "events_grouping_sets",
-    "orders_pivot_priority",
-    "lineitem_measures_unpivot",
-    "lineitem_percentiles",
-    "approx_lineitem_percentiles",
-    "events_salted_agg",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_daily_gapfill",
-    "corpus_domain_mix",
-    "corpus_pack_sequences",
-    "events_keyed_dedup",
-    "events_enriched",
-    "similarity_near_dup_cosine",
-    "global_top_orders",
-    "sql_revenue_by_nation",
-    "trips_concurrency",
-    "text_pii_scrub",
-    "views_before_purchase_range_join",
-    "similarity_topk_ivf_trained",
-    "multimodal_real_jpeg_color",
-    "airport_trips_timeout",
-    "corpus_weighted_sample",
-    "corpus_train_split",
-    "corpus_domain_quota",
-    "customer_activity_reconcile",
-    "sql_orders_above_customer_avg",
-    "corpus_vocab_topk",
-    "text_language_id_ngram",
-    "dedup_minhash_lsh",
-    "similarity_topk_ivf",
-    "similarity_topk_pq",
-    "multimodal_real_wav",
-    "ann_append_serving",
+    # Round-15-green tail rotations (rule 2): the row-carrying round-15
+    # tail rotates in, in its r15 definition order (text_normalize
+    # retired — the ninth size-policy exercise, see the candidate list).
+    "dedup_keep_best",
+    "multimodal_real_jpeg",
+    "multimodal_real_resize",
+    "dedup_exact_normalized",
+    "multimodal_real_roundtrip",
+    "dedup_simhash",
+    "corpus_clean_stats",
+    "market_segment_balance",
+    "text_fingerprints",
+    "text_tfidf_top_terms",
+    "text_document_chunks",
+    "text_repetition_score",
+    "similarity_topk_bruteforce",
+    "similarity_topk_filtered",
+    "similarity_topk_lsh",
+    "similarity_near_dup_lsh",
+    "multimodal_metadata",
+    "events_rollup",
+    "purchase_asof_view",
+    "event_props_json",
+    "distinct_users_daily",
+    "approx_distinct_users_daily",
+    "segment_customer_setops",
+    "contamination_check",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "shipping_priority",
+    "text_quality_score",
+    "text_token_counts",
+    "events_session_window",
+    "text_span_dedup",
+    "text_gopher_rules",
+    "embedding_quantize_int8",
+    "events_funnel",
+    "events_cohort_retention",
+    "ann_append_serving_fixed",
+    # Spare change slots: the two NEW hash-verified ANN serving twins
+    # (first driver rows) and the changed-while-fresh ivfpq_trained
+    # (cost-rule rework this round; r15 head, so rotation alone would
+    # have parked it in the tail with changed code).
+    "similarity_topk_ivfpq_fixed",
+    "similarity_topk_ivf_adaptive",
     "similarity_topk_ivfpq_trained",
-    "multimodal_real_avi",
-    # Spare change slots (the planned round-15 output changes): the
-    # deterministic k-means fit perturbs every trained model, and these
-    # two kmeans queries were in the r14 head (fresh rows) so rotation
-    # alone would have parked them in the tail with changed output.
-    "similarity_topk_pq_trained",
-    "similarity_topk_ivf_spann",
 )
 
 
@@ -699,7 +727,14 @@ def _specs() -> dict[str, QuerySpec]:
         "text_fingerprints": (textops.fingerprints, textops.FINGERPRINTS_ORACLE),
         "text_tfidf_top_terms": (textops.tfidf_top_terms, textops.TFIDF_ORACLE),
         "text_document_chunks": (textops.document_chunks, textops.DOCUMENT_CHUNKS_ORACLE),
-        "text_normalize": (textops.text_normalize, textops.TEXT_NORMALIZE_ORACLE),
+        # text_normalize RETIRED round 16 (size policy's ninth exercise,
+        # candidate #1 since round 14, its slot funding the two new
+        # hash-verified ANN serving twins): the normalization expression
+        # is ONE shared function (textops.normalize_text_col) consumed —
+        # and therefore driver-verified — by dedup_exact_normalized on
+        # the rotation cadence; identity pinned by the same-commit
+        # fixture in tests/test_textops.py. Operator + oracle remain in
+        # the tree.
         "text_repetition_score": (textops.repetition_score, textops.REPETITION_ORACLE),
         "similarity_topk_bruteforce": (
             similarity.topk_bruteforce,
@@ -715,6 +750,15 @@ def _specs() -> dict[str, QuerySpec]:
             similarity.NEAR_DUP_LSH_ORACLE,
         ),
         "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
+        # NEW round 16 (VERDICT r15 order 5): the (1+eps)^2 adaptive
+        # probe-width rule (the round-13 serving dial, until now only on
+        # rows-only k-means paths) as a pure window formulation over the
+        # fixed centroids — hash-verifies the dial's SEMANTICS (width
+        # clamp, tie order, the deployed eps).
+        "similarity_topk_ivf_adaptive": (
+            similarity.topk_ivf_adaptive,
+            similarity.TOPK_IVF_ADAPTIVE_ORACLE,
+        ),
         "multimodal_metadata": (multimodal.media_metadata, multimodal.MEDIA_METADATA_ORACLE),
         "events_rollup": (
             relational_ext.events_rollup,
@@ -828,6 +872,17 @@ def _specs() -> dict[str, QuerySpec]:
         # any further addition requires retiring from the ranked list in
         # the module docstring.
         "similarity_topk_ivfpq_trained": (similarity.topk_ivfpq_trained, None),
+        # NEW round 16 (VERDICT r15 order 1): the round-15 by-list
+        # artifact + cost-rule serving machinery (hive-partitioned
+        # codes/raw, probe-union directory pruning, cost-based re-rank
+        # source) under topk_ivfpq's deterministic books — output
+        # bit-identical to the in-plan twin (suite-pinned), so the
+        # SAME oracle hash-verifies the whole pruning layer the trained
+        # path can only rows-check.
+        "similarity_topk_ivfpq_fixed": (
+            similarity.topk_ivfpq_fixed,
+            similarity.TOPK_IVFPQ_ORACLE,
+        ),
         # Rule 1b, late round 10 (slot freed by retiring text_language_id):
         # real video — RIFF/AVI container parse (chunk walk, avih/strl/
         # BITMAPINFOHEADER + palette validation, movi frame collection

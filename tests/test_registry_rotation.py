@@ -34,10 +34,10 @@ def _correctness_rounds() -> dict[int, str]:
 def test_head_window_size_and_total():
     names = _names()
     assert len(names) >= registry.DRIVER_WINDOW, len(names)
-    # Update alongside registering/retiring queries. Round 14: 92 - 2
-    # retirements (fn_distance, events_daily_by_type) + 1 new
-    # (ann_append_serving_fixed) = 91.
-    assert len(names) == 91, len(names)
+    # Update alongside registering/retiring queries. Round 16: 91 - 1
+    # retirement (text_normalize) + 2 new (similarity_topk_ivfpq_fixed,
+    # similarity_topk_ivf_adaptive) = 92 — at the cap.
+    assert len(names) == 92, len(names)
     # Size policy: past MAX_REGISTRY the 2-round rotation cadence cannot
     # cover every entry — adding a query then requires retiring one.
     assert len(names) <= registry.MAX_REGISTRY, (
@@ -58,11 +58,12 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 15: the three r14 pins retired at rotation (fresh driver
-    # rows). One pin — the append-demo derivation fold + generated
-    # oracle ADC sum; pre-rewrite hash from GATE_sf0.01_r14.log (= the
-    # r14 driver row), post log regenerated at the final r15 tree.
-    "ann_append_serving_fixed": ("GATE_sf0.01_r15.log", "0e68103c0453892a"),
+    # Round 16 at rotation: the r15 pin (ann_append_serving_fixed)
+    # retired — it is in the forced-rotation head with a fresh driver
+    # row. Pins planned for the escalating widen dial's consumers
+    # (similarity_topk_pq_trained, ann_append_serving) IF the 5-scale
+    # hash comparison proves the dial output-neutral on organic corpora;
+    # added in the same commit that edits REWRITTEN_HASH_IDENTICAL.
 }
 
 

@@ -397,3 +397,93 @@ def test_pq_rerank_fold_is_above_the_join(spark, sf_dir):
     )
     # ...and the fold exists above the join (the cosine projection).
     assert any("aggregate(" in l for l in lines[:bhj])
+
+
+def test_ivf_adaptive_matches_oracle_and_clamps(spark, duck, sf_dir, tmp_path):
+    """``topk_ivf_adaptive`` (round 16): the window formulation of the
+    (1+eps)^2 closeness rule must (a) match its DuckDB oracle
+    hash-for-hash on the organic corpus with INTERMEDIATE widths
+    actually exercised (not pegged at floor or cap), and (b) clamp to
+    the FLOOR on a constructed clustered corpus where an interior query
+    has a single eps-close list — the arm organic data never hits."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import duckdb
+
+    from mapreduce_hadoop_spark.operators.similarity import (
+        DOT_SQL,
+        EMB_NORM_SQL,
+        IVF_ADAPT_EPS,
+        IVF_ADAPT_FLOOR,
+        IVF_CENT_HI,
+        IVF_CENT_LO,
+        N_QUERIES,
+        TOPK_IVF_ADAPTIVE_ORACLE,
+        topk_ivf_adaptive,
+    )
+
+    sdf = topk_ivf_adaptive(spark, sf_dir).toPandas()
+    odf = duck.execute(TOPK_IVF_ADAPTIVE_ORACLE).df()
+    key = lambda df: sorted(
+        tuple(r) for r in df[sorted(df.columns)].itertuples(index=False, name=None)
+    )
+    assert key(sdf) == key(odf) and len(sdf) > 0
+
+    bound = (1.0 + IVF_ADAPT_EPS) ** 2
+    widths = duck.execute(f"""
+        WITH e AS ({EMB_NORM_SQL}),
+        c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e
+              WHERE vec_id >= {IVF_CENT_LO} AND vec_id < {IVF_CENT_HI}),
+        g AS (SELECT e.vec_id, 1.0 - {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) AS gap
+              FROM e CROSS JOIN c WHERE e.vec_id < {N_QUERIES}),
+        p AS (SELECT vec_id, gap, min(gap) OVER (PARTITION BY vec_id) AS gmin FROM g)
+        SELECT sum(CASE WHEN gap <= {bound!r} * gmin THEN 1 ELSE 0 END) AS close
+        FROM p GROUP BY vec_id""").df()["close"].tolist()
+    k = IVF_CENT_HI - IVF_CENT_LO
+    assert any(IVF_ADAPT_FLOOR < w < k for w in widths), widths
+
+    # Constructed corpus: 16 near-orthogonal centroid rows; every other
+    # vector (queries included) hugs ONE centroid, so each query's
+    # second-nearest gap is ~1 (>> bound * gmin) and the rule returns
+    # close=1 -> width clamps to the floor.
+    dim, k_c, n = 64, 16, 120
+    rng = np.random.default_rng(3)
+    cents = np.zeros((k_c, dim), dtype=np.float32)
+    for i in range(k_c):
+        cents[i, 4 * (i % 16)] = 1.0
+        cents[i, 4 * (i % 16) + 1] = 0.1 * (i % 3)
+    rows = np.zeros((n, dim), dtype=np.float32)
+    for i in range(n):
+        c = cents[i % k_c]
+        rows[i] = c + rng.normal(0, 0.01, dim).astype(np.float32)
+    rows[100:116] = cents  # vec_id in [100,116) ARE the centroids
+    d = tmp_path / "clustered"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(rows.tolist(), pa.list_(pa.float32())),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    sdf2 = topk_ivf_adaptive(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    odf2 = con.execute(TOPK_IVF_ADAPTIVE_ORACLE).df()
+    assert key(sdf2) == key(odf2) and len(sdf2) > 0
+    w2 = con.execute(f"""
+        WITH e AS ({EMB_NORM_SQL}),
+        c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e
+              WHERE vec_id >= {IVF_CENT_LO} AND vec_id < {IVF_CENT_HI}),
+        g AS (SELECT e.vec_id, 1.0 - {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) AS gap
+              FROM e CROSS JOIN c WHERE e.vec_id < {N_QUERIES}),
+        p AS (SELECT vec_id, gap, min(gap) OVER (PARTITION BY vec_id) AS gmin FROM g)
+        SELECT sum(CASE WHEN gap <= {bound!r} * gmin THEN 1 ELSE 0 END) AS close
+        FROM p GROUP BY vec_id""").df()["close"].tolist()
+    assert all(w < IVF_ADAPT_FLOOR for w in w2), w2
+    # Floor binds: every query still probes IVF_ADAPT_FLOOR lists, so
+    # each query's result has TOP_K rows from >= floor candidate lists.
+    assert len(sdf2) == len(sdf)
