@@ -1883,14 +1883,18 @@ def _pq_adc_rank(
     if not adaptive:
         short = _shortlist_topr(scored, shortlist, candidates_per_query)
     else:
+        # Escalating widen (round 16): rank down to the DEEP budget once;
+        # the per-query keep depth is then floor / 4x / 16x by the same
+        # covered-gap signal (see the PQ_ADAPT_* constants' comment).
         wide = shortlist * PQ_ADAPT_WIDEN
+        wide_deep = shortlist * PQ_ADAPT_WIDEN_DEEP
         if candidates_per_query is None or candidates_per_query > PQ_TWO_PHASE_MIN:
             w1 = Window.partitionBy(
                 "query_id", F.col("vec_id") % PQ_TOPK_BUCKETS
             ).orderBy(F.col("adc").asc(), F.col("vec_id"))
             scored = (
                 scored.select("*", F.row_number().over(w1).alias("lr"))
-                .filter(F.col("lr") <= wide)
+                .filter(F.col("lr") <= wide_deep)
                 .drop("lr")
             )
         w2 = Window.partitionBy("query_id").orderBy(
@@ -1898,17 +1902,21 @@ def _pq_adc_rank(
         )
         wq = Window.partitionBy("query_id")
         ranked = scored.select("*", F.row_number().over(w2).alias("sr")).filter(
-            F.col("sr") <= wide
+            F.col("sr") <= wide_deep
         )
         a_top = F.max(F.when(F.col("sr") <= TOP_K, F.col("adc"))).over(wq)
         a_floor = F.max(F.when(F.col("sr") <= shortlist, F.col("adc"))).over(wq)
-        fire = (a_floor - a_top) < F.lit(PQ_ADAPT_COVER) * F.greatest(
-            F.col("bulk") - a_top, F.lit(1e-9)
-        )
+        gap_bulk = F.greatest(F.col("bulk") - a_top, F.lit(1e-9))
+        fire = (a_floor - a_top) < F.lit(PQ_ADAPT_COVER) * gap_bulk
+        fire_deep = (a_floor - a_top) < F.lit(PQ_ADAPT_DEEP_COVER) * gap_bulk
         short = (
-            ranked.select("*", fire.alias("_fire"))
-            .filter((F.col("sr") <= shortlist) | F.col("_fire"))
-            .drop("sr", "bulk", "_fire")
+            ranked.select("*", fire.alias("_fire"), fire_deep.alias("_deep"))
+            .filter(
+                (F.col("sr") <= shortlist)
+                | (F.col("_fire") & (F.col("sr") <= wide))
+                | F.col("_deep")
+            )
+            .drop("sr", "bulk", "_fire", "_deep")
         )
 
     # Exact re-rank of the shortlist: the query vectors join the Q*R
@@ -2114,6 +2122,24 @@ assert IVFPQ_PROBE_EPS == IVF_ADAPT_EPS
 # request-sized extra join rows, zero new distributed passes.
 PQ_ADAPT_WIDEN = 4
 PQ_ADAPT_COVER = 0.38
+# ESCALATING widen (round 16, VERDICT r15 order 2): the widen factor
+# keys to the covered magnitude — a deeper-buried query (smaller
+# covered gap) gets a bigger exact-re-rank superset. Calibration is the
+# committed f20 per-query table (SCALE_ann_r15.md §3/§7): every
+# measured lossy query with covered >= 0.354 fully recovers at 4x,
+# while the one below (f20's covered = 0.333) reads 0.8 at 4x AND 8x
+# and needs 16x (6400 of 40k candidates — 16% of that corpus for that
+# one query); the deep band therefore jumps straight to 16x, and its
+# edge 0.34 sits in the measured void (0.333, 0.354). The f20
+# covered = 0.314 query also lands in the deep band — it only NEEDS 4x,
+# but a lossless superset keeps an already-true top-k, so over-widening
+# costs request-sized wall, never output. Same neutrality argument for
+# the organic gate corpora: sf0.1 fires read recall 1.0 at 4x
+# (SCALE_ann_r14.md), so any deep fire there re-ranks a superset of an
+# already-complete top-k — verified hash-identical at every gate scale
+# before the change landed (tools/dial_escalation_check.py, r16).
+PQ_ADAPT_WIDEN_DEEP = 16
+PQ_ADAPT_DEEP_COVER = 0.34
 
 
 def _codes_histogram(

@@ -751,3 +751,65 @@ def test_codes_histogram_warm_loads_artifact(spark, sf_dir, tmp_path, monkeypatc
     warm = _codes_histogram(spark, Boom(), sf_dir, 2, 3, tag="t")
     assert warm == cold
     ann_index.clear_memos()
+
+
+def test_escalating_widen_keep_depths(spark):
+    """Round 16 (VERDICT r15 order 2): the per-query keep depth of the
+    adaptive shortlist must ESCALATE with the covered-gap signal —
+    floor for covered >= PQ_ADAPT_COVER, 4x for ordinary fires, 16x for
+    deep fires (covered < PQ_ADAPT_DEEP_COVER). Constructed inputs give
+    three queries one covered value each and hide their true neighbors
+    at ADC ranks only the matching depth reaches, so a wrong depth (or a
+    band edge off by one) changes the output rows, not just the cost."""
+    from mapreduce_hadoop_spark.operators.similarity import (
+        TOP_K,
+        _pq_adc_rank,
+    )
+
+    shortlist, n = 6, 200
+    # ADC ladder shared by all queries: candidate index i carries code i
+    # and reads adc 0.001*(i+1) -> a_top = 0.005, a_floor = 0.006.
+    ts = [0.001 * (i + 1) for i in range(n)] + [1.0] * 56
+    # covered = 0.001 / (bulk - 0.005): 0.10 (deep), 0.36 (fire), 0.50 (no).
+    bulks = {0: 0.015, 1: 0.005 + 0.001 / 0.36, 2: 0.007}
+    # True neighbors (cosine peaks) hidden at depth-specific ADC ranks:
+    # deep query -> ranks 81-85 (only the 16x keep of 96 reaches them),
+    # fire query -> ranks 20-24 (the 4x keep of 24), no-fire -> 1-5.
+    peaks = {0: range(80, 85), 1: range(19, 24), 2: range(0, 5)}
+    dim = 4
+    vrows = []
+    for i in range(n):
+        v = [0.0] * dim
+        base = 0.05 - i * 0.0001
+        for qid in range(3):
+            v[qid] = 0.3 if i in peaks[qid] else base
+        v[3] = 0.5  # common filler so norms stay comparable
+        vrows.append((1000 + i, v))
+    raw = spark.createDataFrame(vrows, "vec_id long, v array<double>")
+    codes = spark.createDataFrame(
+        [(1000 + i, i) for i in range(n)], "vec_id long, c0 int"
+    )
+    qarr = spark.createDataFrame(
+        [(qid, ts, bulks[qid]) for qid in range(3)],
+        "query_id long, `0` array<double>, bulk double",
+    )
+    q = spark.createDataFrame(
+        [(qid, [1.0 if d == qid else 0.0 for d in range(dim)]) for qid in range(3)],
+        "query_id long, qnv array<double>",
+    )
+    out = _pq_adc_rank(
+        codes,
+        qarr,
+        raw,
+        q,
+        shortlist,
+        m_subspaces=1,
+        candidates_per_query=n,
+        persist_codes=False,
+        adaptive=True,
+    ).collect()
+    got = {qid: sorted(r.vec_id for r in out if r.query_id == qid) for qid in range(3)}
+    assert got[0] == [1000 + i for i in peaks[0]], got[0]  # deep: 16x reached
+    assert got[1] == [1000 + i for i in peaks[1]], got[1]  # fire: 4x reached
+    assert got[2] == [1000 + i for i in peaks[2]], got[2]  # no-fire: floor
+    assert all(len(v) == TOP_K for v in got.values())

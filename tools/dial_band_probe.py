@@ -79,6 +79,7 @@ def study(spark, sf_dir: str) -> list[dict]:
         similarity.PQ_SHORTLIST_MIN, n // similarity.PQ_TRAINED_SHORTLIST_DIV
     )
     wide = shortlist * similarity.PQ_ADAPT_WIDEN
+    wide_deep = shortlist * similarity.PQ_ADAPT_WIDEN_DEEP
     out = []
     for qi, qid in enumerate(qids):
         # ADC lookup arrays for this query; per-candidate ADC.
@@ -98,6 +99,7 @@ def study(spark, sf_dir: str) -> list[dict]:
         a_floor = float(np.round(adc[order[shortlist - 1]], 6))
         covered = (a_floor - a_top) / max(bulk - a_top, 1e-9)
         fired = covered < similarity.PQ_ADAPT_COVER
+        fired_deep = covered < similarity.PQ_ADAPT_DEEP_COVER
 
         # Exact top-5 vs re-rank of the floor / widened shortlists.
         cos = nv[mask_rows] @ qnv[qi]
@@ -111,17 +113,22 @@ def study(spark, sf_dir: str) -> list[dict]:
 
         r_fixed = len(exact & rerank(shortlist)) / similarity.TOP_K
         r_wide = len(exact & rerank(wide)) / similarity.TOP_K
-        r_adapt = r_wide if fired else r_fixed
+        r_deep = len(exact & rerank(min(wide_deep, len(order)))) / similarity.TOP_K
+        # The shipped ESCALATING dial (round 16): deep fires re-rank the
+        # 16x superset, ordinary fires the 4x one.
+        r_adapt = r_deep if fired_deep else (r_wide if fired else r_fixed)
         out.append(
             {
                 "query": int(qid),
                 "covered": round(covered, 3),
                 "fired": bool(fired),
+                "fired_deep": bool(fired_deep),
                 "recall_fixed": r_fixed,
                 "recall_adaptive": r_adapt,
                 # What a fire WOULD buy — measured for every query so a
                 # threshold move is decided on data, not extrapolation.
                 "recall_widened": r_wide,
+                "recall_deep": r_deep,
             }
         )
     return out
