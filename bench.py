@@ -308,6 +308,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     stream = _stream_timeout_bench(spark, sf_dir)
     calibration = _calibration_bench(spark)
+    calibration_shuffle = _calibration_shuffle_bench(spark)
 
     payload = {
         "metric": "headline_queries_total",
@@ -318,6 +319,7 @@ def main() -> None:
         # moves between rounds, the SHARED VM moved — divide it out
         # before reading per-query deltas (VERDICT r13 order 3).
         "calibration_sec": calibration,
+        "calibration_shuffle_sec": calibration_shuffle,
         # The normalization APPLIED (VERDICT r14 wrong item 1 / order 5):
         # the total rescaled to the reference machine speed
         # (CALIBRATION_REF anchors to the r14 committed sf0.1 run), so
@@ -375,6 +377,31 @@ def _calibration_bench(spark) -> float:
         spark.range(50_000_000).groupBy(
             (F.col("id") % 1024).alias("k")
         ).count().select(F.sum("count")).collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _calibration_shuffle_bench(spark) -> float:
+    """Shuffle-bound twin of _calibration_bench (VERDICT r15 order 6,
+    min-of-2): 2x10^7 rows carrying a 48-byte deterministic payload
+    through ONE full exchange (hash repartition), then a post-exchange
+    fold. Exchange serialization + transfer dominates; codegen CPU is
+    negligible. The two probes bound the machine band's two axes —
+    calibration workloads scale differently with machine state than
+    query workloads (the committed-vs-driver r15 discrepancy), so a
+    cross-round reader compares BOTH ratios: if they disagree, the
+    drift is state-shaped and per-query deltas need a same-day
+    two-tree control; if they agree, dividing either out is sound."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(20_000_000).select(
+            "id", F.lpad(F.col("id").cast("string"), 48, "x").alias("p")
+        ).repartition(64, F.col("id") % 9973).select(
+            F.sum(F.length("p")).alias("s")
+        ).collect()
         best = min(best, time.time() - t0)
     return round(best, 3)
 

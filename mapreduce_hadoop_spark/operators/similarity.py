@@ -2935,7 +2935,7 @@ def topk_ivfpq(
 
 def _bylist_raw_source(
     emb: DataFrame,
-    raw_rel: DataFrame,
+    open_raw: "Callable[[], DataFrame]",
     sf_dir: "str | None",
     raw_name: str,
     probed: "list[int]",
@@ -2962,14 +2962,105 @@ def _bylist_raw_source(
     from probed lists), pinned by tests/test_similarity_pq.py."""
     from mapreduce_hadoop_spark.operators import ann_index
 
-    raw = raw_rel.filter(F.col("cent_id").isin(probed)).select("vec_id", "v")
+    # PATHS-FIRST (round 16): the branch is decided from driver-side
+    # stat()/footer arithmetic alone, and only the WINNING side is ever
+    # opened — opening a K-directory hive artifact costs a K-path file
+    # listing at plan time (Spark runs it as a distributed job past 32
+    # paths), which the same-day sf1 control measured as real wall on
+    # every query that then served flat anyway.
     raw_paths = ann_index.relation_paths(sf_dir, raw_name)
+    if raw_paths is None:
+        # Cold (or volatile) corpus: build the by-list copy — the FAISS
+        # add — then re-resolve; a volatile corpus stays unresolvable
+        # and serves the flat source below.
+        open_raw()
+        raw_paths = ann_index.relation_paths(sf_dir, raw_name)
     src_path = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
     if raw_paths is None or ann_index.pruned_bytes(
         raw_paths, "cent_id", probed
     ) >= ann_index.column_bytes(src_path, ["vec_id", "embedding"]):
         return emb.select("vec_id", "v")
-    return raw
+    return open_raw().filter(F.col("cent_id").isin(probed)).select("vec_id", "v")
+
+
+def _bylist_codes_source(
+    spark: SparkSession,
+    sf_dir: "str | None",
+    open_bylist: "Callable[[], DataFrame]",
+    codes_name: str,
+    flat_name: str,
+    probed: "list[int]",
+    m_subspaces: int,
+) -> DataFrame:
+    """ADC-scan source, COST-BASED (round 16 — the codes-side branch the
+    round-15 layout left unpriced): serve the PQ codes from the pruned
+    by-list artifact iff the bytes its probed directories hold undercut
+    a flat scan of the SAME codes laid out contiguously. Round 15
+    measured the penalty of always serving by-list: at a full-union
+    probe set the hive scan reads every list directory — per-directory
+    overhead plus the cross-list compression the clustered layout cannot
+    keep (synthetic n=1M batch-10: 171.0 vs 163.1 MB), and the same-day
+    three-tree wall control at organic sf1 (K=141, probe union = all
+    lists) read the r14 flat-codes plan ~20% faster (SCALE_ann_r16.md).
+
+    The flat copy is built FROM the committed by-list relation — a pure
+    re-layout (one parquet read + write, NO second encode pass), so the
+    add-time cost is one extra write of the ~8-byte-per-vector codes,
+    not a second UDF scan of the corpus. Under an append lineage the
+    flat delta derives from the served base+delta union filtered to the
+    watermark — the same rows the by-list delta holds. Both branches
+    carry the probe filter (as a partition filter on the by-list side,
+    a pushed row-group filter on the flat side) and feed the identical
+    cent_id broadcast join, so they are output-identical by
+    construction — forced both ways in tests/test_similarity_pq.py."""
+    from mapreduce_hadoop_spark.operators import ann_index
+
+    # PATHS-FIRST, like _bylist_raw_source: resolve both sides from
+    # committed paths, build what is missing (by-list first — the add —
+    # then the flat re-layout FROM it), and only OPEN the winner, so a
+    # full-union query never pays the K-directory listing of the
+    # by-list artifact it will not read.
+    bl_paths = ann_index.relation_paths(sf_dir, codes_name)
+    rel = None
+    if bl_paths is None:
+        rel = open_bylist()
+        bl_paths = ann_index.relation_paths(sf_dir, codes_name)
+    flat_paths = ann_index.relation_paths(sf_dir, flat_name)
+    if flat_paths is None:
+        src = rel if rel is not None else open_bylist()
+        # vec_id-sorted re-layout: the by-list relation arrives
+        # clustered by cent_id, and writing it as-is scatters vec_id
+        # runs across files — measured 2.2x the bytes of an
+        # order-preserving encode at sf1 (281.6 vs 128.9 KB). One sort
+        # of the ~10-byte code rows at add time restores the
+        # sequential-vec_id encoding the flat layout exists for
+        # (range-partitioned, no single-task bottleneck).
+        flat_rel = ann_index.cached_relation(
+            spark,
+            sf_dir,
+            flat_name,
+            lambda: src.sort("vec_id"),
+            delta_build=lambda wm: src.filter(F.col("vec_id") >= wm).sort(
+                "vec_id"
+            ),
+        )
+        flat_paths = ann_index.relation_paths(sf_dir, flat_name)
+        if flat_paths is None:  # volatile corpus: no artifacts at all
+            return flat_rel.filter(F.col("cent_id").isin(probed))
+    if bl_paths is None:
+        return (rel if rel is not None else open_bylist()).filter(
+            F.col("cent_id").isin(probed)
+        )
+    cols = ["vec_id", "cent_id"] + [f"c{m}" for m in range(m_subspaces)]
+    if ann_index.pruned_bytes(bl_paths, "cent_id", probed) >= sum(
+        ann_index.column_bytes(p, cols) for p in flat_paths
+    ):
+        return spark.read.parquet(*flat_paths).filter(
+            F.col("cent_id").isin(probed)
+        )
+    return (rel if rel is not None else open_bylist()).filter(
+        F.col("cent_id").isin(probed)
+    )
 
 
 def _ivfpq_from(
@@ -3101,30 +3192,35 @@ def _ivfpq_from(
         codes_name = "bylist_" + ann_index.codes_artifact_name(
             "res", PQ_TRAINED_M, k, coarse_k=coarse_k
         )
-        rel = ann_index.cached_relation(
-            spark,
-            sf_dir,
-            codes_name,
-            lambda: codes_src(lists),
-            delta_build=lambda wm: codes_src(
-                lists.filter(F.col("vec_id") >= wm)
-            ),
-            partition_by="cent_id",
-        )
+
+        def open_bylist_codes() -> DataFrame:
+            return ann_index.cached_relation(
+                spark,
+                sf_dir,
+                codes_name,
+                lambda: codes_src(lists),
+                delta_build=lambda wm: codes_src(
+                    lists.filter(F.col("vec_id") >= wm)
+                ),
+                partition_by="cent_id",
+            )
+
         raw_name = (
             f"bylist_raw_K{coarse_k}_"
             f"{ann_index._recipe(ann_index.COARSE_MAXITER)}.parquet"
         )
-        raw_rel = ann_index.cached_relation(
-            spark,
-            sf_dir,
-            raw_name,
-            lambda: raw_src(lists),
-            delta_build=lambda wm: raw_src(
-                lists.filter(F.col("vec_id") >= wm)
-            ),
-            partition_by="cent_id",
-        )
+
+        def open_bylist_raw() -> DataFrame:
+            return ann_index.cached_relation(
+                spark,
+                sf_dir,
+                raw_name,
+                lambda: raw_src(lists),
+                delta_build=lambda wm: raw_src(
+                    lists.filter(F.col("vec_id") >= wm)
+                ),
+                partition_by="cent_id",
+            )
 
         # Query side, DRIVER-BUILT (round-12 stage fusion): probe
         # assignment runs the SAME numpy core the corpus UDF uses
@@ -3155,8 +3251,18 @@ def _ivfpq_from(
         # from probed lists, so serving the re-rank from the same pruned
         # relation is exact.
         probed = sorted({int(c) for pl in probe_lists for c in pl})
-        pruned = rel.filter(F.col("cent_id").isin(probed))
-        raw = _bylist_raw_source(emb, raw_rel, sf_dir, raw_name, probed)
+        pruned = _bylist_codes_source(
+            spark,
+            sf_dir,
+            open_bylist_codes,
+            codes_name,
+            ann_index.codes_artifact_name(
+                "res", PQ_TRAINED_M, k, coarse_k=coarse_k
+            ),
+            probed,
+            PQ_TRAINED_M,
+        )
+        raw = _bylist_raw_source(emb, open_bylist_raw, sf_dir, raw_name, probed)
         ncv = {
             cid: [x / math.sqrt(_strict_dot(cv, cv)) for x in cv]
             for cid, cv in cents_rows
@@ -3449,6 +3555,7 @@ TOPK_IVFPQ_ORACLE = _topk_ivfpq_oracle()
 FIXED_IVFPQ_BOOKS_FNAME = f"ivfpqfix_res_m{PQ_M}_K{IVF_K}.parquet"
 FIXED_IVFPQ_CENTS_FNAME = f"ivfpqfix_cents_K{IVF_K}.parquet"
 FIXED_IVFPQ_CODES_FNAME = f"bylist_codes_ivfpqfix_m{PQ_M}_K{IVF_K}.parquet"
+FIXED_IVFPQ_FLAT_CODES_FNAME = f"codes_ivfpqfix_m{PQ_M}_K{IVF_K}.parquet"
 FIXED_IVFPQ_RAW_FNAME = f"bylist_raw_ivfpqfix_K{IVF_K}.parquet"
 
 
@@ -3601,24 +3708,29 @@ def topk_ivfpq_fixed(
     # The FAISS ``add`` half, by-list (round 15): codes AND a raw serving
     # copy hive-partitioned by coarse list, both pruned to the probe
     # union at read time — identical artifact layer to the trained path.
-    rel = ann_index.cached_relation(
-        spark,
-        sf_dir,
-        FIXED_IVFPQ_CODES_FNAME,
-        lambda: residuals(emb).select(
-            "vec_id",
-            *[_pq_code(F.col("r"), m).alias(f"c{m}") for m in range(PQ_M)],
-            "cent_id",
-        ),
-        partition_by="cent_id",
-    )
-    raw_rel = ann_index.cached_relation(
-        spark,
-        sf_dir,
-        FIXED_IVFPQ_RAW_FNAME,
-        lambda: _assign(emb, cents, 1, "cent_id").select("vec_id", "v", "cent_id"),
-        partition_by="cent_id",
-    )
+    def open_bylist_codes() -> DataFrame:
+        return ann_index.cached_relation(
+            spark,
+            sf_dir,
+            FIXED_IVFPQ_CODES_FNAME,
+            lambda: residuals(emb).select(
+                "vec_id",
+                *[_pq_code(F.col("r"), m).alias(f"c{m}") for m in range(PQ_M)],
+                "cent_id",
+            ),
+            partition_by="cent_id",
+        )
+
+    def open_bylist_raw() -> DataFrame:
+        return ann_index.cached_relation(
+            spark,
+            sf_dir,
+            FIXED_IVFPQ_RAW_FNAME,
+            lambda: _assign(emb, cents, 1, "cent_id").select(
+                "vec_id", "v", "cent_id"
+            ),
+            partition_by="cent_id",
+        )
 
     # Query side, DRIVER-BUILT like the trained path — probe selection,
     # per-list query residuals, and ADC arrays replicate the JVM folds
@@ -3666,8 +3778,18 @@ def topk_ivfpq_fixed(
     )
 
     probed = sorted({int(c) for pl in probe_lists for c in pl})
-    pruned = rel.filter(F.col("cent_id").isin(probed))
-    raw = _bylist_raw_source(emb, raw_rel, sf_dir, FIXED_IVFPQ_RAW_FNAME, probed)
+    pruned = _bylist_codes_source(
+        spark,
+        sf_dir,
+        open_bylist_codes,
+        FIXED_IVFPQ_CODES_FNAME,
+        FIXED_IVFPQ_FLAT_CODES_FNAME,
+        probed,
+        PQ_M,
+    )
+    raw = _bylist_raw_source(
+        emb, open_bylist_raw, sf_dir, FIXED_IVFPQ_RAW_FNAME, probed
+    )
     q = spark.createDataFrame(qnv_rows, "query_id long, qnv array<double>")
     return _ivfpq_scan_rank(
         pruned,

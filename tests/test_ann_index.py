@@ -238,10 +238,12 @@ def test_incremental_append_serves_without_refit(spark, sf_dir, index_dir, tmp_p
     assert after == snapshot
     app_dir = os.path.join(index_dir, ann_index._fingerprint(str(app)))
     deltas = [d for d in os.listdir(app_dir) if ".delta." in d]
-    # Flat codes + by-list residual codes + by-list raw serving copy
+    # Flat-PQ codes + by-list residual codes + by-list raw serving copy
     # (the round-15 split: codes and raw are separate co-partitioned
-    # artifacts so each scan opens only its own bytes).
-    assert len(deltas) == 3, deltas
+    # artifacts so each scan opens only its own bytes) + the FLAT
+    # re-layout of the residual codes (round 16: the codes-side cost
+    # branch serves whichever copy reads fewer bytes at the probe set).
+    assert len(deltas) == 4, deltas
     for d in deltas:
         # The delta name keys the base fingerprint AND the watermark
         # (ADVICE r12): an in-place ann_base.json edit must orphan it.

@@ -87,14 +87,18 @@ def main() -> int:
     spark = get_spark("bylist-bytes", extra_conf={"spark.ui.enabled": "true"})
     spark.range(1).count()
 
-    real_tree_bytes = ann_index.tree_bytes
+    # Forcing the flat branch now zeroes column_bytes (round 16: the
+    # cost rule prices the flat side by column-chunk bytes, not
+    # tree_bytes — and the codes side is cost-based too, so forced_flat
+    # forces BOTH sides flat, the exact pre-r15 plan shape).
+    real_column_bytes = ann_index.column_bytes
     real_eps = similarity.IVFPQ_PROBE_EPS
     results = {}
     for probe_mode, eps in (("adaptive", real_eps), ("floor", 0.0)):
         for raw_mode in ("cost_based", "forced_flat"):
             similarity.IVFPQ_PROBE_EPS = eps
-            ann_index.tree_bytes = (
-                (lambda p: 0) if raw_mode == "forced_flat" else real_tree_bytes
+            ann_index.column_bytes = (
+                (lambda p, c: 0) if raw_mode == "forced_flat" else real_column_bytes
             )
             old_nq = similarity.N_QUERIES
             similarity.N_QUERIES = 1
@@ -119,7 +123,7 @@ def main() -> int:
             finally:
                 similarity.N_QUERIES = old_nq
                 similarity.IVFPQ_PROBE_EPS = real_eps
-                ann_index.tree_bytes = real_tree_bytes
+                ann_index.column_bytes = real_column_bytes
             key = f"{probe_mode}/{raw_mode}"
             results[key] = {
                 "sec": round(best, 2),
@@ -127,6 +131,37 @@ def main() -> int:
             }
             print(f"| n=1M incompressible | batch1 | {key} | {results[key]['sec']} s "
                   f"| {results[key]['mb_scanned']} MB scanned |", flush=True)
+    # Round 16 (the r15 residual, VERDICT order 3): the SYNTHETIC
+    # compressible corpus at the default batch (N_QUERIES=10, adaptive
+    # probes = full union) — where r15's always-by-list codes scan paid
+    # 171.0 vs the pre-r15 163.1 MB. With the codes-side cost branch the
+    # scan must return to the flat codes artifact and <= 163 MB.
+    syn = derive(500)
+    spark.catalog.clearCache()
+    similarity.unpersist_intermediates()
+    similarity.topk_ivfpq_trained(spark, syn).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    best, bytes_read = float("inf"), -1
+    cursor = _scan_bytes_since(spark, -1)[1]
+    for _ in range(2):
+        spark.catalog.clearCache()
+        similarity.unpersist_intermediates()
+        t0 = time.time()
+        similarity.topk_ivfpq_trained(spark, syn).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.time() - t0)
+        bytes_read, cursor = _scan_bytes_since(spark, cursor)
+    results["synthetic/batch10/cost_based"] = {
+        "sec": round(best, 2),
+        "mb_scanned": round(bytes_read / 1e6, 1),
+    }
+    print(
+        f"| n=1M synthetic | batch10 | cost_based | {round(best, 2)} s "
+        f"| {round(bytes_read / 1e6, 1)} MB scanned |",
+        flush=True,
+    )
     print(json.dumps({"bylist_bytes_probe": results}))
     return 0
 
