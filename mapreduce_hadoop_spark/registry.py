@@ -385,8 +385,19 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
 # Round 16: the r15 pin (ann_append_serving_fixed) retired at rotation —
-# it is in the forced-rotation head and takes a fresh driver row.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
+# it is in the forced-rotation head and takes a fresh driver row. Two
+# pins this round: the ESCALATING widen dial (PQ_ADAPT_WIDEN_DEEP —
+# deep fires re-rank a 16x superset) rewrites both flat-PQ adaptive
+# consumers' plans with provably unchanged output on every organic gate
+# corpus (a lossless fire's widened re-rank keeps an already-true
+# top-k): tools/dial_escalation_check.py compared both queries at all
+# five scales against the committed r15 gate logs before the change
+# landed — 0 differences — and the regenerated r16 sf0.01 log pins the
+# same hashes at the final tree.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
+    "similarity_topk_pq_trained",
+    "ann_append_serving",
+)
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
 # Round 16: none.

@@ -58,12 +58,13 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 16 at rotation: the r15 pin (ann_append_serving_fixed)
-    # retired — it is in the forced-rotation head with a fresh driver
-    # row. Pins planned for the escalating widen dial's consumers
-    # (similarity_topk_pq_trained, ann_append_serving) IF the 5-scale
-    # hash comparison proves the dial output-neutral on organic corpora;
-    # added in the same commit that edits REWRITTEN_HASH_IDENTICAL.
+    # Round 16: the escalating widen dial's two consumers. Pre-rewrite
+    # hashes = the committed GATE_sf0.01_r15.log rows (= the r15 driver
+    # rows), verified unchanged at ALL FIVE scales on the post-dial tree
+    # by tools/dial_escalation_check.py (0 differences) before the pin
+    # landed; post log regenerated at the final r16 tree.
+    "similarity_topk_pq_trained": ("GATE_sf0.01_r16.log", "66139ea661cedc55"),
+    "ann_append_serving": ("GATE_sf0.01_r16.log", "0991cd3e817ec2d6"),
 }
 
 
