@@ -80,6 +80,18 @@ MAX_METRIC_LINE = 1800
 # text (the r8/r9 failure mode — BENCH_r09.json carried the verbatim
 # round-7 note).
 ROUND_NOTES = {
+    16: (
+        "r16: by-list + cost-rule serving is now driver-HASH-verified "
+        "(similarity_topk_ivfpq_fixed: deterministic books through the "
+        "real artifacts; both forced branches bit-identical). Adaptive "
+        "probe rule hash-verified (similarity_topk_ivf_adaptive). Codes "
+        "side cost-based too: flat vec_id-sorted re-layout copy, "
+        "paths-first lazy open -> synthetic batch-10 back to 163.4 MB, "
+        "incompressible floor win 2.95x. Escalating widen (deep fires "
+        "16x): f20 recall 0.86->1.00, organic hashes unchanged at all 5 "
+        "scales (rule-1a pins). calibration_shuffle_sec = second probe. "
+        "Details: SCALE_ann_r16.md."
+    ),
     15: (
         "r15: deterministic kmeans fit SHIPPED (canonicalized sample, "
         "recipe o1): books/serving now bit-identical across physical "

@@ -150,3 +150,40 @@ def test_tail_entries_have_preceding_round_rows():
         f"tail entries with no driver row since round {registry.ROUND - 1}: "
         f"{stale} — rotate them into the head"
     )
+
+
+# The five k-means-trained queries' sf0.001 output hashes, as committed in
+# BOTH the round-15 and round-16 gate logs — the FIRST cross-session pin
+# with force: round 15 shipped the deterministic fit (canonicalized
+# training sample), so these hashes are pure functions of logical corpus
+# content, and two independent sessions a round apart must (and do)
+# produce them bit-identically. Before r15 this was impossible: k-means||
+# seeds by physical row position and a relayouted corpus moved 1999/2000
+# book cells (tools/fit_order_probe.py). If the driver regenerates
+# testdata with DIFFERENT logical content, re-derive both sides from the
+# new round's logs in the rotation commit — a layout-only regeneration
+# must NOT move them.
+KMEANS_CROSS_ROUND_PINS: dict[str, str] = {
+    "similarity_topk_pq_trained": "4dd7c1a1dcb14e48",
+    "similarity_topk_ivf_trained": "9e4108f48b4b057e",
+    "similarity_topk_ivfpq_trained": "4a94d621c79121a3",
+    "similarity_topk_ivf_spann": "054444a01bc886d2",
+    "ann_append_serving": "3e0da5dc1c62b513",
+}
+
+
+def test_kmeans_outputs_are_cross_session_stable():
+    import glob
+
+    logs = sorted(glob.glob(os.path.join(REPO_ROOT, "GATE_sf0.001_r1[56].log")))
+    assert len(logs) == 2, logs
+    for log_path in logs:
+        with open(log_path) as f:
+            log = f.read()
+        for q, h in KMEANS_CROSS_ROUND_PINS.items():
+            m = re.search(rf"ok\?\s+{q}:.*?rows=\d+ hash=([0-9a-f]+)", log)
+            assert m, f"{q} missing from {log_path}"
+            assert m.group(1) == h, (
+                f"{q}: {os.path.basename(log_path)} hash {m.group(1)} != "
+                f"pinned {h} — a kmeans output moved across sessions"
+            )
