@@ -815,3 +815,42 @@ def test_escalating_widen_keep_depths(spark):
     assert got[1] == [1000 + i for i in peaks[1]], got[1]  # fire: 4x reached
     assert got[2] == [1000 + i for i in peaks[2]], got[2]  # no-fire: floor
     assert all(len(v) == TOP_K for v in got.values())
+
+
+def test_warm_full_union_serve_opens_no_bylist_artifact(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Paths-first cost rules (round 16): on a warm corpus whose probe
+    union covers every list (this fixture's scale), BOTH rules serve the
+    flat side — and must not even OPEN the by-list artifacts, because
+    opening a K-directory hive artifact costs a K-path file listing at
+    plan time (a distributed job past 32 paths; the sf1 control measured
+    it as real wall). Pin by recording every cached_relation open during
+    the warm serve."""
+    from mapreduce_hadoop_spark.operators import ann_index
+    from mapreduce_hadoop_spark.operators.similarity import (
+        topk_ivfpq_trained,
+        unpersist_intermediates,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    ann_index.clear_memos()
+    try:
+        topk_ivfpq_trained(spark, sf_dir).collect()  # cold: builds all
+        unpersist_intermediates()
+        ann_index.clear_memos()
+
+        opened: list = []
+        real = ann_index.cached_relation
+
+        def recording(spark_, sf_dir_, name, *a, **kw):
+            opened.append(name)
+            return real(spark_, sf_dir_, name, *a, **kw)
+
+        monkeypatch.setattr(ann_index, "cached_relation", recording)
+        df = topk_ivfpq_trained(spark, sf_dir)
+        assert not [n for n in opened if n.startswith("bylist_")], opened
+        assert len(df.collect()) > 0
+    finally:
+        unpersist_intermediates()
+        ann_index.clear_memos()
