@@ -1369,6 +1369,150 @@ def topk_ivf_spann(
     )
 
 
+def topk_ivf_spann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPANN boundary replication under FIXED centroids — the
+    oracle-checkable twin of ``topk_ivf_spann``'s REPLICATION rule
+    (VERDICT r16 order 1: the last ANN serving rule with no
+    driver-hash-verified row). The memory-side closeness bound —
+    every vector files into its nearest list AND every list whose
+    cosine-gap is within ``(1+eps)^2`` of the nearest's, capped at
+    ``SPANN_RMAX`` replicas closest-first — is exactly
+    ``_assign_spann_udf``'s criterion (``ranked <= bound*ranked[:,0]``
+    over a stable gap-ascending argsort truncated at rmax), restated
+    as a pure window formulation over corpus x 16 broadcast
+    centroids, so the driver hash-pins its semantics: a drifted eps,
+    an off-by-one in the RMAX clamp, or a wrong tie order at the
+    replication cut would all hash-mismatch. eps and RMAX are the
+    DEPLOYED constants (``SPANN_EPS``/``SPANN_RMAX``, defined above,
+    referenced directly — no duplicate literals to drift).
+
+    The trained path applies the same rule in one Arrow matmul pass;
+    this twin pins the RULE, not that vectorized evaluation — ties at
+    the bound break identically ((gap asc, cent_id) here = stable
+    argsort with cent_id-ascending input there; the RMAX tie cut is
+    pinned by a constructed equi-gap fixture in
+    tests/test_similarity_ivf.py, an arm organic float64 data never
+    hits). Probe side and rank are ``topk_ivf``'s (fixed nprobe);
+    duplicate (query, candidate) pairs from multi-list membership
+    collapse via DISTINCT before ranking — value-deterministic, the
+    cosine is identical on every replica.
+
+    100 TB shape: identical to ``topk_ivf_spann`` — replication
+    multiplies the INDEX (bounded by SPANN_RMAX), never the scan; the
+    assignment window runs over n x K rows with a vec_id-partitioned
+    exchange, and a query still reads nprobe lists of ~factor/K of
+    the corpus each."""
+    bound = (1.0 + SPANN_EPS) ** 2
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = _ivf_centroids(emb)
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    g = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "norm", "cent_id", (F.lit(1.0) - cos).alias("gap")
+    )
+    wq = Window.partitionBy("vec_id")
+    wo = Window.partitionBy("vec_id").orderBy(F.col("gap").asc(), F.col("cent_id"))
+    lists = (
+        g.select(
+            "*",
+            F.min("gap").over(wq).alias("gmin"),
+            F.row_number().over(wo).alias("arank"),
+        )
+        .select(
+            "*",
+            F.sum(
+                F.when(F.col("gap") <= F.lit(bound) * F.col("gmin"), 1).otherwise(0)
+            )
+            .over(wq)
+            .alias("close"),
+        )
+        # greatest(1, ..) = _assign_spann_udf's keep[:, 0] = True: the
+        # nearest list is ALWAYS kept. Not redundant — when a vector IS
+        # a centroid, float rounding can give cos > 1, so gmin < 0 and
+        # bound*gmin < gmin flips the closeness test false even for the
+        # minimum itself (close = 0); 7 of sf0.01's 16 centroid rows hit
+        # this. Without the clamp they would file into NO list.
+        .filter(
+            F.col("arank")
+            <= F.greatest(F.lit(1), F.least(F.lit(SPANN_RMAX), F.col("close")))
+        )
+        .select("vec_id", "v", "norm", "cent_id")
+    )
+    probes = _assign(
+        emb.filter(F.col("vec_id") < N_QUERIES), cents, IVF_NPROBE, "cent_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        "cent_id",
+    )
+    pairs = lists.join(F.broadcast(probes), "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    qcos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
+    scored = pairs.select("query_id", "vec_id", qcos.alias("cosine")).dropDuplicates(
+        ["query_id", "vec_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _topk_ivf_spann_fixed_oracle() -> str:
+    bound = (1.0 + SPANN_EPS) ** 2
+    return f"""
+WITH e AS ({EMB_NORM_SQL}),
+c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e
+      WHERE vec_id >= {IVF_CENT_LO} AND vec_id < {IVF_CENT_HI}),
+g AS (
+    SELECT e.vec_id, e.v, e.norm, c.cent_id,
+           1.0 - {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) AS gap
+    FROM e CROSS JOIN c
+),
+a AS (
+    SELECT *,
+           min(gap) OVER (PARTITION BY vec_id) AS gmin,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY gap ASC, cent_id) AS arank
+    FROM g
+),
+lists AS (
+    SELECT vec_id, v, norm, cent_id FROM (
+        SELECT *,
+               sum(CASE WHEN gap <= {bound!r} * gmin THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY vec_id) AS close
+        FROM a
+    ) WHERE arank <= greatest(1, least({SPANN_RMAX}, close))
+),
+probes AS (
+    SELECT vec_id AS query_id, v AS qv, norm AS qn, cent_id FROM (
+        SELECT e.vec_id, e.v, e.norm, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) DESC,
+                            c.cent_id) AS crank
+        FROM e CROSS JOIN c
+        WHERE e.vec_id < {N_QUERIES}
+    ) WHERE crank <= {IVF_NPROBE}
+),
+scored AS (
+    SELECT DISTINCT p.query_id, l.vec_id,
+           round({DOT_SQL.format(a="p.qv", b="l.v")} / (p.qn * l.norm), 6) AS cosine
+    FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+    WHERE l.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+TOPK_IVF_SPANN_FIXED_ORACLE = _topk_ivf_spann_fixed_oracle()
+
+
 # --- metadata-filtered search ---------------------------------------------
 
 

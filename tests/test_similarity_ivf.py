@@ -487,3 +487,120 @@ def test_ivf_adaptive_matches_oracle_and_clamps(spark, duck, sf_dir, tmp_path):
     # Floor binds: every query still probes IVF_ADAPT_FLOOR lists, so
     # each query's result has TOP_K rows from >= floor candidate lists.
     assert len(sdf2) == len(sdf)
+
+
+def test_ivf_spann_fixed_matches_oracle_and_rmax_tie_cut(
+    spark, duck, sf_dir, tmp_path
+):
+    """``topk_ivf_spann_fixed`` (round 17): the window formulation of the
+    SPANN replication rule must (a) match its DuckDB oracle hash-for-hash
+    on the organic corpus with the RMAX clamp, intermediate widths, AND
+    the nearest-always-kept guard all exercised (sf0.001/sf0.01 both
+    carry close=0 centroid rows and close>RMAX rows), and (b) cut the
+    replica set at SPANN_RMAX in (gap asc, cent_id asc) order on a
+    constructed EQUI-GAP corpus — six centroids at bit-identical gap, an
+    arm organic float64 data never hits — agreeing with the deployed
+    numpy rule (``_assign_spann_udf``) on the same rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.operators.similarity import (
+        DOT_SQL,
+        EMB_NORM_SQL,
+        IVF_CENT_HI,
+        IVF_CENT_LO,
+        SPANN_EPS,
+        SPANN_RMAX,
+        TOPK_IVF_SPANN_FIXED_ORACLE,
+        _assign_spann_udf,
+        topk_ivf_spann_fixed,
+    )
+
+    sdf = topk_ivf_spann_fixed(spark, sf_dir).toPandas()
+    odf = duck.execute(TOPK_IVF_SPANN_FIXED_ORACLE).df()
+    key = lambda df: sorted(
+        tuple(r) for r in df[sorted(df.columns)].itertuples(index=False, name=None)
+    )
+    assert key(sdf) == key(odf) and len(sdf) > 0
+
+    # Replica-width evidence: the organic corpus must exercise the RMAX
+    # clamp (width = RMAX), intermediate widths, and the close=0 ->
+    # nearest-kept guard (a vector that IS a centroid reads cos > 1 under
+    # float rounding, so the closeness test fails even for its minimum).
+    bound = (1.0 + SPANN_EPS) ** 2
+    wdf = duck.execute(f"""
+        WITH e AS ({EMB_NORM_SQL}),
+        c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e
+              WHERE vec_id >= {IVF_CENT_LO} AND vec_id < {IVF_CENT_HI}),
+        g AS (SELECT e.vec_id, 1.0 - {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) AS gap
+              FROM e CROSS JOIN c),
+        p AS (SELECT vec_id, gap, min(gap) OVER (PARTITION BY vec_id) AS gmin FROM g)
+        SELECT vec_id, sum(CASE WHEN gap <= {bound!r} * gmin THEN 1 ELSE 0 END) AS close
+        FROM p GROUP BY vec_id""").df()
+    close = wdf["close"]
+    assert (close > SPANN_RMAX).any(), "RMAX clamp never fires"
+    assert ((close > 1) & (close <= SPANN_RMAX)).any(), "no intermediate widths"
+    assert (close == 0).any(), "nearest-kept guard never fires"
+
+    # Constructed equi-gap fixture: centroids 100..105 are the first six
+    # basis vectors; vec_id 50 = e0+..+e5 sits at BIT-IDENTICAL gap
+    # 1 - 1/sqrt(6) to all six (single-product dots - no fold-order
+    # noise), so close = 6 > RMAX and the cut order alone decides the
+    # replica set: the SPANN_RMAX lowest cent_ids.
+    dim, k_c, n = 64, 16, 120
+    rows = np.zeros((n, dim), dtype=np.float32)
+    for i in range(k_c):
+        rows[100 + i, i] = 1.0  # centroids = distinct basis vectors
+    for i in range(n):
+        if not (100 <= i < 116) and i != 50:
+            rows[i, 6 + (i % 10)] = 1.0  # corpus hugs non-tied centroids
+    rows[50, :6] = 1.0  # the equi-gap boundary vector
+    d = tmp_path / "equigap"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(rows.tolist(), pa.list_(pa.float32())),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    kept = con.execute(f"""
+        WITH e AS ({EMB_NORM_SQL}),
+        c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e
+              WHERE vec_id >= {IVF_CENT_LO} AND vec_id < {IVF_CENT_HI}),
+        g AS (SELECT e.vec_id, c.cent_id,
+                     1.0 - {DOT_SQL.format(a="e.v", b="c.cv")} / (e.norm * c.cn) AS gap
+              FROM e CROSS JOIN c WHERE e.vec_id = 50),
+        a AS (SELECT *, min(gap) OVER () AS gmin,
+                     row_number() OVER (ORDER BY gap ASC, cent_id) AS arank
+              FROM g)
+        SELECT cent_id FROM (
+            SELECT *, sum(CASE WHEN gap <= {bound!r} * gmin THEN 1 ELSE 0 END)
+                          OVER () AS close FROM a)
+        WHERE arank <= greatest(1, least({SPANN_RMAX}, close))
+        ORDER BY cent_id""").df()["cent_id"].tolist()
+    expected = list(range(100, 100 + SPANN_RMAX))
+    assert kept == expected, kept
+
+    # The deployed numpy rule (_assign_spann_udf, what the trained path
+    # serves) must agree on the same rows: rule parity at the tie cut.
+    cents_rows = [(100 + i, rows[100 + i].astype(float).tolist()) for i in range(k_c)]
+    rep = _assign_spann_udf(cents_rows, SPANN_EPS, SPANN_RMAX)
+    emb = spark.read.parquet(str(d / "embeddings.parquet")).filter(
+        F.col("vec_id") == 50
+    )
+    got = sorted(emb.select(rep(F.col("embedding").cast("array<double>")).alias("r")).head()["r"])
+    assert got == expected, got
+
+    # Full query on the fixture: window formulation == oracle with the
+    # tie cut in the serving path.
+    sdf2 = topk_ivf_spann_fixed(spark, str(d)).toPandas()
+    odf2 = con.execute(TOPK_IVF_SPANN_FIXED_ORACLE).df()
+    assert key(sdf2) == key(odf2) and len(sdf2) > 0
