@@ -184,6 +184,27 @@ shape via an explicit ``adaptive=False`` (rule 1a, same-day pre/post
 logs), adopting the dial at its next head rotation. As always,
 CHANGED_THIS_ROUND grows commit-by-commit.
 
+Round-17 application: the cadence forces the full rotation a tenth
+time — all 42 r17-tail candidates (the r16 tail) have r15 rows, so they
+all rotate in. Head = 7 reference + 42 rotations + 1 spare change slot
+= 50; the new tail is the round-16-green remainder (the r16 head minus
+the reference surface minus ``similarity_topk_filtered``, which RETIRES
+at rotation — size policy's tenth exercise, see the candidate list; its
+registry slot funds the round's new query). The spare holds the NEW
+hash-verified SPANN replication twin (VERDICT r16 order 1:
+``similarity_topk_ivf_spann_fixed`` — the memory-side closeness-bound
+replication as a window formulation over fixed centroids, the last ANN
+serving rule without a driver-enforced row). The round's other planned
+change — the LAZY flat-codes re-layout (VERDICT r16 order 4: build the
+flat copy on the first cost-rule flip toward flat, not unconditionally
+at add time) — is output-neutral by construction (both branches are
+output-identical, forced both ways in tests/test_similarity_pq.py), so
+its two tail consumers (``similarity_topk_ivfpq_fixed``,
+``similarity_topk_ivfpq_trained``, both r16 head -> r17 tail) take
+rule-1a pins against the committed r16 gate logs, else they claim head
+slots via retirement. As always, CHANGED_THIS_ROUND grows
+commit-by-commit.
+
 Round-16 application: the cadence forces the full rotation a ninth
 time — all 41 r16-tail candidates (the r15 tail) have r14 rows, so they
 all rotate in, EXCEPT ``text_normalize``, which RETIRES at rotation
@@ -331,13 +352,25 @@ rotation cadence) and the identity is pinned by the same-commit fixture
 ``tests/test_textops.py::test_normalize_expression_shared_with_dedup``;
 the operator and its oracle remain in the tree.
 
+And a tenth, round 17: ``similarity_topk_filtered`` (candidate #1
+since round 16) retired at rotation, its slot funding
+``similarity_topk_ivf_spann_fixed`` — the filter composition over the
+brute-force plan shape is one broadcast-side semi join, and the
+same-commit fixture ``tests/test_plans.py::
+test_topk_filtered_plan_identity_post_retirement`` pins BOTH the
+filtered/unfiltered plan identity (bruteforce plan + exactly one extra
+broadcast left-semi join, no extra exchange) and the lang-predicate
+parquet pushdown, plus full row-for-row DuckDB oracle parity locally;
+the operator and its oracle remain in the tree.
+
 Next retirement candidates, ranked:
 
-1. ``similarity_topk_filtered`` — predicate-pushdown top-k over the
-   same brute-force plan shape as ``similarity_topk_bruteforce`` (which
-   stays); the filter composition is one broadcast-side WHERE. If
-   exercised, add a same-commit fixture pinning the filtered/unfiltered
-   plan identity.
+1. ``events_tumbling_window`` — a strict special case of
+   ``events_sliding_window`` (slide = width collapses the slide
+   expansion to one window per event); the tumbling arithmetic is the
+   degenerate cell of the same plan. If exercised, add a same-commit
+   fixture pinning tumbling == sliding-at-slide=width row-for-row, and
+   keep the operator + oracle in the tree.
 """
 
 from __future__ import annotations
@@ -361,54 +394,40 @@ MAX_REGISTRY = 2 * DRIVER_WINDOW - CHANGE_RESERVE
 # rotating at the start of each round — the freshness test then demands
 # tail rows from the new preceding round, so an un-rotated registry fails
 # the suite the moment the round number moves.
-ROUND = 16
+ROUND = 17
 
 # Rotation rule 1, this round: queries whose code, oracle, or output
 # changed and therefore require a fresh driver row. Starts EMPTY at
 # rotation time; each commit that changes a query appends it HERE, in
 # THAT commit — never before the code lands (the round-8 lesson).
-# Round 16 at rotation: the two NEW hash-verified ANN serving twins
-# (VERDICT r15 orders 1 and 5 — similarity_topk_ivfpq_fixed drives the
-# by-list artifact + cost-rule machinery under deterministic books;
-# similarity_topk_ivf_adaptive pins the (1+eps)^2 adaptive probe rule as
-# a window formulation), plus similarity_topk_ivfpq_trained, whose
-# serving plan changed in the same commits (shared _bylist_raw_source,
-# column-accurate flat-side byte accounting — output-invariant by the
-# forced-branch suite test, but a fresh driver row is the stronger
-# evidence and VERDICT r15 order 3 centers on this query).
+# Round 17 at rotation: the NEW hash-verified SPANN replication twin
+# (VERDICT r16 order 1 — similarity_topk_ivf_spann_fixed pins the
+# memory-side (1+eps)^2 closeness-bound replication, RMAX clamp, and
+# nearest-always-kept guard as a window formulation over fixed
+# centroids; landed in the immediately preceding commit).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "similarity_topk_ivfpq_fixed",
-    "similarity_topk_ivf_adaptive",
-    "similarity_topk_ivfpq_trained",
+    "similarity_topk_ivf_spann_fixed",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
-# Round 16: the r15 pin (ann_append_serving_fixed) retired at rotation —
-# it is in the forced-rotation head and takes a fresh driver row. Two
-# pins this round: the ESCALATING widen dial (PQ_ADAPT_WIDEN_DEEP —
-# deep fires re-rank a 16x superset) rewrites both flat-PQ adaptive
-# consumers' plans with provably unchanged output on every organic gate
-# corpus (a lossless fire's widened re-rank keeps an already-true
-# top-k): tools/dial_escalation_check.py compared both queries at all
-# five scales against the committed r15 gate logs before the change
-# landed — 0 differences — and the regenerated r16 sf0.01 log pins the
-# same hashes at the final tree.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
-    "similarity_topk_pq_trained",
-    "ann_append_serving",
-)
+# Round 17 at rotation: the r16 pins (similarity_topk_pq_trained,
+# ann_append_serving) retired — both are in the forced-rotation head
+# and take fresh driver rows. Planned this round: the LAZY flat-codes
+# re-layout's two tail consumers (similarity_topk_ivfpq_fixed,
+# similarity_topk_ivfpq_trained) join this tuple when that change
+# lands, pinned against the committed r16 gate logs.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
-# Round 16: none.
+# Round 17: none.
 STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 # Driver-window head, in order, for ROUND above. Composition: 7 reference
-# surface (always in window) + 40 row-carrying round-15 tail entries
-# (rule 2 — the forced full rotation, minus the retired text_normalize)
-# + 3 spare change slots (the round's two NEW hash-verified ANN twins
-# and the changed-while-fresh similarity_topk_ivfpq_trained). See the
-# Round-16 application paragraph.
+# surface (always in window) + 42 row-carrying round-16 tail entries
+# (rule 2 — the forced full rotation) + 1 spare change slot (the round's
+# NEW hash-verified SPANN replication twin). See the Round-17
+# application paragraph.
 HEAD = (
     # Reference surface (O1-O23) — always in-window.
     "trip_length_histogram",
@@ -418,56 +437,53 @@ HEAD = (
     "airport_trips_parity",
     "daily_revenue",
     "total_revenue",
-    # Round-15-green tail rotations (rule 2): the row-carrying round-15
-    # tail rotates in, in its r15 definition order (text_normalize
-    # retired — the ninth size-policy exercise, see the candidate list).
-    "dedup_keep_best",
-    "multimodal_real_jpeg",
-    "multimodal_real_resize",
-    "dedup_exact_normalized",
-    "multimodal_real_roundtrip",
-    "dedup_simhash",
-    "corpus_clean_stats",
-    "market_segment_balance",
-    "text_fingerprints",
-    "text_tfidf_top_terms",
-    "text_document_chunks",
-    "text_repetition_score",
-    "similarity_topk_bruteforce",
-    "similarity_topk_filtered",
-    "similarity_topk_lsh",
-    "similarity_near_dup_lsh",
-    "multimodal_metadata",
-    "events_rollup",
-    "purchase_asof_view",
-    "event_props_json",
-    "distinct_users_daily",
-    "approx_distinct_users_daily",
-    "segment_customer_setops",
-    "contamination_check",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "revenue_by_nation",
-    "pricing_summary",
-    "top_orders_per_customer",
-    "shipping_priority",
-    "text_quality_score",
-    "text_token_counts",
-    "events_session_window",
-    "text_span_dedup",
-    "text_gopher_rules",
-    "embedding_quantize_int8",
-    "events_funnel",
-    "events_cohort_retention",
-    "ann_append_serving_fixed",
-    # Spare change slots: the two NEW hash-verified ANN serving twins
-    # (first driver rows) and the changed-while-fresh ivfpq_trained
-    # (cost-rule rework this round; r15 head, so rotation alone would
-    # have parked it in the tail with changed code).
-    "similarity_topk_ivfpq_fixed",
-    "similarity_topk_ivf_adaptive",
-    "similarity_topk_ivfpq_trained",
+    # Round-16-green tail rotations (rule 2): the row-carrying round-16
+    # tail rotates in, in its r16 definition order.
+    "events_cube",
+    "customer_balance_windows",
+    "events_hash_sample",
+    "events_stratified_sample",
+    "customer_order_semi_anti",
+    "events_grouping_sets",
+    "orders_pivot_priority",
+    "lineitem_measures_unpivot",
+    "lineitem_percentiles",
+    "approx_lineitem_percentiles",
+    "events_salted_agg",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_daily_gapfill",
+    "similarity_topk_pq_trained",
+    "corpus_domain_mix",
+    "corpus_pack_sequences",
+    "events_keyed_dedup",
+    "events_enriched",
+    "similarity_near_dup_cosine",
+    "global_top_orders",
+    "sql_revenue_by_nation",
+    "trips_concurrency",
+    "text_pii_scrub",
+    "views_before_purchase_range_join",
+    "similarity_topk_ivf_trained",
+    "similarity_topk_ivf_spann",
+    "multimodal_real_jpeg_color",
+    "airport_trips_timeout",
+    "corpus_weighted_sample",
+    "corpus_train_split",
+    "corpus_domain_quota",
+    "customer_activity_reconcile",
+    "sql_orders_above_customer_avg",
+    "corpus_vocab_topk",
+    "text_language_id_ngram",
+    "dedup_minhash_lsh",
+    "similarity_topk_ivf",
+    "similarity_topk_pq",
+    "multimodal_real_wav",
+    "ann_append_serving",
+    "multimodal_real_avi",
+    # Spare change slot: the NEW hash-verified SPANN replication twin
+    # (first driver row).
+    "similarity_topk_ivf_spann_fixed",
 )
 
 
@@ -751,16 +767,35 @@ def _specs() -> dict[str, QuerySpec]:
             similarity.topk_bruteforce,
             similarity.TOPK_BRUTEFORCE_ORACLE,
         ),
-        "similarity_topk_filtered": (
-            similarity.topk_filtered,
-            similarity.TOPK_FILTERED_ORACLE,
-        ),
+        # similarity_topk_filtered RETIRED round 17 (size policy's tenth
+        # exercise, candidate #1 since round 16, its slot funding
+        # similarity_topk_ivf_spann_fixed): the filter composition is
+        # one broadcast left-semi join over the hash-verified
+        # similarity_topk_bruteforce plan (always re-verified on the
+        # cadence); the plan identity + lang-predicate pushdown + full
+        # row-for-row oracle parity stay pinned by the same-commit
+        # fixture tests/test_plans.py::
+        # test_topk_filtered_plan_identity_post_retirement. Operator +
+        # oracle remain in the tree.
         "similarity_topk_lsh": (similarity.topk_lsh, similarity.TOPK_LSH_ORACLE),
         "similarity_near_dup_lsh": (
             similarity.near_dup_cosine_lsh,
             similarity.NEAR_DUP_LSH_ORACLE,
         ),
         "similarity_topk_ivf": (similarity.topk_ivf, similarity.TOPK_IVF_ORACLE),
+        # NEW round 17 (VERDICT r16 order 1): the SPANN memory-side
+        # replication rule — nearest list + every list within the
+        # (1+eps)^2 closeness bound of the nearest gap, capped at
+        # SPANN_RMAX closest-first, nearest ALWAYS kept — as a pure
+        # window formulation over fixed centroids, hash-verifying the
+        # last ANN serving rule that had no driver-enforced row (the
+        # probe-side rule got its twin in round 16). The RMAX tie cut
+        # is pinned by a constructed equi-gap fixture the organic
+        # float64 data never hits.
+        "similarity_topk_ivf_spann_fixed": (
+            similarity.topk_ivf_spann_fixed,
+            similarity.TOPK_IVF_SPANN_FIXED_ORACLE,
+        ),
         # NEW round 16 (VERDICT r15 order 5): the (1+eps)^2 adaptive
         # probe-width rule (the round-13 serving dial, until now only on
         # rows-only k-means paths) as a pure window formulation over the

@@ -434,3 +434,42 @@ def test_events_funnel_single_user_shuffle(spark, sf_dir):
     c = plan_counts(events_funnel(spark, sf_dir))
     assert c["exchange"] == 2, c
     assert c["window"] == 3, c
+
+
+def test_topk_filtered_plan_identity_post_retirement(spark, duck, sf_dir):
+    """``similarity_topk_filtered`` RETIRED round 17 (size policy's tenth
+    exercise — registry.py candidate list). The retirement condition,
+    pinned here in the same commit: the filtered plan IS the
+    hash-verified ``similarity_topk_bruteforce`` plan (re-verified on the
+    driver cadence) plus exactly ONE broadcast left-semi join — the
+    pre-filter composition — with no extra shuffle, sort, or window; the
+    lang predicate reaches the documents parquet scan; and the full
+    row-for-row DuckDB oracle parity the driver used to re-verify stays
+    verified locally."""
+    from mapreduce_hadoop_spark.operators.similarity import (
+        TOPK_FILTERED_ORACLE,
+        topk_bruteforce,
+        topk_filtered,
+    )
+    from mapreduce_hadoop_spark.plans.checks import executed_plan, plan_counts
+
+    f = topk_filtered(spark, sf_dir)
+    b = topk_bruteforce(spark, sf_dir)
+    cf, cb = plan_counts(f), plan_counts(b)
+    # Plan identity: one extra broadcast exchange + one extra broadcast
+    # hash join (the semi); every other node count unchanged.
+    extra = {"broadcast_exchange": 1, "broadcast_hash_join": 1}
+    for k in cb:
+        assert cf[k] == cb[k] + extra.get(k, 0), (k, cf, cb)
+    plan = executed_plan(f)
+    assert "LeftSemi" in plan, plan
+    # The metadata predicate is pushed to the documents parquet scan
+    # (pre-filter: the candidate set shrinks BEFORE any scoring).
+    assert "EqualTo(lang,en)" in plan, plan
+    # Row-for-row oracle parity (what the driver's hash row verified).
+    sdf = f.toPandas()
+    odf = duck.execute(TOPK_FILTERED_ORACLE).df()
+    key = lambda df: sorted(
+        tuple(r) for r in df[sorted(df.columns)].itertuples(index=False, name=None)
+    )
+    assert key(sdf) == key(odf) and len(sdf) > 0

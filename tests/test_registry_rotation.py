@@ -34,9 +34,9 @@ def _correctness_rounds() -> dict[int, str]:
 def test_head_window_size_and_total():
     names = _names()
     assert len(names) >= registry.DRIVER_WINDOW, len(names)
-    # Update alongside registering/retiring queries. Round 16: 91 - 1
-    # retirement (text_normalize) + 2 new (similarity_topk_ivfpq_fixed,
-    # similarity_topk_ivf_adaptive) = 92 — at the cap.
+    # Update alongside registering/retiring queries. Round 17: 92 - 1
+    # retirement (similarity_topk_filtered) + 1 new
+    # (similarity_topk_ivf_spann_fixed) = 92 — at the cap.
     assert len(names) == 92, len(names)
     # Size policy: past MAX_REGISTRY the 2-round rotation cadence cannot
     # cover every entry — adding a query then requires retiring one.
@@ -58,13 +58,10 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 16: the escalating widen dial's two consumers. Pre-rewrite
-    # hashes = the committed GATE_sf0.01_r15.log rows (= the r15 driver
-    # rows), verified unchanged at ALL FIVE scales on the post-dial tree
-    # by tools/dial_escalation_check.py (0 differences) before the pin
-    # landed; post log regenerated at the final r16 tree.
-    "similarity_topk_pq_trained": ("GATE_sf0.01_r16.log", "66139ea661cedc55"),
-    "ann_append_serving": ("GATE_sf0.01_r16.log", "0991cd3e817ec2d6"),
+    # Round 17 at rotation: the r16 pins (similarity_topk_pq_trained,
+    # ann_append_serving) retired — both rotated into the head and take
+    # fresh driver rows. The lazy flat-codes consumers join here when
+    # that change lands (pre-hashes from the committed r16 gate logs).
 }
 
 
