@@ -3127,6 +3127,15 @@ def _bylist_raw_source(
     return open_raw().filter(F.col("cent_id").isin(probed)).select("vec_id", "v")
 
 
+# Lazy flat-codes gate (round 17): build the flat re-layout only when
+# the probe union's pruned by-list bytes reach this fraction of the
+# whole by-list artifact — below it, the by-list side wins the exact
+# cost rule against any flat layout inside the measured compression
+# band (flat total ~1.05x under by-list total on codes; 0.5 leaves ~2x
+# margin), so the ~2x codes-storage cost of the copy is never paid.
+CODES_FLAT_LAZY_FRACTION = 0.5
+
+
 def _bylist_codes_source(
     spark: SparkSession,
     sf_dir: "str | None",
@@ -3169,8 +3178,32 @@ def _bylist_codes_source(
     if bl_paths is None:
         rel = open_bylist()
         bl_paths = ann_index.relation_paths(sf_dir, codes_name)
+    pruned = (
+        ann_index.pruned_bytes(bl_paths, "cent_id", probed)
+        if bl_paths is not None
+        else None
+    )
     flat_paths = ann_index.relation_paths(sf_dir, flat_name)
     if flat_paths is None:
+        # LAZY build (round 17, VERDICT r16 order 4): the flat copy
+        # doubles codes storage, and a floor-width probe set can never
+        # flip the cost rule toward it — the by-list side wins the exact
+        # comparison whenever its probed directories undercut the whole
+        # artifact by more than the cross-list compression a flat layout
+        # can recover (measured band: flat total within ~1.05x of the
+        # by-list total on codes, SCALE_ann_r16.md §2-3; the 0.5 gate
+        # leaves a ~2x margin). So the re-layout is built on the FIRST
+        # probe union wide enough that flat could plausibly win, not
+        # unconditionally at add time; a corpus that only ever serves
+        # narrow unions commits no flat artifact at all (suite-pinned by
+        # tests/test_similarity_pq.py::
+        # test_floor_probe_lineage_commits_no_flat_codes).
+        if pruned is not None and pruned < CODES_FLAT_LAZY_FRACTION * sum(
+            ann_index.tree_bytes(p) for p in bl_paths
+        ):
+            return (rel if rel is not None else open_bylist()).filter(
+                F.col("cent_id").isin(probed)
+            )
         src = rel if rel is not None else open_bylist()
         # vec_id-sorted re-layout: the by-list relation arrives
         # clustered by cent_id, and writing it as-is scatters vec_id
@@ -3196,9 +3229,7 @@ def _bylist_codes_source(
             F.col("cent_id").isin(probed)
         )
     cols = ["vec_id", "cent_id"] + [f"c{m}" for m in range(m_subspaces)]
-    if ann_index.pruned_bytes(bl_paths, "cent_id", probed) >= sum(
-        ann_index.column_bytes(p, cols) for p in flat_paths
-    ):
+    if pruned >= sum(ann_index.column_bytes(p, cols) for p in flat_paths):
         return spark.read.parquet(*flat_paths).filter(
             F.col("cent_id").isin(probed)
         )

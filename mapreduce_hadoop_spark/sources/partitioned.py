@@ -32,5 +32,28 @@ def write_events_partitioned(spark: SparkSession, sf_dir: str, out_dir: str) -> 
 
 def read_events_day(spark: SparkSession, out_dir: str, day: str) -> DataFrame:
     """Day-bounded read over the partitioned layout; the day predicate is a
-    directory filter, not a data filter."""
-    return spark.read.parquet(out_dir).filter(F.col("day") == day)
+    directory filter, not a data filter.
+
+    PATHS-FIRST (round 17 — the ANN by-list listing lesson,
+    SCALE_ann_r16.md, applied to the one non-ANN hive surface with a
+    driver-known pruning set): opening the ROOT lists every ``day=``
+    directory at plan time before the partition filter prunes — at one
+    directory per day, a year of events is ~365 paths, well past the 32
+    where Spark switches to a distributed listing job. The day is a
+    driver-side literal here, so the scan opens exactly the one
+    directory; ``basePath`` keeps ``day`` as a partition column with the
+    same schema and PartitionFilters-visible semantics as the root read
+    (pinned by tests/test_partitioned.py). A day with no directory falls
+    back to the pruned root read — the only case that still pays the
+    listing is the one that returns zero rows (local paths only; remote
+    stores resolve existence at the source)."""
+    import os
+
+    one_day = f"{out_dir}/day={day}"
+    if "://" not in out_dir and not os.path.isdir(one_day):
+        return spark.read.parquet(out_dir).filter(F.col("day") == day)
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(one_day)
+        .filter(F.col("day") == day)
+    )

@@ -38,3 +38,27 @@ def test_day_filter_prunes_partitions(spark, sf_dir, tmp_path):
         .count()
     )
     assert df.count() == want > 0
+
+
+def test_day_read_opens_single_directory_paths_first(spark, sf_dir, tmp_path):
+    """Round 17 (the ANN listing lesson applied): the day-bounded read
+    must OPEN only the requested ``day=`` directory — the root is never
+    listed for a known day — while keeping the partition column, the
+    PartitionFilters semantics, and the empty-day fallback."""
+    out = str(tmp_path / "events_by_day")
+    write_events_partitioned(spark, sf_dir, out)
+
+    day = "2024-01-05"
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = read_events_day(spark, out, day)
+        plan = executed_plan(df)
+        # The scan's Location points at the single day directory, not
+        # the root (the root read prints the root as its path).
+        assert f"day={day}" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "day" in df.columns and df.count() > 0
+    # A day with no directory returns empty instead of failing.
+    assert read_events_day(spark, out, "1999-01-01").count() == 0

@@ -854,3 +854,64 @@ def test_warm_full_union_serve_opens_no_bylist_artifact(
     finally:
         unpersist_intermediates()
         ann_index.clear_memos()
+
+
+def test_floor_probe_lineage_commits_no_flat_codes(spark, sf_dir, tmp_path, monkeypatch):
+    """LAZY flat-codes build (round 17, VERDICT r16 order 4): the flat
+    re-layout doubles codes storage and a floor-width probe union can
+    never flip the cost rule toward it, so ``_bylist_codes_source`` must
+    (a) commit NO flat artifact while every probe union stays under the
+    lazy fraction of the by-list bytes — serving the by-list side
+    directly — and (b) build it on the FIRST wide union, after which the
+    exact cost rule runs as before. Rows must be identical on both
+    sides of the gate (the branch is a pure I/O decision)."""
+    from mapreduce_hadoop_spark.operators import ann_index
+    from mapreduce_hadoop_spark.operators.similarity import (
+        _bylist_codes_source,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    ann_index.clear_memos()
+    try:
+        rows = [(i, i % 8, (3 * i) % 251) for i in range(400)]
+        bl = spark.createDataFrame(rows, "vec_id long, cent_id int, c0 int")
+        codes_name, flat_name = "lazygate_codes.parquet", "lazygate_flat.parquet"
+
+        def open_bylist():
+            return ann_index.cached_relation(
+                spark, sf_dir, codes_name, lambda: bl, partition_by="cent_id"
+            )
+
+        # Floor-width union: 1 of 8 lists (~12.5% of the by-list bytes,
+        # far under the 0.5 gate) -> serve by-list, commit NO flat copy.
+        narrow = _bylist_codes_source(
+            spark, sf_dir, open_bylist, codes_name, flat_name, [3], 1
+        )
+        got = sorted(map(tuple, narrow.select("vec_id", "cent_id", "c0").collect()))
+        assert got == sorted(t for t in rows if t[1] == 3)
+        assert ann_index.relation_paths(sf_dir, codes_name) is not None
+        assert ann_index.relation_paths(sf_dir, flat_name) is None, (
+            "floor-width probe union committed a flat codes artifact"
+        )
+
+        # First wide union (all 8 lists = 100% of the by-list bytes):
+        # the gate opens, the re-layout is built once, and the exact
+        # cost rule decides the branch from committed paths.
+        wide = _bylist_codes_source(
+            spark, sf_dir, open_bylist, codes_name, flat_name, list(range(8)), 1
+        )
+        assert sorted(
+            map(tuple, wide.select("vec_id", "cent_id", "c0").collect())
+        ) == sorted(rows)
+        assert ann_index.relation_paths(sf_dir, flat_name) is not None
+
+        # Post-build, a narrow union prices both committed sides and
+        # still serves identical rows.
+        narrow2 = _bylist_codes_source(
+            spark, sf_dir, open_bylist, codes_name, flat_name, [3], 1
+        )
+        assert sorted(
+            map(tuple, narrow2.select("vec_id", "cent_id", "c0").collect())
+        ) == got
+    finally:
+        ann_index.clear_memos()
