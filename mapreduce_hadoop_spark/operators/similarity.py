@@ -2264,7 +2264,20 @@ assert IVFPQ_PROBE_EPS == IVF_ADAPT_EPS
 # the signal spends re-rank budget only where recall is lost:
 # per-query arithmetic over the already-shuffled ranked relation,
 # request-sized extra join rows, zero new distributed passes.
-PQ_ADAPT_WIDEN = 4
+# Round 17 (VERDICT r16 order 3): 4 -> 8. The second corpus family
+# (tools/dial_family2_probe.py — seeded Gaussian mixtures, cluster
+# count/overlap as the axes instead of the replica recipe) produced the
+# first measured ordinary fire 4x does NOT recover: covered = 0.369
+# (c4_wide, 4 broad clusters) reads recall 0.8 at 4x and 1.0 at 8x.
+# Family 1's table (every lossy >= 0.354 recovers at 4x) made 4x look
+# sufficient; it was a family-shape artifact. 8x covers every measured
+# point in BOTH families; the cost is request-sized (fires re-rank
+# 8 x a near-constant shortlist through the same window exchange), and
+# the change is output-neutral on every organic gate corpus (fires
+# there are lossless at 4x, so the wider re-rank keeps an already-true
+# top-k — verified hash-identical at all five scales against the
+# committed r16 logs before landing, tools/dial_escalation_check.py).
+PQ_ADAPT_WIDEN = 8
 PQ_ADAPT_COVER = 0.38
 # ESCALATING widen (round 16, VERDICT r15 order 2): the widen factor
 # keys to the covered magnitude — a deeper-buried query (smaller

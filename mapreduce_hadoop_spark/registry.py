@@ -405,8 +405,18 @@ ROUND = 17
 # memory-side (1+eps)^2 closeness-bound replication, RMAX clamp, and
 # nearest-always-kept guard as a window formulation over fixed
 # centroids; landed in the immediately preceding commit).
+# Added mid-round: the adaptive dial's two consumers — the ordinary
+# widen moved 4x -> 8x on the second-family calibration point
+# (tools/dial_family2_probe.py: covered 0.369 reads 0.8 at 4x, 1.0 at
+# 8x; PQ_ADAPT_WIDEN comment has the table). Output-neutral at all
+# five gate scales vs the committed r16 logs
+# (tools/dial_escalation_check.py, 0 differences, run pre-landing),
+# but both are in the forced-rotation head anyway, so fresh driver
+# rows — the stronger evidence — cover the code change.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "similarity_topk_ivf_spann_fixed",
+    "similarity_topk_pq_trained",
+    "ann_append_serving",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every

@@ -758,7 +758,8 @@ def test_codes_histogram_warm_loads_artifact(spark, sf_dir, tmp_path, monkeypatc
 def test_escalating_widen_keep_depths(spark):
     """Round 16 (VERDICT r15 order 2): the per-query keep depth of the
     adaptive shortlist must ESCALATE with the covered-gap signal —
-    floor for covered >= PQ_ADAPT_COVER, 4x for ordinary fires, 16x for
+    floor for covered >= PQ_ADAPT_COVER, 8x for ordinary fires (round
+    17: 4x -> 8x, the second-family calibration point), 16x for
     deep fires (covered < PQ_ADAPT_DEEP_COVER). Constructed inputs give
     three queries one covered value each and hide their true neighbors
     at ADC ranks only the matching depth reaches, so a wrong depth (or a
@@ -776,8 +777,9 @@ def test_escalating_widen_keep_depths(spark):
     bulks = {0: 0.015, 1: 0.005 + 0.001 / 0.36, 2: 0.007}
     # True neighbors (cosine peaks) hidden at depth-specific ADC ranks:
     # deep query -> ranks 81-85 (only the 16x keep of 96 reaches them),
-    # fire query -> ranks 20-24 (the 4x keep of 24), no-fire -> 1-5.
-    peaks = {0: range(80, 85), 1: range(19, 24), 2: range(0, 5)}
+    # fire query -> ranks 43-47 (the 8x keep of 48 — beyond the retired
+    # 4x keep of 24, so a silent 4x regression fails), no-fire -> 1-5.
+    peaks = {0: range(80, 85), 1: range(42, 47), 2: range(0, 5)}
     dim = 4
     vrows = []
     for i in range(n):
@@ -812,7 +814,7 @@ def test_escalating_widen_keep_depths(spark):
     ).collect()
     got = {qid: sorted(r.vec_id for r in out if r.query_id == qid) for qid in range(3)}
     assert got[0] == [1000 + i for i in peaks[0]], got[0]  # deep: 16x reached
-    assert got[1] == [1000 + i for i in peaks[1]], got[1]  # fire: 4x reached
+    assert got[1] == [1000 + i for i in peaks[1]], got[1]  # fire: 8x reached
     assert got[2] == [1000 + i for i in peaks[2]], got[2]  # no-fire: floor
     assert all(len(v) == TOP_K for v in got.values())
 

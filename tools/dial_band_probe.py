@@ -113,6 +113,7 @@ def study(spark, sf_dir: str) -> list[dict]:
 
         r_fixed = len(exact & rerank(shortlist)) / similarity.TOP_K
         r_wide = len(exact & rerank(wide)) / similarity.TOP_K
+        r_wide8 = len(exact & rerank(min(wide * 2, len(order)))) / similarity.TOP_K
         r_deep = len(exact & rerank(min(wide_deep, len(order)))) / similarity.TOP_K
         # The shipped ESCALATING dial (round 16): deep fires re-rank the
         # 16x superset, ordinary fires the 4x one.
@@ -128,6 +129,7 @@ def study(spark, sf_dir: str) -> list[dict]:
                 # What a fire WOULD buy — measured for every query so a
                 # threshold move is decided on data, not extrapolation.
                 "recall_widened": r_wide,
+                "recall_widened8": r_wide8,
                 "recall_deep": r_deep,
             }
         )

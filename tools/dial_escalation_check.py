@@ -7,7 +7,7 @@ organic gate corpus the 4x dial already reads recall 1.0 on its fires
 already-true top-k and the output hash must not move. This tool serves
 the dial's two consumers (similarity_topk_pq_trained,
 ann_append_serving) at every gate scale and compares the value hash
-against the committed round-15 GATE logs — the evidence behind either
+against the committed round-16 GATE logs — the evidence behind either
 the rule-1a pins (neutral) or a head-slot claim (changed).
 
 Usage: python tools/dial_escalation_check.py
@@ -36,7 +36,7 @@ QUERIES = ("similarity_topk_pq_trained", "ann_append_serving")
 
 
 def committed_hash(scale: str, query: str) -> "str | None":
-    path = os.path.join(REPO, f"GATE_{scale}_r15.log")
+    path = os.path.join(REPO, f"GATE_{scale}_r16.log")
     with open(path) as f:
         log = f.read()
     m = re.search(rf"(?:PASS|ok\?)\s+{query}:.*?rows=\d+ hash=([0-9a-f]+)", log)
@@ -59,7 +59,7 @@ def main() -> int:
             want = committed_hash(scale, name)
             ok = got == want
             bad += 0 if ok else 1
-            print(f"{'OK  ' if ok else 'DIFF'} {scale:8s} {name}: {got} vs r15 {want}")
+            print(f"{'OK  ' if ok else 'DIFF'} {scale:8s} {name}: {got} vs r16 {want}")
     print(f"{bad} difference(s)")
     return 1 if bad else 0
 
