@@ -423,11 +423,19 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 # gate scale, pinned against regenerated SRCHASH-bound gate logs.
 # Round 17 at rotation: the r16 pins (similarity_topk_pq_trained,
 # ann_append_serving) retired — both are in the forced-rotation head
-# and take fresh driver rows. Planned this round: the LAZY flat-codes
-# re-layout's two tail consumers (similarity_topk_ivfpq_fixed,
-# similarity_topk_ivfpq_trained) join this tuple when that change
-# lands, pinned against the committed r16 gate logs.
-REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = ()
+# and take fresh driver rows. Two pins this round: the LAZY flat-codes
+# re-layout (VERDICT r16 order 4 — the flat copy builds on the first
+# wide-union cost flip instead of unconditionally at add time) rewrites
+# both by-list codes consumers' serving with output identical by
+# construction (both branches feed the same cent_id broadcast join;
+# forced both ways in tests/test_similarity_pq.py): served at sf0.01 on
+# the post-change tree and hash-compared against the committed r16 log
+# before the pin landed — identical — and the regenerated r17 sf0.01
+# log pins the same hashes at the final tree.
+REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
+    "similarity_topk_ivfpq_fixed",
+    "similarity_topk_ivfpq_trained",
+)
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
 # Round 17: none.

@@ -58,10 +58,13 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 17 at rotation: the r16 pins (similarity_topk_pq_trained,
-    # ann_append_serving) retired — both rotated into the head and take
-    # fresh driver rows. The lazy flat-codes consumers join here when
-    # that change lands (pre-hashes from the committed r16 gate logs).
+    # Round 17: the lazy flat-codes re-layout's two consumers.
+    # Pre-rewrite hashes = the committed GATE_sf0.01_r16.log rows (= the
+    # r16 driver rows), verified unchanged on the post-change tree by a
+    # same-day sf0.01 serve before the pin landed; post log regenerated
+    # at the final r17 tree.
+    "similarity_topk_ivfpq_fixed": ("GATE_sf0.01_r17.log", "6a1948aaeb5952e9"),
+    "similarity_topk_ivfpq_trained": ("GATE_sf0.01_r17.log", "301db5bb25ca2186"),
 }
 
 

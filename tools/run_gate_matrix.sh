@@ -1,12 +1,12 @@
 #!/bin/bash
-# Round-16 gate matrix: the FULL registry (92 queries) at all five
+# Round-17 gate matrix: the FULL registry (92 queries) at all five
 # scales, zero exclusions. Runs against the WARM shared index root
 # (deterministic kmeans fits since r15: warm artifacts and fresh fits
 # are interchangeable by construction).
 set -u
 cd "$(dirname "$0")/.."
-R=16
-HDR_TREE="final round-16 tree: by-list + cost-rule serving hash-verified via the deterministic-books twin similarity_topk_ivfpq_fixed; adaptive probe rule hash-verified via similarity_topk_ivf_adaptive; codes-side cost branch (flat re-layout copy, paths-first lazy open) returns synthetic batch-10 to 163.4 MB and keeps the incompressible floor win at 2.95x; escalating widen dial (deep fires 16x) output-neutral on organic corpora (rule-1a pinned); text_normalize retired (shared normalize_text_col)"
+R=17
+HDR_TREE="final round-17 tree: SPANN replication rule hash-verified via the fixed-centroid window twin similarity_topk_ivf_spann_fixed (nearest-always-kept guard, RMAX tie cut pinned by equi-gap fixture); similarity_topk_filtered retired (plan-identity + pushdown + oracle parity pinned in tests/test_plans.py); lazy flat-codes re-layout (builds on first wide-union cost flip; floor-width lineages commit no flat artifact — rule-1a pins on both by-list codes consumers); ordinary widen 4x->8x on the second-family calibration point (GMM family, covered 0.369 reads 0.8 at 4x / 1.0 at 8x; output-neutral at all five scales vs r16 logs); paths-first single-day partitioned reads"
 
 ALLQ=$(python - <<'EOF'
 from mapreduce_hadoop_spark import registry
@@ -23,8 +23,8 @@ run_gate() {
   echo "== ${label} exit ${rc}"
 }
 
-run_gate /root/testdata/sf0.001     GATE_sf0.001_r16.log sf0.001 "$ALLQ" "full registry, 92 queries"
-run_gate /root/testdata/sf0.01      GATE_sf0.01_r16.log  sf0.01  "$ALLQ" "full registry, 92 queries"
-run_gate /root/testdata/sf0.1       GATE_sf0.1_r16.log   sf0.1   "$ALLQ" "full registry, 92 queries"
-run_gate /root/repo/.scale_data/sf1     GATE_sf1_r16.log     sf1     "$ALLQ" "full registry, 91 queries; derived 10x via tools/make_scale_data.py"
-run_gate /root/repo/.scale_data/sf1skew GATE_sf1skew_r16.log sf1skew "$ALLQ" "full registry, 91 queries, hot-key derivation (--skew: one taxi ~10% of positions, one source ~50% of documents)"
+run_gate /root/testdata/sf0.001     GATE_sf0.001_r17.log sf0.001 "$ALLQ" "full registry, 92 queries"
+run_gate /root/testdata/sf0.01      GATE_sf0.01_r17.log  sf0.01  "$ALLQ" "full registry, 92 queries"
+run_gate /root/testdata/sf0.1       GATE_sf0.1_r17.log   sf0.1   "$ALLQ" "full registry, 92 queries"
+run_gate /root/repo/.scale_data/sf1     GATE_sf1_r17.log     sf1     "$ALLQ" "full registry, 92 queries; derived 10x via tools/make_scale_data.py"
+run_gate /root/repo/.scale_data/sf1skew GATE_sf1skew_r17.log sf1skew "$ALLQ" "full registry, 92 queries, hot-key derivation (--skew: one taxi ~10% of positions, one source ~50% of documents)"
