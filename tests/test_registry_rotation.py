@@ -153,8 +153,9 @@ def test_tail_entries_have_preceding_round_rows():
 
 
 # The five k-means-trained queries' sf0.001 output hashes, as committed in
-# BOTH the round-15 and round-16 gate logs — the FIRST cross-session pin
-# with force: round 15 shipped the deterministic fit (canonicalized
+# the round-15, round-16 AND round-17 gate logs — three independent
+# sessions, two driver testdata regenerations apart, all bit-identical:
+# round 15 shipped the deterministic fit (canonicalized
 # training sample), so these hashes are pure functions of logical corpus
 # content, and two independent sessions a round apart must (and do)
 # produce them bit-identically. Before r15 this was impossible: k-means||
@@ -175,8 +176,8 @@ KMEANS_CROSS_ROUND_PINS: dict[str, str] = {
 def test_kmeans_outputs_are_cross_session_stable():
     import glob
 
-    logs = sorted(glob.glob(os.path.join(REPO_ROOT, "GATE_sf0.001_r1[56].log")))
-    assert len(logs) == 2, logs
+    logs = sorted(glob.glob(os.path.join(REPO_ROOT, "GATE_sf0.001_r1[567].log")))
+    assert len(logs) == 3, logs
     for log_path in logs:
         with open(log_path) as f:
             log = f.read()
