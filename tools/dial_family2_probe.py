@@ -91,10 +91,20 @@ def main() -> int:
         deep = [r for r in res if r["covered"] < PQ_ADAPT_DEEP_COVER]
         unrec = [r for r in deep if r["recall_deep"] < 1.0]
         trigger_hits += [(name, r) for r in unrec]
+        # Lossy NO-fires that widening would recover: the fire threshold
+        # itself has a miss (found at covered 0.389, n=200k, this family).
+        thr_miss = [
+            r
+            for r in res
+            if not r["fired"]
+            and r["recall_fixed"] < 1.0
+            and r["recall_widened"] > r["recall_fixed"]
+        ]
         print(
             f"{name} (C={c}, sigma={sigma}, n={n}): covered "
             f"{min(cov):.3f}-{max(cov):.3f}, deep-band {len(deep)}/10, "
-            f"16x-unrecovered {len(unrec)}/10"
+            f"16x-unrecovered {len(unrec)}/10, "
+            f"threshold-miss (lossy no-fire, widening helps) {len(thr_miss)}/10"
         )
         for r in res:
             print("   ", r)
