@@ -62,12 +62,20 @@ def study(spark, sf_dir: str) -> list[dict]:
     qnv = nv[qmask]
 
     # Encode every row with the shipped argmin rule (lowest code on ties).
-    cnorms = (np.where(np.isfinite(books), books, 0.0) ** 2).sum(axis=2)
+    # The matmul must use ZEROED unfit cells (round 17): raw inf cells
+    # turn 0 * inf into NaN inside the dot product, and NaN poisons the
+    # argmin — the r14 verification never saw it because every mutated
+    # corpus (n >= 20k) fills all 256 clusters; organic sf0.001/sf0.01
+    # (n = 2k/20k vs k = 256-ish) leave empty clusters and read NaN
+    # covered. The inf penalty lives in cnorms alone, exactly like the
+    # engine's _pq_encode_udf (finite books matmul + masked norms).
+    fin_books = np.where(np.isfinite(books), books, 0.0)
+    cnorms = (fin_books ** 2).sum(axis=2)
     cnorms[~np.isfinite(books).all(axis=2)] = np.inf
     codes = np.empty((len(nv), m_sub), dtype=np.int64)
     for m in range(m_sub):
         xm = nv[:, m * sub : (m + 1) * sub]
-        codes[:, m] = np.argmin(cnorms[m] - 2.0 * (xm @ books[m].T), axis=1)
+        codes[:, m] = np.argmin(cnorms[m] - 2.0 * (xm @ fin_books[m].T), axis=1)
 
     # Histogram-weighted bulk estimate (the shipped formula).
     freq = np.zeros((m_sub, 256))
