@@ -80,18 +80,19 @@ MAX_METRIC_LINE = 1800
 # text (the r8/r9 failure mode — BENCH_r09.json carried the verbatim
 # round-7 note).
 ROUND_NOTES = {
+    # registry.ROUND stays 17 through the round-18 OPTIMIZATION round
+    # (no rotation), so the r18 note lives under key 17.
     17: (
-        "r17: SPANN replication rule driver-hash-verified "
-        "(similarity_topk_ivf_spann_fixed: (1+eps)^2 closeness window, "
-        "RMAX tie cut, nearest-kept guard — the last unverified ANN "
-        "serving rule). Second corpus family (GMM, "
-        "tools/dial_family2_probe.py): deep 16x trigger did NOT fire; "
-        "found ordinary-fire miss at covered 0.369 -> widen 4x->8x, "
-        "output-neutral at all 5 scales. Flat codes copy now lazy "
-        "(builds on first wide-union flip; floor lineages commit none). "
-        "Paths-first single-day partitioned reads. sf1 bench = "
-        "interleaved min pool (tools/bench_sf1_pool.py). Details: "
-        "SCALE_ann_r17.md."
+        "r18 (optimization round over the r17 registry; every rewrite "
+        "verified bit-identical vs the committed r17 gate hashes at 3 "
+        "scales): IVF/SPANN list assignment is now map-side (in-row "
+        "argmax over the broadcast centroid array; the per-vector "
+        "row_number window exchanged the FULL corpus before), LSH "
+        "candidates are one bucket groupBy (was self-join + count "
+        "window, signature fold ran twice), and the corpus family "
+        "computes quality in the scan (was doc_id self-joins). zstd "
+        "shuffle codec measured WORSE than lz4 and rejected. Evidence: "
+        "OPTIMIZATION_r18.md, plans/r18/."
     ),
     16: (
         "r16: by-list + cost-rule serving is now driver-HASH-verified "

@@ -16,7 +16,7 @@ a partial-agg groupBy. No driver-side loops anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_hadoop_spark.functions.hashing import md5_long, md5_long_sql
@@ -30,28 +30,45 @@ def clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, quality, n_tokens) of the surviving corpus:
     quality >= 0.5, exact dups and near-dups removed, smaller doc_id
     survives. The pipeline's document-level output — ``corpus_clean_stats``
-    aggregates it, the CLI ``corpus-clean`` job writes it."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    quality = textops.quality_score(spark, sf_dir).select(
-        "doc_id", "quality", "n_tokens"
+    aggregates it, the CLI ``corpus-clean`` job writes it.
+
+    Plan shape (rewritten round 18, guide §2.4 — output bit-identical,
+    oracle unchanged): ONE scan of ``documents`` computes source, the
+    quality signals (``textops.quality_exprs`` — the exact Columns the
+    standalone quality query serves), and the 60-bit text hash together;
+    exact-dedup keep status is a ``min(doc_id) over (partition by h)``
+    window on that same relation. The previous formulation scanned
+    ``documents`` three times and re-attached quality and exact-keep to
+    the doc relation through two doc_id-keyed joins — both sides of each
+    being projections of the same scan, i.e. pure self-joins: broadcast
+    locally but two full-corpus sort-merge exchanges at 100 TB. Now the
+    only corpus-wide movement is the one hash-keyed window exchange
+    (which the old groupBy(h) paid anyway) and the near-dup anti-join.
+    """
+    exprs = textops.quality_exprs()
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        exprs["quality"].alias("quality"),
+        exprs["n_tokens"].alias("n_tokens"),
+        md5_long(F.col("text")).alias("h"),
     )
-    texth = load_table(spark, sf_dir, "documents").select(
-        "doc_id", md5_long(F.col("text")).alias("h")
-    )
-    exact_keep = texth.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    exact_ok = (
-        texth.join(exact_keep, "h")
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id")
+    # First occurrence per text hash: the window sees ALL docs (the
+    # quality gate must not hide a smaller-doc_id duplicate), exactly as
+    # the old groupBy over the unfiltered texth relation did.
+    keep = base.select(
+        "*", F.min("doc_id").over(Window.partitionBy("h")).alias("keep_id")
     )
     near_dups = dedup.minhash_lsh_pairs(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     )
     return (
-        docs.join(quality, "doc_id")
-        .filter(F.col("quality") >= F.lit(QUALITY_MIN))
-        .join(exact_ok, "doc_id", "left_semi")
+        keep.filter(
+            (F.col("quality") >= F.lit(QUALITY_MIN))
+            & (F.col("doc_id") == F.col("keep_id"))
+        )
         .join(near_dups, "doc_id", "left_anti")
+        .select("doc_id", "source", "quality", "n_tokens")
     )
 
 
@@ -203,23 +220,26 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations cannot flip the selection boundary (same stance as
     the 6-dp cosine rounding in similarity.py).
 
-    100 TB shape: the weight join is doc-keyed and the global top-K plans
-    as TakeOrderedAndProject — per-partition heaps of K rows, then a
+    100 TB shape: the weight is computed IN the scan (it used to arrive
+    through a doc_id self-join of the same table — removed round 18,
+    guide §2.4; values bit-identical via the shared
+    ``textops.quality_exprs``) and the global top-K plans as
+    TakeOrderedAndProject — per-partition heaps of K rows, then a
     K-row merge on the driver side of the exchange; no global sort, no
     single-partition window. K is model-sample-sized, not data-sized.
     """
-    from mapreduce_hadoop_spark.operators.textops import quality_score
+    from mapreduce_hadoop_spark.operators.textops import quality_exprs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_exprs()["quality"].alias("quality")
+    )
     u = (
         md5_long(F.col("doc_id").cast("string")) % _U_MOD + F.lit(0.5)
     ) / F.lit(float(_U_MOD))
     w = F.greatest(F.col("quality"), F.lit(_W_FLOOR))
     key = F.round(F.log(u) / w, 9)
     return (
-        docs.join(q, "doc_id")
-        .select("doc_id", "source", "quality", key.alias("sample_key"))
+        docs.select("doc_id", "source", "quality", key.alias("sample_key"))
         .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
         .limit(SAMPLE_K)
     )
@@ -262,12 +282,16 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, and engine, and consistent for a given doc across every
     derived artifact (a doc can never drift from test into train between
     pipeline versions). Map-only assignment plus one partial-aggregated
-    shuffle on (source, split); output is |sources| x 3 rows.
+    shuffle on (source, split); output is |sources| x 3 rows. The token
+    count is computed IN the scan (was a doc_id self-join of the same
+    table — removed round 18, guide §2.4; values bit-identical via the
+    shared ``textops.quality_exprs``).
     """
-    from mapreduce_hadoop_spark.operators.textops import quality_score
+    from mapreduce_hadoop_spark.operators.textops import quality_exprs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    toks = quality_score(spark, sf_dir).select("doc_id", "n_tokens")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_exprs()["n_tokens"].alias("n_tokens")
+    )
     bucket = md5_long(F.col("doc_id").cast("string")) % 100
     split = (
         F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
@@ -275,8 +299,7 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return (
-        docs.join(toks, "doc_id")
-        .select("source", split.alias("split"), "n_tokens")
+        docs.select("source", split.alias("split"), "n_tokens")
         .groupBy("source", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -323,20 +346,21 @@ def corpus_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on source; the per-source top-N is a window row_number,
     which at 100 TB is bounded by the largest single domain (the same
     partition the rate twin also has to scan) — not by corpus size.
-    Deterministic tie-break on doc_id.
+    Deterministic tie-break on doc_id. The quality weight is computed IN
+    the scan (was a doc_id self-join of the same table — removed round
+    18, guide §2.4; values bit-identical via the shared
+    ``textops.quality_exprs``).
     """
-    from pyspark.sql import Window
+    from mapreduce_hadoop_spark.operators.textops import quality_exprs
 
-    from mapreduce_hadoop_spark.operators.textops import quality_score
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_exprs()["quality"].alias("quality")
+    )
     w = Window.partitionBy("source").orderBy(
         F.col("quality").desc(), F.col("doc_id")
     )
     return (
-        docs.join(q, "doc_id")
-        .select(
+        docs.select(
             "doc_id", "source", "quality", F.row_number().over(w).alias("rk")
         )
         .filter(F.col("rk") <= QUOTA_N)

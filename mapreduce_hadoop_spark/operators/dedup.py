@@ -125,15 +125,19 @@ def docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(dup_doc_id, keep_doc_id) for every doc whose text also appears under
-    a smaller doc_id. Hash-groupBy: one shuffle on the 60-bit text hash."""
+    a smaller doc_id. ONE shuffle on the 60-bit text hash: the keeper is a
+    ``min(doc_id) over (partition by h)`` window (round 18, guide §2.4 —
+    the old groupBy(h) + join-back-on-h paid a second exchange of the
+    (doc_id, h) relation for the same answer; output bit-identical)."""
     docs = docs_with_dups(spark, sf_dir).select(
         "doc_id", md5_long(F.col("text")).alias("h")
     )
-    keep = docs.groupBy("h").agg(F.min("doc_id").alias("keep_doc_id"))
-    return (
-        docs.join(keep, "h")
-        .filter(F.col("doc_id") != F.col("keep_doc_id"))
-        .select(F.col("doc_id").alias("dup_doc_id"), "keep_doc_id")
+    keep = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("h")).alias("keep_doc_id"),
+    )
+    return keep.filter(F.col("doc_id") != F.col("keep_doc_id")).select(
+        F.col("doc_id").alias("dup_doc_id"), "keep_doc_id"
     )
 
 
@@ -187,16 +191,19 @@ def exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape identical to ``exact_dedup`` — the normalization is
     map-only codegen'd expression work fused into the scan, then ONE
-    shuffle on the 60-bit hash of the normalized text. At 100 TB the only
-    data crossing the wire is (doc_id, hash) pairs, never text.
+    shuffle on the 60-bit hash of the normalized text (keeper via the
+    same single-exchange window as ``exact_dedup`` since round 18). At
+    100 TB the only data crossing the wire is (doc_id, hash) pairs,
+    never text.
     """
     norm = normalize_text_col(F.col("text"))
     docs = _variant_docs(spark, sf_dir).select("doc_id", md5_long(norm).alias("h"))
-    keep = docs.groupBy("h").agg(F.min("doc_id").alias("keep_doc_id"))
-    return (
-        docs.join(keep, "h")
-        .filter(F.col("doc_id") != F.col("keep_doc_id"))
-        .select(F.col("doc_id").alias("dup_doc_id"), "keep_doc_id")
+    keep = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("h")).alias("keep_doc_id"),
+    )
+    return keep.filter(F.col("doc_id") != F.col("keep_doc_id")).select(
+        F.col("doc_id").alias("dup_doc_id"), "keep_doc_id"
     )
 
 
@@ -380,29 +387,49 @@ def minhash_lsh_pairs_from(
     verify runs on the hash arrays — set-identical to string shingles up to
     2^-31 collisions, and far cheaper to shuffle than the strings.
 
-    Band buckets above ``bucket_cap`` are excluded from candidate
-    generation (quadratic-blowup guard; see LSH_BUCKET_CAP). The in-line
-    window count shuffles on exactly the (band, sig) key the self-join
-    hashes on, so the guard adds no extra shuffle of the band relation.
+    Candidate generation is ONE shuffle of the band relation (round 18,
+    guide §2.4 — the ``ngram_jaccard_pairs`` bucket pattern, output
+    identical): groupBy (band, sig) collects each bucket's doc_ids
+    sorted, the cap filters the bucket itself, and pairs are generated
+    in-row with array expressions. The pre-r18 form self-joined the band
+    relation (computing the 16-permutation signature fold TWICE — once
+    per join side) with a bucket-count window in front: two exchanges +
+    a window sort of the corpus x BANDS rows where one groupBy now
+    suffices. Band buckets above ``bucket_cap`` are excluded as before
+    (quadratic-blowup guard; see LSH_BUCKET_CAP); a bucket's doc list is
+    materialized in-row, bounded by the same cap that bounded the old
+    window partition.
     """
     hs = _persisted(hs)
     bands = _band_keys(_minhash_from(hs))
-    wb = Window.partitionBy("band", "sig")
-    bands = (
-        bands.select("*", F.count(F.lit(1)).over(wb).alias("bucket_n"))
-        .filter(F.col("bucket_n") <= F.lit(bucket_cap))
-        .drop("bucket_n")
+    # sort_array canonicalizes collect_list's nondeterministic order, and
+    # doc_id is unique within a bucket (one row per (doc, band)), so the
+    # strict upper-triangle generation below emits exactly the a < b
+    # pairs the old self-join's (a.doc_id < b.doc_id) predicate kept.
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, bucket_cap))
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ds"), i + F.lit(2), F.size(F.col("ds"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.*")
         .distinct()
     )
     cand = (

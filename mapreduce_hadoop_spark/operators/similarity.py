@@ -957,17 +957,63 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def _assign(emb: DataFrame, cents: DataFrame, n: int, out: str) -> DataFrame:
-    """Rank centroids by cosine per vector; keep the top ``n`` as ``out``."""
-    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "norm", "cent_id", cos.alias("ccos")
+def _cents_array(cents: DataFrame) -> DataFrame:
+    """All centroids as ONE row carrying a cent_id-sorted
+    ``array<struct<cent_id, cv, cn>>`` — the broadcast side of the
+    in-row assignment below. Model-sized by construction (K centroids);
+    the collect_list aggregate moves K rows, never the corpus, and
+    ``sort_array`` canonicalizes the nondeterministic collect order."""
+    return cents.agg(
+        F.sort_array(F.collect_list(F.struct("cent_id", "cv", "cn"))).alias(
+            "_cents"
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+
+
+def _ccos_desc_cent_asc(l: Column, r: Column) -> Column:
+    """array_sort comparator: (ccos DESC, cent_id ASC) — the exact order
+    the pre-r18 window row_number used. Spark SQL comparison semantics
+    (NaN greater than everything, -0.0 == 0.0) match the sort order the
+    window applied, so ties and float corners break identically."""
     return (
-        scored.select("*", F.row_number().over(w).alias("crank"))
-        .filter(F.col("crank") <= n)
-        .select("vec_id", "v", "norm", F.col("cent_id").alias(out))
+        F.when(l["ccos"] > r["ccos"], F.lit(-1))
+        .when(l["ccos"] < r["ccos"], F.lit(1))
+        .when(l["cent_id"] < r["cent_id"], F.lit(-1))
+        .when(l["cent_id"] > r["cent_id"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def _assign(emb: DataFrame, cents: DataFrame, n: int, out: str) -> DataFrame:
+    """Rank centroids by cosine per vector; keep the top ``n`` as ``out``.
+
+    MAP-SIDE since round 18 (guide §2.4): the centroids ride along as one
+    broadcast array row and each vector picks its top-``n`` in-row — an
+    array_sort over K scored structs, sliced and exploded. The pre-r18
+    form ranked with ``row_number() OVER (PARTITION BY vec_id)``, which
+    hash-exchanged the FULL CORPUS (vec_id, v[64], norm) just to pick a
+    per-row argmax — the single largest shuffle in every IVF plan, and
+    exactly what the operator docstrings always claimed was "a map-side
+    pass". Output is bit-identical: the cosine expression is unchanged
+    per (vector, centroid) pair, and the comparator reproduces the
+    window's (ccos DESC, cent_id ASC) order including NaN/tie corners
+    (re-verified against the committed r17 gate hashes at sf0.001/0.01/
+    0.1 for every consumer).
+    """
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (_dot(F.col("v"), c["cv"]) / (F.col("norm") * c["cn"])).alias(
+                "ccos"
+            ),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    top = F.slice(F.array_sort(scored, _ccos_desc_cent_asc), 1, n)
+    return (
+        emb.crossJoin(F.broadcast(_cents_array(cents)))
+        .select("vec_id", "v", "norm", F.explode(top).alias("_a"))
+        .select("vec_id", "v", "norm", F.col("_a.cent_id").alias(out))
     )
 
 
@@ -1399,43 +1445,67 @@ def topk_ivf_spann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: identical to ``topk_ivf_spann`` — replication
     multiplies the INDEX (bounded by SPANN_RMAX), never the scan; the
-    assignment window runs over n x K rows with a vec_id-partitioned
-    exchange, and a query still reads nprobe lists of ~factor/K of
-    the corpus each."""
+    assignment is MAP-SIDE since round 18 (in-row over the broadcast
+    centroid array, replacing the vec_id-partitioned window exchange of
+    the full corpus — guide §2.4; output bit-identical, the DuckDB
+    oracle keeps the equivalent window formulation and the driver hash
+    still pins every rule detail), and a query still reads nprobe lists
+    of ~factor/K of the corpus each."""
     bound = (1.0 + SPANN_EPS) ** 2
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     cents = _ivf_centroids(emb)
-    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
-    g = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "norm", "cent_id", (F.lit(1.0) - cos).alias("gap")
+    # Per-vector, in one row: gaps to all K broadcast centroids, sorted
+    # (gap ASC, cent_id ASC) — the window's exact order; `close` counts
+    # the (1+eps)^2-closeness hits against gmin = the sorted head's gap
+    # (same double min(gap) produced); the kept replica set is the sorted
+    # prefix of length greatest(1, least(RMAX, close)) — precisely the
+    # rows the old `arank <= clamp` filter kept.
+    gaps = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (
+                F.lit(1.0)
+                - _dot(F.col("v"), c["cv"]) / (F.col("norm") * c["cn"])
+            ).alias("gap"),
+            c["cent_id"].alias("cent_id"),
+        ),
     )
-    wq = Window.partitionBy("vec_id")
-    wo = Window.partitionBy("vec_id").orderBy(F.col("gap").asc(), F.col("cent_id"))
+    sg = F.array_sort(
+        gaps,
+        lambda l, r: (
+            F.when(l["gap"] < r["gap"], F.lit(-1))
+            .when(l["gap"] > r["gap"], F.lit(1))
+            .when(l["cent_id"] < r["cent_id"], F.lit(-1))
+            .when(l["cent_id"] > r["cent_id"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+    gmin = F.element_at(F.col("_sg"), 1)["gap"]
+    close = F.size(
+        F.filter(F.col("_sg"), lambda x: x["gap"] <= F.lit(bound) * gmin)
+    )
+    # greatest(1, ..) = _assign_spann_udf's keep[:, 0] = True: the
+    # nearest list is ALWAYS kept. Not redundant — when a vector IS
+    # a centroid, float rounding can give cos > 1, so gmin < 0 and
+    # bound*gmin < gmin flips the closeness test false even for the
+    # minimum itself (close = 0); 7 of sf0.01's 16 centroid rows hit
+    # this. Without the clamp they would file into NO list.
     lists = (
-        g.select(
-            "*",
-            F.min("gap").over(wq).alias("gmin"),
-            F.row_number().over(wo).alias("arank"),
-        )
+        emb.crossJoin(F.broadcast(_cents_array(cents)))
+        .select("vec_id", "v", "norm", sg.alias("_sg"))
         .select(
-            "*",
-            F.sum(
-                F.when(F.col("gap") <= F.lit(bound) * F.col("gmin"), 1).otherwise(0)
-            )
-            .over(wq)
-            .alias("close"),
+            "vec_id",
+            "v",
+            "norm",
+            F.explode(
+                F.slice(
+                    F.col("_sg"),
+                    1,
+                    F.greatest(F.lit(1), F.least(F.lit(SPANN_RMAX), close)),
+                )
+            ).alias("_g"),
         )
-        # greatest(1, ..) = _assign_spann_udf's keep[:, 0] = True: the
-        # nearest list is ALWAYS kept. Not redundant — when a vector IS
-        # a centroid, float rounding can give cos > 1, so gmin < 0 and
-        # bound*gmin < gmin flips the closeness test false even for the
-        # minimum itself (close = 0); 7 of sf0.01's 16 centroid rows hit
-        # this. Without the clamp they would file into NO list.
-        .filter(
-            F.col("arank")
-            <= F.greatest(F.lit(1), F.least(F.lit(SPANN_RMAX), F.col("close")))
-        )
-        .select("vec_id", "v", "norm", "cent_id")
+        .select("vec_id", "v", "norm", F.col("_g.cent_id").alias("cent_id"))
     )
     probes = _assign(
         emb.filter(F.col("vec_id") < N_QUERIES), cents, IVF_NPROBE, "cent_id"
@@ -3196,6 +3266,7 @@ def _bylist_codes_source(
         if bl_paths is not None
         else None
     )
+    cols = ["vec_id", "cent_id"] + [f"c{m}" for m in range(m_subspaces)]
     flat_paths = ann_index.relation_paths(sf_dir, flat_name)
     if flat_paths is None:
         # LAZY build (round 17, VERDICT r16 order 4): the flat copy
@@ -3211,8 +3282,18 @@ def _bylist_codes_source(
         # narrow unions commits no flat artifact at all (suite-pinned by
         # tests/test_similarity_pq.py::
         # test_floor_probe_lineage_commits_no_flat_codes).
+        # Gate in the SAME units as the exact rule below (ADVICE r17):
+        # the hypothetical flat side is estimated as the by-list
+        # relation's column-chunk bytes for exactly the served columns
+        # (the measured flat/by-list band is ~1.05x on codes), not the
+        # whole-artifact tree bytes — so an artifact that ever grows
+        # extra columns cannot inflate the threshold and mis-skip the
+        # flat build. cent_id is a partition column on the by-list side
+        # (0 column-chunk bytes), which only UNDERSTATES the estimate:
+        # the gate then errs toward building flat and the exact rule —
+        # never-worse by construction — still picks the served side.
         if pruned is not None and pruned < CODES_FLAT_LAZY_FRACTION * sum(
-            ann_index.tree_bytes(p) for p in bl_paths
+            ann_index.column_bytes(p, cols) for p in bl_paths
         ):
             return (rel if rel is not None else open_bylist()).filter(
                 F.col("cent_id").isin(probed)
@@ -3241,7 +3322,6 @@ def _bylist_codes_source(
         return (rel if rel is not None else open_bylist()).filter(
             F.col("cent_id").isin(probed)
         )
-    cols = ["vec_id", "cent_id"] + [f"c{m}" for m in range(m_subspaces)]
     if pruned >= sum(ann_index.column_bytes(p, cols) for p in flat_paths):
         return spark.read.parquet(*flat_paths).filter(
             F.col("cent_id").isin(probed)

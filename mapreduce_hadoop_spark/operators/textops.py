@@ -173,9 +173,19 @@ def _language_id_ngram_oracle() -> str:
 LANGUAGE_ID_NGRAM_ORACLE = _language_id_ngram_oracle()
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality signal: length, lexical diversity, stopword ratio."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_exprs() -> "dict[str, Column]":
+    """THE quality-signal expressions over a ``text`` column, by output
+    name — one definition shared by ``quality_score`` and every consumer
+    that used to JOIN the quality relation back onto ``documents`` on
+    doc_id (corpus.py). Both sides of such a join are map-only
+    projections of the SAME scan, so the join was a pure self-join:
+    projecting these expressions directly onto the consumer's scan
+    computes identical values with one scan and zero join (guide-§2.4
+    shuffle removal; the r18 optimization round). Expression identity —
+    not just value identity — is what this helper pins: consumers inline
+    the exact Columns ``quality_score`` serves, so the driver-hashed
+    bytes cannot drift between the standalone query and the fused ones.
+    """
     toks = T.tokens("text")
     n_tok = F.size(toks).cast("double")
     n_distinct = F.size(F.array_distinct(toks)).cast("double")
@@ -186,13 +196,21 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.round(
         length_sig * F.lit(0.4) + diversity * F.lit(0.4) + sw_sig * F.lit(0.2), 6
     )
+    return {
+        "n_tokens": F.size(toks),
+        "n_chars_measured": F.length("text"),
+        "distinct_ratio": F.round(diversity, 6),
+        "stopword_ratio": F.round(sw / n_tok, 6),
+        "quality": score,
+    }
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality signal: length, lexical diversity, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    exprs = quality_exprs()
     return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars_measured"),
-        F.round(diversity, 6).alias("distinct_ratio"),
-        F.round(sw / n_tok, 6).alias("stopword_ratio"),
-        score.alias("quality"),
+        "doc_id", *[c.alias(name) for name, c in exprs.items()]
     )
 
 

@@ -417,6 +417,26 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "similarity_topk_ivf_spann_fixed",
     "similarity_topk_pq_trained",
     "ann_append_serving",
+    # Round 18 (OPTIMIZATION round over the round-17 registry — no
+    # rotation; ROUND stays 17 because the window ordering is still the
+    # round-17 arrangement): plan-shape rewrites with output verified
+    # BIT-IDENTICAL against the committed r17 gate logs at sf0.001/0.01/
+    # 0.1 before landing (see OPTIMIZATION_r18.md). All are in-window,
+    # so the round-18 driver run re-hashes them directly:
+    # - corpus self-join removals (quality computed in the scan):
+    "corpus_weighted_sample",
+    "corpus_train_split",
+    "corpus_domain_quota",
+    # - IVF assignment went map-side (in-row argmax over the broadcast
+    #   centroid array replaces the vec_id-partitioned window exchange):
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_trained",
+    # - SPANN replication rule evaluated in-row (same constants, same
+    #   tie order; the DuckDB oracle keeps the window formulation):
+    # ("similarity_topk_ivf_spann_fixed" already listed above.)
+    # - MinHash-LSH candidates via one bucket groupBy instead of the
+    #   banded self-join + bucket-count window:
+    "dedup_minhash_lsh",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
@@ -435,6 +455,17 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
     "similarity_topk_ivfpq_fixed",
     "similarity_topk_ivfpq_trained",
+    # Round 18 (optimization): tail consumers of the same rewrites the
+    # CHANGED_THIS_ROUND block documents — outputs verified bit-identical
+    # vs the committed r17 gate hashes at sf0.001/0.01/0.1 (pins in
+    # tests/test_registry_rotation.py against the regenerated r18 log):
+    "corpus_clean_stats",        # fused scan + window exact-dedup + LSH rewrite
+    "similarity_topk_ivf_adaptive",  # lists via the map-side _assign
+    "dedup_clusters",            # LSH candidate rewrite (pair graph unchanged)
+    "dedup_keep_best",           # same, plus the untouched quality join
+    "text_quality_score",        # expression-identical quality_exprs refactor
+    "dedup_exact",               # keeper via window, one h-exchange (was two)
+    "dedup_exact_normalized",    # same single-exchange keeper window
 )
 
 # Rule 1b: registered after this round's head filled; no driver row yet.

@@ -45,15 +45,30 @@ def read_events_day(spark: SparkSession, out_dir: str, day: str) -> DataFrame:
     same schema and PartitionFilters-visible semantics as the root read
     (pinned by tests/test_partitioned.py). A day with no directory falls
     back to the pruned root read — the only case that still pays the
-    listing is the one that returns zero rows (local paths only; remote
-    stores resolve existence at the source)."""
+    listing is the one that returns zero rows. The fallback holds on
+    EVERY store (ADVICE r17): local paths pre-check with isdir; for
+    remote URIs (or an existing-but-empty local directory, where schema
+    inference fails) the paths-first open itself raises
+    AnalysisException and the root read restores the empty-day contract
+    the pre-r17 root formulation had."""
     import os
+
+    from pyspark.errors import AnalysisException
+
+    def _root() -> DataFrame:
+        return spark.read.parquet(out_dir).filter(F.col("day") == day)
 
     one_day = f"{out_dir}/day={day}"
     if "://" not in out_dir and not os.path.isdir(one_day):
-        return spark.read.parquet(out_dir).filter(F.col("day") == day)
-    return (
-        spark.read.option("basePath", out_dir)
-        .parquet(one_day)
-        .filter(F.col("day") == day)
-    )
+        return _root()
+    try:
+        return (
+            spark.read.option("basePath", out_dir)
+            .parquet(one_day)
+            .filter(F.col("day") == day)
+        )
+    except AnalysisException:
+        # PATH_NOT_FOUND (remote missing day) or UNABLE_TO_INFER_SCHEMA
+        # (existing-but-empty day directory): the pruned root read keeps
+        # the contract, at listing cost, exactly when the answer is empty.
+        return _root()

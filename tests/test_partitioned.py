@@ -62,3 +62,15 @@ def test_day_read_opens_single_directory_paths_first(spark, sf_dir, tmp_path):
     assert "day" in df.columns and df.count() > 0
     # A day with no directory returns empty instead of failing.
     assert read_events_day(spark, out, "1999-01-01").count() == 0
+
+
+def test_day_read_empty_directory_falls_back(spark, sf_dir, tmp_path):
+    """ADVICE r17: an existing-but-EMPTY ``day=`` directory fails parquet
+    schema inference on the paths-first open; the read must fall back to
+    the pruned root read and return zero rows instead of raising (the
+    same except-path a remote store's missing-day PATH_NOT_FOUND takes,
+    which a local test cannot reach directly)."""
+    out = str(tmp_path / "events_by_day")
+    write_events_partitioned(spark, sf_dir, out)
+    (tmp_path / "events_by_day" / "day=1999-01-01").mkdir()
+    assert read_events_day(spark, out, "1999-01-01").count() == 0

@@ -58,13 +58,24 @@ def test_head_window_size_and_total():
 # updated in the SAME commit that edits that tuple (rounds 8 and 9 both
 # shipped a red handoff by moving only one side).
 PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
-    # Round 17: the lazy flat-codes re-layout's two consumers.
-    # Pre-rewrite hashes = the committed GATE_sf0.01_r16.log rows (= the
-    # r16 driver rows), verified unchanged on the post-change tree by a
-    # same-day sf0.01 serve before the pin landed; post log regenerated
-    # at the final r17 tree.
-    "similarity_topk_ivfpq_fixed": ("GATE_sf0.01_r17.log", "6a1948aaeb5952e9"),
-    "similarity_topk_ivfpq_trained": ("GATE_sf0.01_r17.log", "301db5bb25ca2186"),
+    # Round 17 pins (the lazy flat-codes re-layout's two consumers),
+    # carried forward through the round-18 optimization rewrites: the
+    # pre-rewrite hashes are still the committed GATE_sf0.01_r16.log /
+    # r17 rows; the post log is regenerated at the final r18 tree.
+    "similarity_topk_ivfpq_fixed": ("GATE_sf0.01_r18.log", "6a1948aaeb5952e9"),
+    "similarity_topk_ivfpq_trained": ("GATE_sf0.01_r18.log", "301db5bb25ca2186"),
+    # Round 18 (optimization round): tail queries whose PLANS were
+    # rewritten (guide-§2.4 shuffle removals — fused corpus scan,
+    # map-side IVF assignment, one-shuffle LSH candidates, shared
+    # quality_exprs) with outputs verified bit-identical. Pre-rewrite
+    # hashes = the committed GATE_sf0.01_r17.log rows.
+    "corpus_clean_stats": ("GATE_sf0.01_r18.log", "1c8da89924dfdcf7"),
+    "similarity_topk_ivf_adaptive": ("GATE_sf0.01_r18.log", "ca0d1a60e6a9b222"),
+    "dedup_clusters": ("GATE_sf0.01_r18.log", "9a946014010f31c1"),
+    "dedup_keep_best": ("GATE_sf0.01_r18.log", "e739163b2c22caaf"),
+    "text_quality_score": ("GATE_sf0.01_r18.log", "d7227a8ffa987e13"),
+    "dedup_exact": ("GATE_sf0.01_r18.log", "7ab7bc08b2572bb0"),
+    "dedup_exact_normalized": ("GATE_sf0.01_r18.log", "ea26fcaddcc61a85"),
 }
 
 

@@ -1,24 +1,20 @@
-"""Committed-sf1-bench pool protocol (round 17, VERDICT r16 order 5).
+"""Interleaved bench pool at ANY scale dir (round 18 — VERDICT r17 order
+2 generalized from the sf1-only ``bench_sf1_pool.py``).
 
-Round 18: GENERALIZED to any scale dir as ``tools/bench_pool.py``
-(VERDICT r17 order 2 — the sf0.1 committed number needs the same
-interleaved protocol). This sf1 entry point stays for existing
-invocations; new work should call bench_pool.py directly.
-
-Rounds 15 and 16 both moved the committed single-window sf1 number by
-double-digit percent on what adjudication later called machine band —
-the single contaminated window carries no code signal. This tool makes
-the committed number a POOL: N alternating bench.py runs of the current
-tree and (optionally) the previous round's final tree from a git
-worktree, same window, shared warm index root, fresh process per run.
-The cross-tree comparison then cancels the window (both trees see the
-same machine state), and the committed JSON carries every sample so a
-judge can read the spread instead of trusting one draw.
+Same-window machine noise is the dominant term of single-shot bench
+numbers on the shared VM (r17: a same-tree sf0.1 re-run moved 35%; the
+r18 builder measured 4.8-85 s for the IDENTICAL warm query back to
+back). This tool makes any committed number a POOL: N alternating
+fresh-process ``bench.py`` runs of the current tree and (optionally) a
+reference tree from a git worktree, same window, shared warm index
+root. The cross-tree comparison cancels the window — both trees see the
+same machine state — and the emitted JSON carries every sample so a
+reader sees the spread, not one draw.
 
 Usage:
-  python tools/bench_sf1_pool.py [samples_per_tree] [prev_tree_dir]
-  # e.g. git worktree add /tmp/r16tree <r16-final-sha>
-  #      python tools/bench_sf1_pool.py 3 /tmp/r16tree > BENCH_sf1_r17.json
+  python tools/bench_pool.py [sf_dir] [samples_per_tree] [prev_tree_dir]
+  # e.g. git worktree add /tmp/r17tree <r17-final-sha>
+  #      python tools/bench_pool.py /root/testdata/sf0.1 3 /tmp/r17tree
 
 Emits ONE JSON object: headline = the current tree's min-pool total
 (min is the right statistic: within-process JIT keeps improving runs,
@@ -34,13 +30,12 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF1 = os.path.join(REPO, ".scale_data", "sf1")
 
 
-def run_bench(tree: str) -> dict:
+def run_bench(tree: str, sf_dir: str) -> dict:
     env = dict(
         os.environ,
-        SPARK_GRAFT_SF_DIR=SF1,
+        SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_INDEX_DIR=os.path.join(REPO, ".ann_index"),
     )
     env.pop("SPARK_GRAFT_CPUS", None)  # committed numbers are local[32]
@@ -50,31 +45,27 @@ def run_bench(tree: str) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3600,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
 
-def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    prev = sys.argv[2] if len(sys.argv) > 2 else None
+def pool(sf_dir: str, k: int, prev: "str | None") -> dict:
     pools: dict[str, list[dict]] = {"cur": [], "prev": []}
     for i in range(k):
-        pools["cur"].append(run_bench(REPO))
+        pools["cur"].append(run_bench(REPO, sf_dir))
         print(
             f"# cur run {i + 1}/{k}: {pools['cur'][-1]['value']}", file=sys.stderr
         )
         if prev:
-            pools["prev"].append(run_bench(prev))
+            pools["prev"].append(run_bench(prev, sf_dir))
             print(
                 f"# prev run {i + 1}/{k}: {pools['prev'][-1]['value']}",
                 file=sys.stderr,
             )
     cur = pools["cur"]
-    qmin = {
-        q: min(s["queries"][q] for s in cur) for q in cur[0]["queries"]
-    }
+    qmin = {q: min(s["queries"][q] for s in cur) for q in cur[0]["queries"]}
     doc = {
         "metric": cur[0]["metric"],
         "value": min(s["value"] for s in cur),
@@ -82,11 +73,14 @@ def main() -> int:
         "sf": cur[0].get("sf"),
         "protocol": (
             f"min of {k} alternating fresh-process runs"
-            + (", interleaved with the previous round's final tree" if prev else "")
+            + (", interleaved with the reference tree" if prev else "")
         ),
         "queries": qmin,
         "pool": [s["value"] for s in cur],
         "pool_calibration": [s.get("calibration_sec") for s in cur],
+        "pool_calibration_shuffle": [
+            s.get("calibration_shuffle_sec") for s in cur
+        ],
     }
     if prev:
         doc["prev_tree_pool"] = [s["value"] for s in pools["prev"]]
@@ -95,7 +89,21 @@ def main() -> int:
             q: min(s["queries"][q] for s in pools["prev"])
             for q in pools["prev"][0]["queries"]
         }
-    print(json.dumps(doc))
+        doc["prev_tree_pool_calibration_shuffle"] = [
+            s.get("calibration_shuffle_sec") for s in pools["prev"]
+        ]
+    return doc
+
+
+def main() -> int:
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    prev = sys.argv[3] if len(sys.argv) > 3 else None
+    print(json.dumps(pool(sf_dir, k, prev)))
     return 0
 
 

@@ -120,11 +120,21 @@ def study(spark, sf_dir: str) -> list[dict]:
             return set(cand_ids[sl][sub_order][: similarity.TOP_K])
 
         r_fixed = len(exact & rerank(shortlist)) / similarity.TOP_K
-        r_wide = len(exact & rerank(wide)) / similarity.TOP_K
-        r_wide8 = len(exact & rerank(min(wide * 2, len(order)))) / similarity.TOP_K
+        # Calibration depths are EXPLICIT multipliers of the floor
+        # shortlist, keyed by the multiplier (ADVICE r17: the old
+        # recall_widened/recall_widened8 keys were defined relative to
+        # PQ_ADAPT_WIDEN, so the r17 4->8 move silently relabeled every
+        # column and dropped the 4x depth from future calibrations).
+        # Only recall_adaptive is tied to the SHIPPED constants.
+        r_mult = {
+            m: len(exact & rerank(min(shortlist * m, len(order))))
+            / similarity.TOP_K
+            for m in (4, 8, 16)
+        }
+        r_wide = len(exact & rerank(min(wide, len(order)))) / similarity.TOP_K
         r_deep = len(exact & rerank(min(wide_deep, len(order)))) / similarity.TOP_K
         # The shipped ESCALATING dial (round 16): deep fires re-rank the
-        # 16x superset, ordinary fires the 4x one.
+        # PQ_ADAPT_WIDEN_DEEP x superset, ordinary fires PQ_ADAPT_WIDEN x.
         r_adapt = r_deep if fired_deep else (r_wide if fired else r_fixed)
         out.append(
             {
@@ -134,11 +144,12 @@ def study(spark, sf_dir: str) -> list[dict]:
                 "fired_deep": bool(fired_deep),
                 "recall_fixed": r_fixed,
                 "recall_adaptive": r_adapt,
-                # What a fire WOULD buy — measured for every query so a
-                # threshold move is decided on data, not extrapolation.
-                "recall_widened": r_wide,
-                "recall_widened8": r_wide8,
-                "recall_deep": r_deep,
+                # What a fire WOULD buy at each fixed multiplier —
+                # measured for every query so a threshold move is
+                # decided on data, not extrapolation.
+                "recall_x4": r_mult[4],
+                "recall_x8": r_mult[8],
+                "recall_x16": r_mult[16],
             }
         )
     return out

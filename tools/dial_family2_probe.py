@@ -78,8 +78,19 @@ def gen(name: str, clusters: int, sigma: float, n: int, seed: int = 1700) -> str
 
 def main() -> int:
     names = sys.argv[1:] or list(SETTINGS)
-    from mapreduce_hadoop_spark.operators.similarity import PQ_ADAPT_DEEP_COVER
+    from mapreduce_hadoop_spark.operators.similarity import (
+        PQ_ADAPT_DEEP_COVER,
+        PQ_ADAPT_WIDEN,
+        PQ_ADAPT_WIDEN_DEEP,
+    )
     from mapreduce_hadoop_spark.session import get_spark
+
+    # Probe depths are keyed by EXPLICIT multiplier since r18 (ADVICE
+    # r17: the old recall_widened/_widened8 keys silently relabeled when
+    # PQ_ADAPT_WIDEN moved); the shipped dial's depths are read via the
+    # constants so this consumer always evaluates the deployed widths.
+    k_wide = f"recall_x{PQ_ADAPT_WIDEN}"
+    k_deep = f"recall_x{PQ_ADAPT_WIDEN_DEEP}"
 
     spark = get_spark("dial-family2-probe", master="local[8]", shuffle_partitions=8)
     trigger_hits = []
@@ -89,7 +100,7 @@ def main() -> int:
         res = study(spark, sf_dir)
         cov = [r["covered"] for r in res]
         deep = [r for r in res if r["covered"] < PQ_ADAPT_DEEP_COVER]
-        unrec = [r for r in deep if r["recall_deep"] < 1.0]
+        unrec = [r for r in deep if r[k_deep] < 1.0]
         trigger_hits += [(name, r) for r in unrec]
         # Lossy NO-fires that widening would recover: the fire threshold
         # itself has a miss (found at covered 0.389, n=200k, this family).
@@ -98,7 +109,7 @@ def main() -> int:
             for r in res
             if not r["fired"]
             and r["recall_fixed"] < 1.0
-            and r["recall_widened"] > r["recall_fixed"]
+            and r[k_wide] > r["recall_fixed"]
         ]
         print(
             f"{name} (C={c}, sigma={sigma}, n={n}): covered "
@@ -111,7 +122,7 @@ def main() -> int:
     print(
         "TRIGGER:",
         "shortlist-by-covered-magnitude NEEDED — deep fires below 1.0 at 16x: "
-        + str([(n, r["query"], r["covered"], r["recall_deep"]) for n, r in trigger_hits])
+        + str([(n, r["query"], r["covered"], r[k_deep]) for n, r in trigger_hits])
         if trigger_hits
         else "none — every covered<{:.2f} query recovers fully at 16x "
         "on this family".format(PQ_ADAPT_DEEP_COVER),
