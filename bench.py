@@ -85,13 +85,15 @@ ROUND_NOTES = {
     17: (
         "r18 (optimization round over the r17 registry; every rewrite "
         "verified bit-identical vs the committed r17 gate hashes at 3 "
-        "scales): IVF/SPANN list assignment is now map-side (in-row "
-        "argmax over the broadcast centroid array; the per-vector "
-        "row_number window exchanged the FULL corpus before), LSH "
-        "candidates are one bucket groupBy (was self-join + count "
-        "window, signature fold ran twice), and the corpus family "
-        "computes quality in the scan (was doc_id self-joins). zstd "
-        "shuffle codec measured WORSE than lz4 and rejected. Evidence: "
+        "scales): IVF/SPANN list assignment map-side (was a full-corpus "
+        "row_number window exchange), LSH candidates one bucket groupBy "
+        "(was self-join + count window), corpus quality computed in the "
+        "scan (was doc_id self-joins), SPANN/LSH candidate dedup + rank "
+        "share ONE query_id exchange, simhash's pushed size(hs)>0 "
+        "filter no longer re-runs the shingle+md5 chain twice, setops "
+        "one membership aggregate (was 6 exchanges/3 scans), tfidf df "
+        "via term window (tokenize pass 2->1). zstd shuffle codec "
+        "measured WORSE than lz4, rejected. Evidence: "
         "OPTIMIZATION_r18.md, plans/r18/."
     ),
     16: (

@@ -227,7 +227,9 @@ WHERE doc_id <> keep_doc_id
 # --- shared shingle views --------------------------------------------------
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, nonempty: bool = False
+) -> DataFrame:
     """(doc_id, sh: array<string>) — sorted distinct 3-token shingles.
 
     Everything downstream (shingling, per-shingle md5, minhash/simhash) is
@@ -235,6 +237,18 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism. A small corpus arrives as one parquet split; spread it
     across the cores before the expensive projection. At cluster scale the
     scan already yields >= defaultParallelism splits and this is a no-op.
+
+    ``nonempty=True`` drops zero-shingle docs HERE, as a token-count test
+    on the raw text (``size(tokens) >= 3`` is exactly ``shingles()``'s
+    CASE guard, so it is equivalent to ``size(sh) > 0`` — distinct of a
+    non-empty array is non-empty, NULL text fails both). Callers that
+    would otherwise filter ``size(hs) > 0`` downstream should use this
+    instead: a pushed-down filter on a derived column re-evaluates the
+    whole shingle+md5 chain once in the Filter and again in the
+    projection/UDF input (guide §4.4's duplication, in JVM-expression
+    form — measured as the Filter node in dedup_simhash's plan carrying
+    the full transform/md5 tree), where the token-count test re-evaluates
+    only the split.
     """
     docs = load_table(spark, sf_dir, "documents")
     p = spark.sparkContext.defaultParallelism
@@ -267,6 +281,8 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_splits = len(files)
         if est_splits < p:
             docs = docs.repartition(p)
+    if nonempty:
+        docs = docs.filter(F.size(T.tokens("text")) >= 3)
     return docs.select("doc_id", T.shingles("text").alias("sh"))
 
 
@@ -498,8 +514,14 @@ def _shingle_hashes60(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain is 31-bit, which left bits 31+ of a wider signature dead —
     the 60-bit signature needs the full hash. Separate from
     ``_shingle_hashes`` so the minhash/jaccard relation (and everything
-    persisted against it) is untouched."""
-    return _doc_shingles(spark, sf_dir).select(
+    persisted against it) is untouched.
+
+    Zero-shingle docs are dropped at the SOURCE (``nonempty=True``: the
+    equivalent cheap token-count test on the raw text) so the simhash
+    consumer needs no ``size(hs) > 0`` filter — which, pushed below the
+    Arrow eval, re-ran the whole shingle+md5 chain a second time per row
+    (round 18; output bit-identical, same rows dropped)."""
+    return _doc_shingles(spark, sf_dir, nonempty=True).select(
         "doc_id",
         F.transform(F.col("sh"), lambda s: md5_long(s)).alias("hs"),
     )
@@ -521,7 +543,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-list_filter-per-bit formulation, whose plan/codegen latency
     dominated cold runs.
     """
-    return _simhash_from_hs(_shingle_hashes60(spark, sf_dir))
+    return _simhash_from_hs(
+        _shingle_hashes60(spark, sf_dir), assume_nonempty=True
+    )
 
 
 def simhash_signatures_from(docs: DataFrame) -> DataFrame:
@@ -563,7 +587,9 @@ def _simhash60_np(hs_list: "list") -> "object":
     return sim
 
 
-def _simhash_from_hs(hs_rel: DataFrame) -> DataFrame:
+def _simhash_from_hs(
+    hs_rel: DataFrame, assume_nonempty: bool = False
+) -> DataFrame:
     """60-bit simhash per doc, Arrow-vectorized (round 13).
 
     The r12 JVM formulation (kept below as ``_simhash_from_hs_jvm``)
@@ -575,11 +601,18 @@ def _simhash_from_hs(hs_rel: DataFrame) -> DataFrame:
     pandas_udf batch runs ``np.add.reduceat`` per bit over the
     concatenated batch. Map-only either way — the 100 TB shape (one scan,
     no shuffle until the band join) is unchanged.
+
+    ``assume_nonempty=True`` (round 18): callers whose relation already
+    excludes empty hash arrays at the source (``_shingle_hashes60``) skip
+    the ``size(hs) > 0`` filter here — pushed below the ArrowEvalPython,
+    it re-evaluated the entire shingle+md5 input expression once for the
+    Filter and again for the UDF input (the plan's Filter node carried
+    the full transform/md5 tree). Same rows either way.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    hs = hs_rel.filter(F.size("hs") > 0)
+    hs = hs_rel if assume_nonempty else hs_rel.filter(F.size("hs") > 0)
 
     def sim60(col):
         return pd.Series(_simhash60_np(list(col)))

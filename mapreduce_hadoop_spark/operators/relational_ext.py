@@ -499,19 +499,46 @@ WHERE ({md5_long_sql("CAST(event_id AS VARCHAR)")}) % {SAMPLE_MOD} = 0
 
 def segment_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT over customer key sets of two segments
-    (per-nation membership sets), emitted as one labeled relation."""
+    (per-nation membership sets), emitted as one labeled relation.
+
+    Evaluated as ONE membership aggregate (round 18, guide §2.4): the
+    set-operator formulation planned SIX c_nationkey exchanges over THREE
+    scans of customer (each branch re-distincted its inputs; Catalyst
+    reuses none of them because every branch filter differs). Grouping
+    the two-segment scan once by nation with max(seg = X) membership
+    flags, then deriving the three labeled rows in-row (union = the row
+    exists at all; intersect = both flags; except = a and not b) produces
+    the identical relation — sets are distinct by construction here
+    (``a``/``b`` were DISTINCT nation sets, so EXCEPT ALL == EXCEPT) —
+    from one scan and one exchange. The oracle keeps the set-operator
+    formulation, so the hash pins the equivalence."""
     cust = load_table(spark, sf_dir, "customer")
-    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
-    b = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey").distinct()
-    return (
-        a.union(b).distinct().select(F.lit("union").alias("op"), "c_nationkey")
-        .unionByName(
-            a.intersect(b).select(F.lit("intersect").alias("op"), "c_nationkey")
-        )
-        .unionByName(
-            a.exceptAll(b).select(F.lit("except").alias("op"), "c_nationkey")
+    flags = (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.max(
+                F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0)
+            ).alias("in_b"),
         )
     )
+    ops = F.filter(
+        F.array(
+            # Every grouped nation has >= 1 customer in a or b: union row.
+            F.lit("union"),
+            F.when(
+                (F.col("in_a") == 1) & (F.col("in_b") == 1), F.lit("intersect")
+            ),
+            F.when(
+                (F.col("in_a") == 1) & (F.col("in_b") == 0), F.lit("except")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return flags.select(F.explode(ops).alias("op"), "c_nationkey")
 
 
 SETOPS_ORACLE = """

@@ -855,18 +855,25 @@ def topk_lsh(
         F.col("band").alias("qband"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = (
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
+    # Cosine is computed BEFORE the duplicate collapse (every copy of a
+    # (query, candidate) pair carries the same qv/qn/v/norm, so the same
+    # cosine — which copy survives is immaterial): the dedup exchange now
+    # moves (query_id, vec_id, cosine) ~24 B rows instead of both v[64]
+    # payloads (~1 KB). The repartition folds that dedup and the rank
+    # window into ONE query_id exchange (hashpartitioning(query_id)
+    # satisfies the (query_id, vec_id) clustered distribution).
+    scored = (
         banded.join(
             F.broadcast(q),
             (F.col("band") == F.col("qband"))
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "qv", "qn", "vec_id", "v", "norm")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .repartition("query_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
-    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.select("*", F.row_number().over(w).alias("rank"))
@@ -1405,8 +1412,17 @@ def topk_ivf_spann(
         F.col("vec_id") != F.col("query_id")
     )
     cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
-    scored = pairs.select("query_id", "vec_id", cos.alias("cosine")).dropDuplicates(
-        ["query_id", "vec_id"]
+    # One candidate exchange, not two: hashpartitioning(query_id) already
+    # satisfies the (query_id, vec_id) dedup's clustered distribution, so
+    # repartitioning by query_id FIRST lets the dropDuplicates aggregate
+    # AND the rank window share a single exchange (the dedup previously
+    # inserted its own (query_id, vec_id) exchange, then the window
+    # re-exchanged by query_id). Value-identical: every duplicate carries
+    # the same cosine, so which copy survives is immaterial.
+    scored = (
+        pairs.select("query_id", "vec_id", cos.alias("cosine"))
+        .repartition("query_id")
+        .dropDuplicates(["query_id", "vec_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -1519,8 +1535,14 @@ def topk_ivf_spann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") != F.col("query_id")
     )
     qcos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6)
-    scored = pairs.select("query_id", "vec_id", qcos.alias("cosine")).dropDuplicates(
-        ["query_id", "vec_id"]
+    # Same single-exchange fold as ``topk_ivf_spann``: repartition by
+    # query_id so the duplicate-collapse aggregate and the rank window
+    # share one exchange (duplicates carry identical cosines — which copy
+    # survives is immaterial, and the oracle's DISTINCT agrees).
+    scored = (
+        pairs.select("query_id", "vec_id", qcos.alias("cosine"))
+        .repartition("query_id")
+        .dropDuplicates(["query_id", "vec_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

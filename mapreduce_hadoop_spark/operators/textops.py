@@ -308,20 +308,28 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines).
 
     tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (smoothed);
-    score rounded once at the edge. Plan shape at scale: one explode ->
-    shuffle on (doc_id, term) for tf, shuffle on term for df, the scalar N
-    broadcast; top-k is a per-doc window over the scored relation — no
-    driver-side collects, vocabulary-sized state only in the df aggregate.
+    score rounded once at the edge. Plan shape at scale (round 18, guide
+    §2.4): one explode -> shuffle on (doc_id, term) with map-side partial
+    counts for tf, then df as ``count() OVER (PARTITION BY term)`` on
+    that SAME relation — the previous ``tf.join(dfreq, "term")``
+    re-planned the whole tokenize+tf subtree under the dfreq aggregate
+    (two full corpus explode passes, visible as two identical
+    hashpartitioning(doc_id, term) exchanges with no ReusedExchange) and
+    needed the vocabulary broadcast besides. The scalar N is broadcast;
+    top-k is a per-doc window over the scored relation — no driver-side
+    collects. Output identical: the window count per term IS df.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     terms = docs.select(
         "doc_id", F.explode(T.tokens("text")).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wdf = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.select(
+            "doc_id", "term", "tf", F.count(F.lit(1)).over(wdf).alias("df")
+        )
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

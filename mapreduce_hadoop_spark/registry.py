@@ -437,6 +437,13 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # - MinHash-LSH candidates via one bucket groupBy instead of the
     #   banded self-join + bucket-count window:
     "dedup_minhash_lsh",
+    # - SPANN candidate side: the duplicate-collapse aggregate and the
+    #   rank window now share ONE query_id exchange (repartition folds
+    #   the dropDuplicates' own (query_id, vec_id) exchange away;
+    #   duplicates carry identical cosines, so output is unchanged —
+    #   verified vs the committed r17 gate hashes at 3 scales). The
+    #   fixed twin's same fold rides its existing entry above.
+    "similarity_topk_ivf_spann",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
@@ -466,6 +473,20 @@ REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
     "text_quality_score",        # expression-identical quality_exprs refactor
     "dedup_exact",               # keeper via window, one h-exchange (was two)
     "dedup_exact_normalized",    # same single-exchange keeper window
+    # Second r18 batch (same protocol, hashes verified vs the committed
+    # r17 logs at sf0.001/0.01/0.1 before landing):
+    "similarity_topk_lsh",       # cosine projected BEFORE the dedup (24 B
+                                 # rows, not two v[64] payloads) + dedup and
+                                 # rank window share one query_id exchange
+    "dedup_simhash",             # zero-shingle filter as a token-count test
+                                 # at the scan — the pushed size(hs)>0 filter
+                                 # re-ran the whole shingle+md5 chain twice
+    "segment_customer_setops",   # one membership aggregate (1 exchange, 1
+                                 # scan) replaces the six-exchange
+                                 # three-scan set-operator plan
+    "text_tfidf_top_terms",      # df via count() OVER (PARTITION BY term)
+                                 # — the dfreq join re-ran the whole
+                                 # tokenize+tf subtree a second time
 )
 
 # Rule 1b: registered after this round's head filled; no driver row yet.

@@ -473,3 +473,119 @@ def test_topk_filtered_plan_identity_post_retirement(spark, duck, sf_dir):
         tuple(r) for r in df[sorted(df.columns)].itertuples(index=False, name=None)
     )
     assert key(sdf) == key(odf) and len(sdf) > 0
+
+
+def test_spann_candidate_side_single_exchange(spark, sf_dir):
+    """Round 18: the SPANN twins' duplicate-collapse aggregate and rank
+    window must share ONE query_id exchange — the dropDuplicates used to
+    insert its own (query_id, vec_id) exchange and the window then
+    re-exchanged by query_id. hashpartitioning(query_id) satisfies the
+    (query_id, vec_id) clustered distribution, so the fold is free."""
+    import re
+
+    from mapreduce_hadoop_spark.operators.similarity import topk_ivf_spann_fixed
+    from mapreduce_hadoop_spark.plans.checks import executed_plan
+
+    plan = executed_plan(topk_ivf_spann_fixed(spark, sf_dir))
+    shuffles = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(shuffles) == 1, shuffles
+    assert "query_id" in shuffles[0] and "vec_id" not in shuffles[0], shuffles
+
+
+def test_topk_lsh_dedups_narrow_rows_single_exchange(spark, sf_dir):
+    """Round 18: topk_lsh projects the cosine BEFORE the duplicate
+    collapse (each copy of a pair carries the same vectors, hence the
+    same cosine), so the only data shuffle moves (query_id, vec_id,
+    cosine) — never the v[64] payloads — and the dedup shares the rank
+    window's query_id exchange."""
+    import re
+
+    from mapreduce_hadoop_spark.operators.similarity import topk_lsh
+    from mapreduce_hadoop_spark.plans.checks import executed_plan
+
+    plan = executed_plan(topk_lsh(spark, sf_dir))
+    shuffles = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(shuffles) == 1, shuffles
+    assert "query_id" in shuffles[0] and "vec_id" not in shuffles[0], shuffles
+
+
+def test_simhash_filter_carries_no_hash_chain(spark, sf_dir):
+    """Round 18: the zero-shingle guard runs as a token-count test on the
+    raw text. The old ``size(hs) > 0`` filter was pushed below the Arrow
+    signature fold and re-evaluated the ENTIRE shingle+md5 chain once in
+    the Filter and again as the UDF input (guide §4.4's duplication in
+    JVM-expression form). Pin: no Filter condition in the signature plan
+    mentions md5; the chain appears only as the ArrowEvalPython input."""
+    import re
+
+    from mapreduce_hadoop_spark.operators import dedup
+
+    df = dedup.simhash_signatures(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    conditions = re.findall(r"Condition : .*", plan)
+    assert conditions, plan  # the token-count guard must still exist
+    assert not any("md5" in c for c in conditions), conditions
+    assert any("size(split(" in c for c in conditions), conditions
+
+
+def test_token_count_prefilter_equals_nonempty_shingles(spark):
+    """The ``nonempty`` prefilter's predicate (``size(tokens) >= 3``) must
+    agree with ``size(shingles) > 0`` on every corner: NULL text, empty
+    string, <3 tokens, repeated tokens (distinct collapses to fewer
+    shingles but never to zero), and empty tokens from double spaces."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_hadoop_spark.functions import text as T
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "a"),
+        (4, "a b"),
+        (5, "a b c"),
+        (6, "a a a a"),
+        (7, "  a b"),
+        (8, "x y z w v"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        (F.size(T.tokens("text")) >= 3).alias("p"),
+        (F.size(T.shingles("text")) > 0).alias("q"),
+    ).collect()
+    for r in out:
+        assert bool(r.p) == bool(r.q), r
+
+
+def test_setops_single_membership_aggregate(spark, sf_dir):
+    """Round 18: UNION/INTERSECT/EXCEPT over the two segment key sets is
+    ONE membership aggregate — one customer scan, one c_nationkey
+    exchange. The set-operator formulation planned six exchanges over
+    three scans (no branch reusable). The labeled rows derive in-row."""
+    from mapreduce_hadoop_spark.operators.relational_ext import (
+        segment_customer_setops,
+    )
+    from mapreduce_hadoop_spark.plans.checks import executed_plan, plan_counts
+
+    df = segment_customer_setops(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["exchange"] == 1, c
+    assert c["sort_merge_join"] == 0 and c["broadcast_hash_join"] == 0, c
+    assert executed_plan(df).count("Scan parquet") == 1
+
+
+def test_tfidf_single_tokenize_pass(spark, sf_dir):
+    """Round 18: df comes from count() OVER (PARTITION BY term) on the tf
+    relation — the old tf.join(dfreq) re-planned the whole tokenize+tf
+    subtree under dfreq, so the corpus explode ran twice. Pin: exactly
+    one Generate (the token explode) and no join in the plan."""
+    from mapreduce_hadoop_spark.operators.textops import tfidf_top_terms
+    from mapreduce_hadoop_spark.plans.checks import executed_plan, plan_counts
+
+    df = tfidf_top_terms(spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("Generate explode") == 1, plan.count("Generate explode")
+    c = plan_counts(df)
+    assert c["sort_merge_join"] == 0 and c["broadcast_hash_join"] == 0, c

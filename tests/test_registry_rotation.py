@@ -76,6 +76,13 @@ PINNED_REWRITE_HASHES: dict[str, tuple[str, str]] = {
     "text_quality_score": ("GATE_sf0.01_r18.log", "d7227a8ffa987e13"),
     "dedup_exact": ("GATE_sf0.01_r18.log", "7ab7bc08b2572bb0"),
     "dedup_exact_normalized": ("GATE_sf0.01_r18.log", "ea26fcaddcc61a85"),
+    # Second r18 batch (candidate-side exchange fold in topk_lsh; the
+    # simhash zero-shingle filter moved to a token-count test at the
+    # scan). Pre-rewrite hashes = the committed GATE_sf0.01_r17.log rows.
+    "similarity_topk_lsh": ("GATE_sf0.01_r18.log", "0e7f2f0d8d7a2cfb"),
+    "dedup_simhash": ("GATE_sf0.01_r18.log", "15ca8f177d42b079"),
+    "segment_customer_setops": ("GATE_sf0.01_r18.log", "e75cc4483c2d5a2f"),
+    "text_tfidf_top_terms": ("GATE_sf0.01_r18.log", "233a4fef595713c6"),
 }
 
 
