@@ -83,18 +83,14 @@ ROUND_NOTES = {
     # registry.ROUND stays 17 through the round-18 OPTIMIZATION round
     # (no rotation), so the r18 note lives under key 17.
     17: (
-        "r18 (optimization round over the r17 registry; every rewrite "
-        "verified bit-identical vs the committed r17 gate hashes at 3 "
-        "scales): IVF/SPANN list assignment map-side (was a full-corpus "
-        "row_number window exchange), LSH candidates one bucket groupBy "
-        "(was self-join + count window), corpus quality computed in the "
-        "scan (was doc_id self-joins), SPANN/LSH candidate dedup + rank "
-        "share ONE query_id exchange, simhash's pushed size(hs)>0 "
-        "filter no longer re-runs the shingle+md5 chain twice, setops "
-        "one membership aggregate (was 6 exchanges/3 scans), tfidf df "
-        "via term window (tokenize pass 2->1). zstd shuffle codec "
-        "measured WORSE than lz4, rejected. Evidence: "
-        "OPTIMIZATION_r18.md, plans/r18/."
+        "r18 (optimization round, r17 registry): gate 92 queries x 5 "
+        "scales, all hashes == r17. Map-side IVF/SPANN assignment (was "
+        "full-corpus window exchange), one-shuffle LSH candidates, "
+        "corpus quality in the scan, SPANN/LSH dedup+rank share one "
+        "exchange, simhash md5 chain evaluated once (was twice via "
+        "pushed filter), setops 6 exchanges->1, tfidf tokenize 2->1. "
+        "Pools vs r17 tree: sf0.1 29.7 vs 31.5 s, sf1 70.4 vs 84.9 s. "
+        "zstd codec measured worse, rejected. See OPTIMIZATION_r18.md."
     ),
     16: (
         "r16: by-list + cost-rule serving is now driver-HASH-verified "
