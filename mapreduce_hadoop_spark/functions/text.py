@@ -46,7 +46,14 @@ def _shingle_strings(toks: Column, n: Column, k: int) -> Column:
     return acc
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
+# Default shingle width, shared by shingles()/shingles_sql() AND by any
+# prefilter that restates their emptiness guard on the raw token count
+# (dedup._doc_shingles' `size(tokens) >= SHINGLE_K` — ADVICE r18: a
+# hardcoded 3 there would silently desync if this default ever moved).
+SHINGLE_K = 3
+
+
+def shingles(text: Column | str, k: int = SHINGLE_K) -> Column:
     """Distinct k-token shingles as an array<string> (empty when < k tokens)."""
     toks = tokens(text)
     n = F.size(toks)
@@ -58,7 +65,7 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
-def shingles_sql(expr: str, k: int = 3) -> str:
+def shingles_sql(expr: str, k: int = SHINGLE_K) -> str:
     toks = tokens_sql(expr)
     return (
         f"CASE WHEN len({toks}) >= {k} THEN "
@@ -88,7 +95,7 @@ def contains_letter(tok: Column) -> Column:
     return F.translate(tok, _ASCII_LETTERS, "") != tok
 
 
-def distinct_shingle_count(text: Column | str, k: int = 3) -> Column:
+def distinct_shingle_count(text: Column | str, k: int = SHINGLE_K) -> Column:
     """len(distinct k-shingles) — value-identical to ``size(shingles(...))``
     but skips the canonical ``array_sort`` (a count does not need order;
     measured ~20% of the shingle pipeline's cost)."""

@@ -16,14 +16,26 @@ a partial-agg groupBy. No driver-side loops anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce_hadoop_spark.functions import hashing
 from mapreduce_hadoop_spark.functions.hashing import md5_long, md5_long_sql
 from mapreduce_hadoop_spark.operators import dedup, textops
 from mapreduce_hadoop_spark.sources.tables import load_table
 
 QUALITY_MIN = 0.5
+
+# Bloom bitmap width (bits) for clean_docs' near-dup bypass. 2^20 bits =
+# 16k longs = 128 KB broadcast — FP rate (4 * n_neardup / 2^20)^4, i.e.
+# effectively zero at every test scale (sf1 near-dup set ~10^5 -> ~2%).
+# A deploy sizes this to the expected near-dup count (10 bits per key
+# keeps FP < 1%); saturation is graceful (more rows through the real
+# anti-join, never a wrong row), so the local default does not bake a
+# local[32] assumption into the plan — only a selectivity dial.
+CORPUS_BLOOM_BITS = int(os.environ.get("SPARK_GRAFT_BLOOM_BITS", str(1 << 20)))
 
 
 def clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,17 +71,67 @@ def clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = base.select(
         "*", F.min("doc_id").over(Window.partitionBy("h")).alias("keep_id")
     )
-    near_dups = dedup.minhash_lsh_pairs(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
+    # Persisted: near-dup-sized, and consumed twice below (Bloom build +
+    # the residual anti-join); released by dedup.unpersist_intermediates.
+    near_dups = dedup._persisted(
+        dedup.minhash_lsh_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id"))
     )
-    return (
-        keep.filter(
-            (F.col("quality") >= F.lit(QUALITY_MIN))
-            & (F.col("doc_id") == F.col("keep_id"))
+    survivors = keep.filter(
+        (F.col("quality") >= F.lit(QUALITY_MIN))
+        & (F.col("doc_id") == F.col("keep_id"))
+    ).select("doc_id", "source", "quality", "n_tokens")
+    # Near-dup removal with a Bloom-negative BYPASS (round 19, guide
+    # §3.2; VERDICT r18 order 2). The old plan fed the FULL corpus into
+    # the anti-join's doc_id exchange — a corpus-wide shuffle write paid
+    # before AQE converts the join to broadcast. The near-dup id set is
+    # pair-sized, so a Bloom bitmap of it (in-plan `bloom_relation`,
+    # referenced as a SCALAR SUBQUERY so the probe is an ordinary Filter
+    # on the corpus relation, not a join the optimizer can reorder)
+    # routes almost every corpus row around the join entirely:
+    # bloom-negative rows are provably not in `near_dups` (no false
+    # negatives) and pass through join-free; only bloom-positive rows
+    # (true near-dups + FP, rate (k*n/bits)^k) reach the real anti-join,
+    # whose exchange is now near-dup-sized. False positives only move
+    # rows from the bypass into the join — the kept set is identical by
+    # construction. NULL keys read bloom-false and take the bypass,
+    # exactly the row-keeping behavior a NULL anti-join key has (doc_id
+    # is never NULL; belt and suspenders). The bitmap width is a deploy
+    # dial (CORPUS_BLOOM_BITS above): saturation degrades gracefully to
+    # the old everything-through-the-join plan.
+    # The bitmap is DRIVER-BUILT (one bounded aggregation job, collect
+    # <= CORPUS_BLOOM_BITS/8 bytes — the trained paths' model-sized
+    # collect shape) and rides as a one-row LocalTableScan broadcast; see
+    # hashing.bloom_build for the measured in-plan alternatives this
+    # replaces. Probe once into a 1-byte boolean and DROP the bitmap
+    # column — the residual join condition references the boolean below,
+    # and a raw `bloom` reference there would drag the whole array
+    # through the join's exchange.
+    bloom = hashing.bloom_build(near_dups, "doc_id", CORPUS_BLOOM_BITS)
+    cols = ["doc_id", "source", "quality", "n_tokens"]
+    probed = survivors.crossJoin(F.broadcast(bloom)).select(
+        *cols,
+        hashing.bloom_might_contain(
+            F.col("bloom"), "doc_id", CORPUS_BLOOM_BITS
+        ).alias("bloom_hit"),
+    )
+    bypass = probed.filter(~F.col("bloom_hit")).select(*cols)
+    # The residual anti-join's condition references the probe so the
+    # optimizer cannot push the join below the Bloom crossJoin (it did:
+    # PushDownLeftSemiAntiJoin happily reorders `filter(hit)` past a
+    # LeftAnti, putting the FULL corpus back into the join's exchange).
+    # With `bloom_hit` in the condition the join is pinned above the
+    # probe, and the pre-filter lands on its left side — the exchange
+    # carries bloom-positive rows only. For a hit row the extra conjunct
+    # is always true, so the join is plain `doc_id IN near_dups`.
+    nd2 = near_dups.select(F.col("doc_id").alias("nd_id"))
+    residual = (
+        probed.join(
+            nd2, (F.col("doc_id") == F.col("nd_id")) & F.col("bloom_hit"), "left_anti"
         )
-        .join(near_dups, "doc_id", "left_anti")
-        .select("doc_id", "source", "quality", "n_tokens")
+        .filter("bloom_hit")
+        .select(*cols)
     )
+    return bypass.unionByName(residual)
 
 
 def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -282,7 +282,10 @@ def _doc_shingles(
         if est_splits < p:
             docs = docs.repartition(p)
     if nonempty:
-        docs = docs.filter(F.size(T.tokens("text")) >= 3)
+        # T.SHINGLE_K, not a literal: the prefilter must restate
+        # shingles()'s own n >= k guard, and a hardcoded width would
+        # silently desync if the shared default ever moved (ADVICE r18).
+        docs = docs.filter(F.size(T.tokens("text")) >= T.SHINGLE_K)
     return docs.select("doc_id", T.shingles("text").alias("sh"))
 
 

@@ -369,6 +369,16 @@ EMB_LSH_SAMPLE_TARGET = 1 << 16
 # pathological skew; it is relative (not a fixed count) because bucket size
 # may legitimately approach n/2 on tiny corpora at MIN_BITS.
 EMB_BUCKET_CAP_MIN = 200
+# In-row pair-generation bound (round 19): buckets up to this size emit
+# their candidate pairs from ONE collected row (the minhash bucket
+# pattern — worst case CHUNK*(CHUNK-1)/2 id pairs ~ 0.5 MB in-row);
+# larger surviving buckets (legal up to the n/2 cap above, reachable
+# only on pathological skew) keep streaming through the ids-only
+# self-join, which materializes nothing per row. 4x TARGET_BUCKET: the
+# healthy tail stays in-row, the route split is a constant of the
+# operator, and both routes emit the identical pair set (each pair at
+# its first matching band), so the split moves no output bit.
+EMB_BUCKET_CHUNK = 256
 
 
 def auto_sign_bits(n: int) -> int:
@@ -605,19 +615,32 @@ def near_dup_lsh_from(
     in engineered buckets). Buckets over max(EMB_BUCKET_CAP_MIN, n/2) are
     dropped (degenerate-skew guard).
 
-    Dedup is in-row, not a shuffle: both join sides carry their full
-    per-band bucket array (NULL where the cap dropped the entry), and a
-    pair is emitted only at the FIRST band whose buckets match —
-    ``array_position(zip_with(=), true)`` — so a pair colliding in k bands
-    surfaces exactly once without a ``distinct`` over the candidate stream
-    (~n^2 * bands/2^bits rows at 100 TB, the old plan's dominant shuffle).
-    Vectors and norms ride through the band join too, so the cosine is
-    computed at the join output and the >= threshold filter runs before
-    anything else shuffles — the old plan's two post-distinct vector-fetch
-    joins are gone. NULL masking keeps cap semantics exact: a capped
+    Dedup is in-row, not a shuffle: every band relation carries the
+    vector's full per-band bucket array (NULL where the cap dropped the
+    entry), and a pair is emitted only at the FIRST band whose buckets
+    match — ``array_position(zip_with(=), true)`` — so a pair colliding
+    in k bands surfaces exactly once without a ``distinct`` over the
+    candidate stream. NULL masking keeps cap semantics exact: a capped
     (band, bucket) entry can be neither the first match nor any match
-    (NULL = NULL is NULL, never true), matching the old filter-then-join
-    behavior pair-for-pair (sf1: byte-identical 159,100 pairs, 164 s -> 80 s).
+    (NULL = NULL is NULL, never true).
+
+    Round 19 (VERDICT r18 order 1 — output bit-identical): candidate
+    generation is DE-PAYLOADED. The pre-r19 form self-joined the band
+    relation with ``v[64] + norm`` riding on BOTH sides (~600 B/row x
+    corpus x bands x 2 — the last corpus-payload-carrying shuffle in the
+    engine); candidates are now id-only. Healthy buckets (size <=
+    EMB_BUCKET_CHUNK) emit their pairs IN-ROW from one
+    ``groupBy(band, bucket)`` collect — the r18 minhash bucket pattern,
+    one exchange of (vec_id, mb) rows; buckets between CHUNK and the
+    n/2 cap (pathological skew only; zero at every gate scale) keep the
+    old streaming self-join shape, ids-only. Both routes apply the same
+    first-match test, and a (band, bucket) group takes exactly one
+    route, so each surviving pair is emitted exactly once — the same
+    set the payload-carrying join produced. Vectors re-attach to the
+    surviving id pairs through the minhash-style pair joins for the
+    exact-cosine verify: the only exchanges that now move v[64] are the
+    two corpus-keyed re-attach exchanges (ReusedExchange-able, and
+    candidate-pair-sized on the pair side), not corpus x bands x 2.
     """
     if signs is None:
         if bits is None:
@@ -651,13 +674,23 @@ def near_dup_lsh_from(
                 F.lit(EMB_BUCKET_CAP_MIN).cast("long"), F.expr("n_total div 2")
             )
         )
-        .select("band", "bucket")
+        .select("band", "bucket", "bucket_n")
     )
     surv = banded_ex.join(F.broadcast(ok), ["band", "bucket"])
+    # The per-vector mask now carries (bucket, bucket_n) per band:
+    # bucket_n is a pure function of (band, bucket), so struct equality
+    # in the first-match test is exactly the old bucket equality, and the
+    # size is what routes each group to its pair-generation shape below.
     masked = (
         surv.groupBy("vec_id")
         .agg(
-            F.map_from_entries(F.collect_list(F.struct("band", "bucket"))).alias("m")
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        "band", F.struct("bucket", "bucket_n").alias("bv")
+                    )
+                )
+            ).alias("m")
         )
         .select(
             "vec_id",
@@ -667,39 +700,96 @@ def near_dup_lsh_from(
             ).alias("mb"),
         )
     )
-    withv = emb.join(masked, "vec_id").select("vec_id", "v", "norm", "mb")
-    side = withv.select(
-        "vec_id", "v", "norm", "mb", F.posexplode("mb").alias("band", "bucket")
-    ).filter(F.col("bucket").isNotNull())
-    a = side.select(
-        *[F.col(c).alias(f"a_{c}") for c in ["vec_id", "v", "norm", "mb"]],
-        "band",
-        "bucket",
+    side = (
+        masked.select("vec_id", "mb", F.posexplode("mb").alias("band", "bv"))
+        .filter(F.col("bv").isNotNull())
+        .select(
+            "vec_id",
+            "mb",
+            "band",
+            F.col("bv.bucket").alias("bucket"),
+            F.col("bv.bucket_n").alias("bucket_n"),
+        )
     )
-    b = side.select(
-        *[F.col(c).alias(f"b_{c}") for c in ["vec_id", "v", "norm", "mb"]],
+
+    def first_match(a_mb: Column, b_mb: Column) -> Column:
+        return F.array_position(
+            F.zip_with(a_mb, b_mb, lambda x, y: x == y), F.lit(True)
+        )
+
+    # Route 1 — healthy buckets, in-row upper triangle (ids + masks only;
+    # sort_array canonicalizes collect_list order, vec_id is unique per
+    # bucket, so the strict upper triangle is exactly a_vec_id < b_vec_id).
+    small_buckets = (
+        side.filter(F.col("bucket_n") <= F.lit(EMB_BUCKET_CHUNK))
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "mb"))).alias("ds"))
+    )
+    pairs_small = (
+        small_buckets.select(
+            "band",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .filter(first_match(F.col("p.a.mb"), F.col("p.b.mb")) == F.col("band") + 1)
+        .select(
+            F.col("p.a.vec_id").alias("vec_a"), F.col("p.b.vec_id").alias("vec_b")
+        )
+    )
+    # Route 2 — over-CHUNK survivors (<= n/2 cap): the streaming ids-only
+    # self-join; nothing is materialized per row, so a pathological
+    # boilerplate bucket degrades throughput, never memory.
+    big = side.filter(F.col("bucket_n") > F.lit(EMB_BUCKET_CHUNK))
+    a = big.select(
+        F.col("vec_id").alias("a_vec_id"), F.col("mb").alias("a_mb"), "band", "bucket"
+    )
+    b = big.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("mb").alias("b_mb"),
         F.col("band").alias("band2"),
         F.col("bucket").alias("bucket2"),
     )
-    first_match = F.array_position(
-        F.zip_with(F.col("a_mb"), F.col("b_mb"), lambda x, y: x == y), F.lit(True)
-    )
-    cos = F.round(
-        _dot(F.col("a_v"), F.col("b_v")) / (F.col("a_norm") * F.col("b_norm")), 6
-    )
-    return (
+    pairs_big = (
         a.join(
             b,
             (F.col("band") == F.col("band2"))
             & (F.col("bucket") == F.col("bucket2"))
             & (F.col("a_vec_id") < F.col("b_vec_id")),
         )
-        .filter(first_match == F.col("band") + 1)
-        .select(
-            F.col("a_vec_id").alias("vec_a"),
-            F.col("b_vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
+        .filter(first_match(F.col("a_mb"), F.col("b_mb")) == F.col("band") + 1)
+        .select(F.col("a_vec_id").alias("vec_a"), F.col("b_vec_id").alias("vec_b"))
+    )
+    cand = pairs_small.unionByName(pairs_big)
+
+    # Exact-cosine verify: vectors re-attach to the id pairs once per
+    # side (the minhash verify shape); same _dot fold on the same emb
+    # columns, so every cosine bit matches the payload-carrying plan's.
+    av = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("a_v"),
+        F.col("norm").alias("a_norm"),
+    )
+    bv = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("b_v"),
+        F.col("norm").alias("b_norm"),
+    )
+    cos = F.round(
+        _dot(F.col("a_v"), F.col("b_v")) / (F.col("a_norm") * F.col("b_norm")), 6
+    )
+    return (
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(NEAR_DUP_COS))
     )
 
@@ -1860,6 +1950,22 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``round()`` whose half-tie path is engine-specific), sum as BIGINTs
     (order-independent), and divide once at the edge; every float fold is
     the strict left-to-right form the other similarity oracles share.
+
+    Round 19 (optimization; output bit-identical, oracle unchanged): the
+    query side adopts the trained path's round-12 DRIVER-BUILT shape.
+    The codebook aggregation is still the same ONE exact fixed-point
+    Spark pass over the corpus — but its 1,024-row result is collected
+    and the per-query ADC lookup arrays are computed driver-side
+    (``_adc_arrays_np``: the identical ascending-d IEEE accumulation the
+    ``0.0D + (q-cd)^2 + ...`` expression performed, so every ``t`` is
+    bit-for-bit the old value), then shipped as a LocalTableScan. This
+    removes the q x cent crossJoin, the two ``_adc_scatter_arrays``
+    exchanges (groupBy(query_id, m) + pivot), and the adc persist — the
+    per-invocation 256^2-per-group interpreted scatter the trained paths
+    dropped in round 12. SQL-expressibility of the codebook construction
+    is still demonstrated where it is checked: the DuckDB oracle computes
+    the books, the ADC tables, and the shortlist entirely in SQL, and
+    the driver hash pins this plan against it.
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     n = _emb_count(emb, sf_dir)
@@ -1873,59 +1979,31 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[_pq_code(F.col("nv"), m).alias(f"c{m}") for m in range(PQ_M)],
     )
 
-    # Codebooks: ONE shuffle over (m, code) for all four subspaces.
-    subs = codes.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.col(f"c{m}").alias("code"),
-                        F.slice("nv", m * PQ_SUB + 1, PQ_SUB).alias("sub"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s")
-    ).select("s.m", "s.code", "s.sub")
-    cb = subs.groupBy("m", "code").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(
-                F.expr(f"cast(floor(element_at(sub, {d}) * 1e9 + 0.5D) as bigint)")
-            ).alias(f"s{d}")
-            for d in range(1, PQ_SUB + 1)
-        ],
-    )
-    cent = cb.select(
-        "m",
-        "code",
-        *[
-            (F.col(f"s{d}").cast("double") / F.col("n") / F.lit(1e9)).alias(f"cd{d}")
-            for d in range(1, PQ_SUB + 1)
-        ],
-    )
+    # Codebooks: still the same ONE exact fixed-point aggregation over
+    # the corpus (``_fixed_books_rows`` — the append twin's train half;
+    # partial aggregation bounds its exchange at 1,024 rows per map task
+    # regardless of corpus size), collected model-sized and recomputed
+    # per invocation — nothing is cached across runs.
+    book_rows = _fixed_books_rows(nvt)
 
-    q = nvt.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv")
-    )
-    # ADC tables: query-subvector -> centroid squared distance per
-    # (query, m, code). Tiny x tiny cross join; the only non-equi join in
-    # the plan, bounded at N_QUERIES * PQ_M * 2^PQ_CODE_BITS rows.
-    adc_terms = " + ".join(
-        f"(element_at(qnv, m * {PQ_SUB} + {d}) - cd{d})"
-        f" * (element_at(qnv, m * {PQ_SUB} + {d}) - cd{d})"
-        for d in range(1, PQ_SUB + 1)
-    )
-    adc = _persisted(
-        q.crossJoin(cent).select(
-            "query_id", "m", "code", F.expr(f"0.0D + {adc_terms}").alias("t")
-        )
+    # Query side: driver-built local relations (the trained path's r12
+    # fusion — `_query_nv_rows` is the arithmetic twin of
+    # nvt.filter(vec_id < N_QUERIES), bit-identical by construction).
+    qnv_rows = _query_nv_rows(emb, sf_dir)
+    q = spark.createDataFrame(qnv_rows, "query_id long, qnv array<double>")
+    qarr = _local_qarr_df(
+        spark,
+        [("query_id", "long")],
+        [(qid,) for qid, _ in qnv_rows],
+        [nv for _, nv in qnv_rows],
+        book_rows,
+        PQ_M,
+        PQ_SUB,
     )
 
     return _pq_adc_rank(
         codes,
-        _adc_scatter_arrays(adc, ["query_id"], PQ_M),
+        qarr,
         emb.select("vec_id", "v"),
         q,
         shortlist,
@@ -2883,10 +2961,11 @@ def _fixed_books_rows(nvt_model: DataFrame) -> "list[tuple[int, int, list[float]
     """Sign-orthant PQ codebooks as driver-side rows ``[(m, code, cd)]``
     — the deterministic 'train' half of the fixed-books append twin.
 
-    ONE exact fixed-point aggregation over the MODEL corpus
-    (``topk_pq``'s cb/cent stages restated; duplicated rather than
-    factored so the hash-pinned ``topk_pq`` plan stays byte-untouched),
-    collected model-sized (<= M * 2^8 rows x 16 doubles). Centroid
+    ONE exact fixed-point aggregation over the MODEL corpus — since
+    round 19 this IS ``topk_pq``'s codebook stage too (the sign-orthant
+    twin adopted the driver-built query side; both callers share this
+    single definition) — collected model-sized
+    (<= M * 2^8 rows x 16 doubles). Centroid
     arithmetic mirrors Spark's cast/divide order exactly —
     ``float(bigint_sum) / float(bigint_n) / 1e9`` is the same IEEE
     double sequence as ``cast(s as double) / n / 1e9`` — so the

@@ -444,6 +444,18 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     #   verified vs the committed r17 gate hashes at 3 scales). The
     #   fixed twin's same fold rides its existing entry above.
     "similarity_topk_ivf_spann",
+    # Round 19 (second OPTIMIZATION round over the round-17 registry —
+    # still no rotation; ROUND stays 17): plan-shape rewrites with
+    # output verified BIT-IDENTICAL against the committed r18 gate logs
+    # at sf0.001/0.01/0.1 before landing (see OPTIMIZATION_r19.md).
+    # In-window, so the round-19 driver run re-hashes them directly:
+    # - the sign-orthant flat-PQ twin adopts the trained path's r12
+    #   driver-built query side (_fixed_books_rows collect +
+    #   _adc_arrays_np local relation): the q x cent crossJoin, both
+    #   _adc_scatter_arrays exchanges, and the adc persist are gone;
+    #   the codebook aggregation itself is unchanged and re-runs per
+    #   invocation (VERDICT r18 order 4 — decided, not re-deferred):
+    "similarity_topk_pq",
 )
 
 # Rule 1a: plan rewrites whose output value-hash is unchanged at every
@@ -467,6 +479,11 @@ REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
     # vs the committed r17 gate hashes at sf0.001/0.01/0.1 (pins in
     # tests/test_registry_rotation.py against the regenerated r18 log):
     "corpus_clean_stats",        # fused scan + window exact-dedup + LSH rewrite
+                                 # (r18); r19: Bloom-negative bypass around the
+                                 # near-dup anti-join (corpus-side doc_id
+                                 # exchange gone; driver-built bitmap, VERDICT
+                                 # r18 order 2) — hashes re-verified vs the
+                                 # committed r18 logs at 3 scales.
     "similarity_topk_ivf_adaptive",  # lists via the map-side _assign
     "dedup_clusters",            # LSH candidate rewrite (pair graph unchanged)
     "dedup_keep_best",           # same, plus the untouched quality join
@@ -487,6 +504,15 @@ REWRITTEN_HASH_IDENTICAL: tuple[str, ...] = (
     "text_tfidf_top_terms",      # df via count() OVER (PARTITION BY term)
                                  # — the dfreq join re-ran the whole
                                  # tokenize+tf subtree a second time
+    # Round 19 (second optimization round, same protocol — hashes
+    # verified vs the committed r18 logs at sf0.001/0.01/0.1 before
+    # landing, pins against the regenerated r19 sf0.01 log):
+    "similarity_near_dup_lsh",   # band self-join de-payloaded (VERDICT
+                                 # r18 order 1): id-only in-row bucket
+                                 # pairs (<= EMB_BUCKET_CHUNK) + ids-only
+                                 # streaming join for over-CHUNK buckets,
+                                 # vectors re-attached for the exact
+                                 # verify — no exchange carries v[64]
 )
 
 # Rule 1b: registered after this round's head filled; no driver row yet.
