@@ -28,13 +28,29 @@ from mapreduce_hadoop_spark.sources.tables import load_table
 
 QUALITY_MIN = 0.5
 
-# Bloom bitmap width (bits) for clean_docs' near-dup bypass. 2^20 bits =
-# 16k longs = 128 KB broadcast — FP rate (4 * n_neardup / 2^20)^4, i.e.
-# effectively zero at every test scale (sf1 near-dup set ~10^5 -> ~2%).
-# A deploy sizes this to the expected near-dup count (10 bits per key
-# keeps FP < 1%); saturation is graceful (more rows through the real
-# anti-join, never a wrong row), so the local default does not bake a
-# local[32] assumption into the plan — only a selectivity dial.
+# clean_docs' near-dup anti-join is COST-BASED on the materialized
+# near-dup count (known at plan time — the persisted relation is counted
+# before the main query plans):
+#  - below CORPUS_BLOOM_MIN_NDS, the id set fits a broadcast hash
+#    relation, so the plain anti-join plans as BroadcastHashJoin LeftAnti
+#    from the cache's REAL stats — the corpus side streams, no exchange,
+#    and no Bloom machinery is paid (it measured +0.7-1.2 s of pure
+#    stage latency at sf0.1 for an exchange the broadcast removes anyway);
+#  - at or above it (the 100 TB regime where a billion near-dup ids can
+#    NEITHER broadcast as a hash relation NOR be allowed to force the
+#    corpus through an SMJ exchange), the Bloom-negative bypass routes
+#    the corpus around the join: ~10 bits/key of bitmap where the hash
+#    relation needs ~100+ B/key, an ~80x wider broadcastable window.
+# Both branches are value-identical by construction (the bypass was
+# hash-verified at 3 scales while it was the unconditional form), the
+# split is a pure function of the data, and the threshold is a deploy
+# dial. 4M ids ~ 64 MB of hash relation = the session's
+# autoBroadcastJoinThreshold.
+CORPUS_BLOOM_MIN_NDS = int(
+    os.environ.get("SPARK_GRAFT_BLOOM_MIN_NDS", str(4_000_000))
+)
+# Bloom bitmap width FLOOR (bits); when the bypass branch fires the width
+# is sized from the actual count (10 bits/key, FP < 1%), never below this.
 CORPUS_BLOOM_BITS = int(os.environ.get("SPARK_GRAFT_BLOOM_BITS", str(1 << 20)))
 
 
@@ -53,9 +69,14 @@ def clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents`` three times and re-attached quality and exact-keep to
     the doc relation through two doc_id-keyed joins — both sides of each
     being projections of the same scan, i.e. pure self-joins: broadcast
-    locally but two full-corpus sort-merge exchanges at 100 TB. Now the
-    only corpus-wide movement is the one hash-keyed window exchange
-    (which the old groupBy(h) paid anyway) and the near-dup anti-join.
+    locally but two full-corpus sort-merge exchanges at 100 TB.
+
+    Round 19: the near-dup anti-join is cost-based on the MATERIALIZED
+    near-dup count (see CORPUS_BLOOM_MIN_NDS) — broadcast anti-join when
+    the id set fits (statically, from the cache's real stats; the corpus
+    side streams with no exchange), Bloom-negative bypass above that.
+    The only corpus-wide movement left in either branch is the one
+    hash-keyed window exchange the old groupBy(h) paid anyway.
     """
     exprs = textops.quality_exprs()
     base = load_table(spark, sf_dir, "documents").select(
@@ -71,58 +92,64 @@ def clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = base.select(
         "*", F.min("doc_id").over(Window.partitionBy("h")).alias("keep_id")
     )
-    # Persisted: near-dup-sized, and consumed twice below (Bloom build +
-    # the residual anti-join); released by dedup.unpersist_intermediates.
+    # Persisted and MATERIALIZED up front (the count below): the planner
+    # then sees the relation's true near-dup-sized stats instead of
+    # guessing, and the cost-based branch is a function of real data, not
+    # an estimate. Released by dedup.unpersist_intermediates.
     near_dups = dedup._persisted(
         dedup.minhash_lsh_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id"))
     )
+    n_nd = near_dups.count()
     survivors = keep.filter(
         (F.col("quality") >= F.lit(QUALITY_MIN))
         & (F.col("doc_id") == F.col("keep_id"))
     ).select("doc_id", "source", "quality", "n_tokens")
-    # Near-dup removal with a Bloom-negative BYPASS (round 19, guide
-    # §3.2; VERDICT r18 order 2). The old plan fed the FULL corpus into
-    # the anti-join's doc_id exchange — a corpus-wide shuffle write paid
-    # before AQE converts the join to broadcast. The near-dup id set is
-    # pair-sized, so a Bloom bitmap of it (in-plan `bloom_relation`,
-    # referenced as a SCALAR SUBQUERY so the probe is an ordinary Filter
-    # on the corpus relation, not a join the optimizer can reorder)
-    # routes almost every corpus row around the join entirely:
-    # bloom-negative rows are provably not in `near_dups` (no false
-    # negatives) and pass through join-free; only bloom-positive rows
-    # (true near-dups + FP, rate (k*n/bits)^k) reach the real anti-join,
-    # whose exchange is now near-dup-sized. False positives only move
-    # rows from the bypass into the join — the kept set is identical by
-    # construction. NULL keys read bloom-false and take the bypass,
-    # exactly the row-keeping behavior a NULL anti-join key has (doc_id
-    # is never NULL; belt and suspenders). The bitmap width is a deploy
-    # dial (CORPUS_BLOOM_BITS above): saturation degrades gracefully to
-    # the old everything-through-the-join plan.
+    # Near-dup removal, cost-based (round 19, guide §3.1/3.2; VERDICT
+    # r18 order 2). The old plan fed the FULL corpus into the anti-join's
+    # doc_id exchange — a corpus-wide shuffle write paid before AQE
+    # converted the join to broadcast at runtime.
+    if n_nd < CORPUS_BLOOM_MIN_NDS:
+        # The id set fits a broadcast hash relation, and because the
+        # cached relation's size is KNOWN, the plain anti-join plans as
+        # BroadcastHashJoin LeftAnti statically — the corpus side
+        # streams through with no exchange at all. This is not the
+        # OOM-fragile blind F.broadcast hint: past the threshold the
+        # branch below takes over.
+        return survivors.join(near_dups, "doc_id", "left_anti")
+    # Bloom-negative BYPASS: the id set is too big to broadcast as a
+    # hash relation, but a Bloom bitmap of it (~10 bits/key vs ~100+
+    # B/key) still fits, so it routes almost every corpus row AROUND the
+    # join: bloom-negative rows are provably not in `near_dups` (no
+    # false negatives) and pass through join-free; only bloom-positive
+    # rows (true near-dups + FPs at rate (k*n/bits)^k) reach the real
+    # anti-join, whose exchange is near-dup-sized. False positives only
+    # move rows from the bypass into the join — the kept set is
+    # identical by construction (this branch was hash-verified at three
+    # scales as the unconditional form before the cost split landed).
+    # NULL keys read bloom-false and take the bypass, exactly the
+    # row-keeping behavior a NULL anti-join key has.
     # The bitmap is DRIVER-BUILT (one bounded aggregation job, collect
-    # <= CORPUS_BLOOM_BITS/8 bytes — the trained paths' model-sized
-    # collect shape) and rides as a one-row LocalTableScan broadcast; see
-    # hashing.bloom_build for the measured in-plan alternatives this
-    # replaces. Probe once into a 1-byte boolean and DROP the bitmap
-    # column — the residual join condition references the boolean below,
-    # and a raw `bloom` reference there would drag the whole array
-    # through the join's exchange.
-    bloom = hashing.bloom_build(near_dups, "doc_id", CORPUS_BLOOM_BITS)
+    # <= n_bits/8 bytes) and rides as a one-row LocalTableScan
+    # broadcast; see hashing.bloom_build for the measured in-plan
+    # alternatives this replaces. The probe lands in a 1-byte boolean
+    # and the bitmap column is DROPPED before the join — a raw `bloom`
+    # reference in the join condition would drag the whole array through
+    # the exchange. The condition references `bloom_hit` so the
+    # optimizer cannot push the join below the probe
+    # (PushDownLeftSemiAntiJoin happily reorders `filter(hit)` past a
+    # LeftAnti, putting the full corpus back into the join's exchange);
+    # for a hit row the extra conjunct is always true, so the join is
+    # plain `doc_id IN near_dups`.
+    n_bits = max(CORPUS_BLOOM_BITS, ((10 * n_nd + 63) // 64) * 64)
+    bloom = hashing.bloom_build(near_dups, "doc_id", n_bits)
     cols = ["doc_id", "source", "quality", "n_tokens"]
     probed = survivors.crossJoin(F.broadcast(bloom)).select(
         *cols,
-        hashing.bloom_might_contain(
-            F.col("bloom"), "doc_id", CORPUS_BLOOM_BITS
-        ).alias("bloom_hit"),
+        hashing.bloom_might_contain(F.col("bloom"), "doc_id", n_bits).alias(
+            "bloom_hit"
+        ),
     )
     bypass = probed.filter(~F.col("bloom_hit")).select(*cols)
-    # The residual anti-join's condition references the probe so the
-    # optimizer cannot push the join below the Bloom crossJoin (it did:
-    # PushDownLeftSemiAntiJoin happily reorders `filter(hit)` past a
-    # LeftAnti, putting the FULL corpus back into the join's exchange).
-    # With `bloom_hit` in the condition the join is pinned above the
-    # probe, and the pre-filter lands on its left side — the exchange
-    # carries bloom-positive rows only. For a hit row the extra conjunct
-    # is always true, so the join is plain `doc_id IN near_dups`.
     nd2 = near_dups.select(F.col("doc_id").alias("nd_id"))
     residual = (
         probed.join(

@@ -606,23 +606,48 @@ def test_near_dup_lsh_band_exchanges_carry_no_vectors(spark, sf_dir):
         assert " v#" not in " " + cols and "norm#" not in cols, cols
 
 
-def test_clean_docs_anti_join_input_is_bloom_filtered(spark, sf_dir):
-    """Round 19 (VERDICT r18 order 2): the near-dup anti-join's corpus
-    side is pre-filtered by the Bloom probe, so any doc_id-keyed
-    exchange feeding it carries bloom-positive rows only (its input
-    schema includes the probe column) — the full-corpus shuffle write
-    the old SMJ-planned anti-join paid is gone. The bloom-negative
-    bypass branch reaches the aggregate with no join at all (the plan
-    is a Union of the two routes)."""
-    import re
-
+def test_clean_docs_anti_join_never_exchanges_the_corpus(spark, sf_dir):
+    """Round 19 (VERDICT r18 order 2): the near-dup anti-join is
+    cost-based on the MATERIALIZED near-dup count. Below the threshold
+    (every test scale) the plain anti-join plans as a STATIC
+    BroadcastHashJoin LeftAnti from the cache's real stats — no SMJ, no
+    corpus-side doc_id exchange at all."""
+    from mapreduce_hadoop_spark.operators import dedup
     from mapreduce_hadoop_spark.operators.corpus import corpus_clean_stats
     from mapreduce_hadoop_spark.plans.checks import formatted_plan
 
+    dedup.unpersist_intermediates()
     plan = formatted_plan(corpus_clean_stats(spark, sf_dir))
-    assert "Union" in plan, plan
-    assert "LeftAnti" in plan, plan
+    dedup.unpersist_intermediates()
+    assert "BroadcastHashJoin LeftAnti" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_clean_docs_bloom_branch_shape_and_equivalence(spark, sf_dir, monkeypatch):
+    """The over-threshold branch (Bloom-negative bypass): forced via the
+    threshold, its plan must be the Union of a join-free bypass and a
+    residual anti-join whose doc_id exchanges carry ONLY bloom-positive
+    rows (probe column in the exchange input), and its OUTPUT must equal
+    the broadcast branch row-for-row — the two branches are the same
+    query at different data sizes."""
+    import re
+
+    from mapreduce_hadoop_spark.operators import corpus, dedup
+    from mapreduce_hadoop_spark.plans.checks import formatted_plan
+
+    dedup.unpersist_intermediates()
+    expected = {tuple(r) for r in corpus.corpus_clean_stats(spark, sf_dir).collect()}
+    dedup.unpersist_intermediates()
+    monkeypatch.setattr(corpus, "CORPUS_BLOOM_MIN_NDS", 0)
+    df = corpus.corpus_clean_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Union" in plan, plan[:1500]
+    assert "LeftAnti" in plan, plan[:1500]
     for m in re.finditer(
-        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: hashpartitioning\(doc_id", plan
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\nArguments: hashpartitioning\(doc_id",
+        plan,
     ):
         assert "bloom_hit" in m.group(1), m.group(1)
+    got = {tuple(r) for r in df.collect()}
+    dedup.unpersist_intermediates()
+    assert got == expected
